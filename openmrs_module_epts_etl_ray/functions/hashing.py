@@ -1,0 +1,65 @@
+"""Vectorized hashing / key-bucketing kernels.
+
+The reference delegates key lookups to the database (unique-key probes,
+``model/pojo/generic/DatabaseObjectDAO.java:179-225``); a Ray-Data-native
+engine makes the shuffle explicit, so every row needs a deterministic,
+process-stable hash of its primary key. ``pandas.util.hash_array`` (SipHash
+with a fixed key) is vectorized and stable across processes — unlike Python's
+``hash()`` which is salted per process.
+"""
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from pandas.util import hash_array
+
+BUCKET_COL = "_bucket"
+SALT_COL = "_salt"
+KEY_SEP = "\x1f"  # unit separator — cannot appear in repo/path values
+
+
+def key_hash(table: pa.Table, key_cols: tuple[str, ...]) -> np.ndarray:
+    """uint64 hash of the composite key, vectorized, deterministic."""
+    if len(key_cols) == 1:
+        joined = pc.cast(table[key_cols[0]], pa.string())
+    else:
+        cols = [pc.cast(table[c], pa.string()) for c in key_cols]
+        joined = pc.binary_join_element_wise(*cols, pa.scalar(KEY_SEP, type=pa.string()))
+    arr = joined.to_numpy(zero_copy_only=False)
+    return hash_array(arr.astype(object, copy=False), categorize=False)
+
+
+def add_bucket(
+    table: pa.Table,
+    key_cols: tuple[str, ...],
+    num_buckets: int,
+    bucket_col: str = BUCKET_COL,
+) -> pa.Table:
+    """Append an int64 hash-bucket column — the explicit partitioning key.
+
+    This is the Ray-Data analogue of the reference's PK-interval partitioning
+    (``engine/record_intervals_manager/ThreadCurrentIntervals.java:64-99``):
+    the reference slices contiguous PK ranges because the database is its
+    shuffle; we hash-partition because the object store is ours.
+    """
+    b = (key_hash(table, key_cols) % np.uint64(num_buckets)).astype(np.int64)
+    return table.append_column(bucket_col, pa.array(b, type=pa.int64()))
+
+
+def sha256_hex(column: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Lowercase hex sha256 per string value; null in → null out.
+
+    Matches DuckDB's ``sha256()`` so oracle SQL can verify the per-row
+    content invariant from BASELINE.json's input_hint.
+    """
+    arr = column.combine_chunks() if isinstance(column, pa.ChunkedArray) else column
+    py = arr.to_pylist()
+    out = [None if v is None else hashlib.sha256(v.encode("utf-8")).hexdigest() for v in py]
+    return pa.array(out, type=pa.string())
+
+
+def add_content_sha(table: pa.Table, content_col: str = "content", out_col: str = "content_sha") -> pa.Table:
+    return table.append_column(out_col, sha256_hex(table[content_col]))

@@ -1,0 +1,99 @@
+"""End-to-end CDC replay pipeline (SURVEY.md §7.1) — the flagship.
+
+    events --map_batches(PartialLww)--> collapsed rows + _bucket   # stateless, Arrow, combiner
+           --groupby(_bucket).map_groups(MergeApplier, concurrency=N)  # SHUFFLE + actor pool
+           --> lineage Dataset (one row per bucket)                # tiny; safe to materialize
+
+Scale notes: the per-batch partial LWW collapses each upstream block to at
+most one row per key BEFORE the shuffle, so the all-to-all exchange moves
+only the per-block winners (the same effect as salting hot keys into
+sub-partitions and reducing twice — the salt is the block id). The merge
+stage reads/writes only its own bucket's state (bounded by partition size,
+never the whole table), and the CommitLog makes task retries exactly-once.
+Reference lifecycle analogue: ``engine/Engine.java:225-336`` +
+``etl/processor/EtlProcessor.java:52-109``.
+"""
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..functions.hashing import BUCKET_COL
+from ..state.commit_log import CommitLog
+from ..stages.lww import PartialLww
+from ..stages.merge_applier import DELETED_COL, ConflictPolicy, MergeApplier
+
+
+def replay(
+    events: rd.Dataset,
+    lake_root: str,
+    *,
+    num_buckets: int = 64,
+    policy: ConflictPolicy | None = None,
+    key_cols: tuple[str, ...] = ("repo", "path"),
+    lsn_range: tuple[int, int] | None = None,
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = 65536,
+) -> rd.Dataset:
+    """Replay a change-event Dataset into the lake; returns the lineage Dataset.
+
+    ``lsn_range=(lo, hi]`` bounds the window (micro-batch replay). The global
+    committed low-watermark additionally prunes events at the read — the
+    per-bucket exact watermark is enforced inside MergeApplier.
+    """
+    ckpt_lo = CommitLog(lake_root).min_committed_lsn()
+    lo = max(ckpt_lo, lsn_range[0]) if lsn_range else ckpt_lo
+    hi = lsn_range[1] if lsn_range else None
+    if lo >= 0 or hi is not None:
+        def window(batch: pa.Table) -> pa.Table:
+            mask = pc.greater(batch["lsn"], lo)
+            if hi is not None:
+                mask = pc.and_(mask, pc.less_equal(batch["lsn"], hi))
+            return batch.filter(mask)
+        events = events.map_batches(window, batch_format="pyarrow")
+
+    collapsed = events.map_batches(
+        PartialLww(key_cols=key_cols, num_buckets=num_buckets),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    lineage = collapsed.groupby(BUCKET_COL).map_groups(
+        MergeApplier,
+        fn_constructor_kwargs=dict(lake_root=lake_root, policy=policy, key_cols=key_cols),
+        batch_format="pyarrow",
+        concurrency=concurrency or (1, 8),
+    )
+    return lineage
+
+
+def read_lake(lake_root: str, include_deleted: bool = False) -> rd.Dataset:
+    """Read the lake's current committed state (one snapshot file per bucket)."""
+    log = CommitLog(lake_root)
+    files = []
+    for bucket in sorted(log.checkpoint()):
+        cur = log.current(bucket)
+        if cur is not None:
+            files.append(os.path.join(log.data_dir, f"bucket={bucket}", cur["file"]))
+    if not files:
+        return rd.from_arrow(pa.table({}))
+    ds = rd.read_parquet(files)
+
+    def clean(t: pa.Table) -> pa.Table:
+        # drop the hive-inferred `bucket` dir column; filter tombstones
+        if "bucket" in t.column_names:
+            t = t.drop_columns(["bucket"])
+        if not include_deleted and DELETED_COL in t.column_names:
+            t = t.filter(pc.equal(t[DELETED_COL], False)).drop_columns([DELETED_COL])
+        return t
+
+    return ds.map_batches(clean, batch_format="pyarrow")
+
+
+def write_lineage(lineage: rd.Dataset, lake_root: str, run_id: str) -> None:
+    """Persist the run's lineage rows under the lake (audit trail; reference:
+    operation-history stage tables, ``common/model/SyncImportInfoDAO.java``)."""
+    lineage.write_parquet(os.path.join(lake_root, "_lineage", f"run={run_id}"))

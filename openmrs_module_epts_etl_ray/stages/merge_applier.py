@@ -1,0 +1,213 @@
+"""MergeApplier — the stateful upsert stage (actor pool over hash buckets).
+
+Re-expresses the reference's merge-existing-record contract (SURVEY.md §2.12,
+``model/EtlDatabaseObject.java:614-726`` invoked from
+``model/pojo/generic/AbstractDatabaseObject.java:289-317``) as a per-bucket
+vectorized merge:
+
+1. find existing row by key (the reference probes the destination DB by
+   PK/unique key; we join against the bucket's current lake state);
+2. decide the winner per :class:`ConflictPolicy` — KEEP_EXISTING /
+   UPDATE_EXISTING / winning-fields / newest-LSN (the reference's
+   observation-date rule with LSN as the total order);
+3. apply — update, insert, or keep; deletes become tombstone rows retained in
+   state (so a late stale update cannot resurrect a deleted key) and excluded
+   from the final table view. Compaction may drop tombstones older than the
+   global low-watermark.
+
+Each ``__call__`` handles ONE hash bucket (fed by
+``groupby(_bucket).map_groups``), reads the bucket's committed state from the
+:class:`~..state.commit_log.CommitLog`, merges, commits atomically, and emits
+a single lineage row (FIXTURES.md F7). Replayed buckets (commit already
+present) are skipped — exactly-once under Ray task retries.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import BUCKET_COL, add_content_sha
+from ..state.commit_log import CommitLog
+from ..state.lineage import LINEAGE_SCHEMA, lineage_row, state_fingerprint
+from .lww import N_EVENTS_COL, _lww_with_counts
+from .schema_evolution import unify_and_backfill
+
+DELETED_COL = "_deleted"
+
+
+@dataclass
+class ConflictPolicy:
+    """Conflict-resolution config (reference ``conf/types/ConflictResolutionType.java``,
+    winning-fields ``model/EtlDatabaseObject.java:646-676``)."""
+
+    mode: str = "lww_lsn"  # lww_lsn | keep_existing | update_existing | winning_fields
+    # incoming wins iff ALL (field, value) pairs of ANY group match the incoming row
+    winning_field_groups: list[list[tuple[str, object]]] = field(default_factory=list)
+
+    def incoming_wins(self, incoming: pd.DataFrame, existing_lsn: pd.Series) -> np.ndarray:
+        """Vectorized winner decision for rows that HAVE an existing match."""
+        n = len(incoming)
+        if self.mode == "keep_existing":
+            return np.zeros(n, dtype=bool)
+        if self.mode == "update_existing":
+            return np.ones(n, dtype=bool)
+        if self.mode == "winning_fields":
+            wins = np.zeros(n, dtype=bool)
+            for group in self.winning_field_groups:
+                m = np.ones(n, dtype=bool)
+                for fname, fval in group:
+                    m &= (incoming[fname] == fval).to_numpy(dtype=bool, na_value=False)
+                wins |= m
+            return wins
+        # lww_lsn: strictly newer wins (reference: dateDiff > 0,
+        # EtlDatabaseObject.java:677-714); equal LSN = idempotent replay -> keep
+        return (incoming["lsn"].to_numpy() > existing_lsn.to_numpy())
+
+
+def merge_bucket_state(
+    state: pa.Table,
+    winners: pa.Table,
+    policy: ConflictPolicy,
+    key_cols: tuple[str, ...] = ("repo", "path"),
+) -> tuple[pa.Table, dict]:
+    """Merge LWW-reduced incoming winners into a bucket's state table.
+
+    ``state`` rows carry payload columns + ``lsn`` + ``_deleted``; ``winners``
+    carry payload + ``lsn`` + ``op`` (one row per key). Returns the new state
+    and conflict statistics. Vectorized pandas; bucket-sized inputs only.
+    """
+    key_cols = list(key_cols)
+    wdf = winners.to_pandas()
+    is_delete = (wdf["op"] == "delete").to_numpy()
+    wdf = wdf.drop(columns=["op"])
+    wdf[DELETED_COL] = is_delete
+
+    if len(state) == 0:
+        stats = {
+            "inserted": int((~is_delete).sum()),
+            "updated": 0,
+            "kept_existing": 0,
+            "tombstones": int(is_delete.sum()),
+        }
+        new_state = pa.Table.from_pandas(wdf, preserve_index=False)
+        return new_state, stats
+
+    sdf = state.to_pandas()
+    # schema evolution: unify payload columns across state and incoming
+    for c in wdf.columns:
+        if c not in sdf.columns:
+            sdf[c] = None
+    for c in sdf.columns:
+        if c not in wdf.columns:
+            wdf[c] = None
+    wdf = wdf[sdf.columns.tolist() + [c for c in wdf.columns if c not in sdf.columns]]
+
+    merged = wdf.merge(
+        sdf[key_cols + ["lsn"]].rename(columns={"lsn": "_existing_lsn"}),
+        on=key_cols,
+        how="left",
+    )
+    has_existing = merged["_existing_lsn"].notna().to_numpy()
+    wins = np.ones(len(merged), dtype=bool)
+    if has_existing.any():
+        sub = merged[has_existing]
+        wins_sub = policy.incoming_wins(sub, sub["_existing_lsn"])
+        wins[np.flatnonzero(has_existing)] = wins_sub
+    applied = merged[wins].drop(columns=["_existing_lsn"])
+    del_applied = applied[DELETED_COL].to_numpy(dtype=bool)
+
+    stats = {
+        "inserted": int((~has_existing[wins] & ~del_applied).sum()),
+        "updated": int((has_existing[wins] & ~del_applied).sum()),
+        "kept_existing": int((~wins).sum()),
+        "tombstones": int(del_applied.sum()),
+    }
+
+    # drop replaced keys from state, append applied rows
+    applied_keys = pd.MultiIndex.from_frame(applied[key_cols])
+    state_keys = pd.MultiIndex.from_frame(sdf[key_cols])
+    survivors = sdf[~state_keys.isin(applied_keys)]
+    out = pd.concat([survivors, applied], ignore_index=True)
+
+    new_state, = unify_and_backfill([pa.Table.from_pandas(out, preserve_index=False)])
+    return new_state, stats
+
+
+class MergeApplier:
+    """Actor-pool stage: one call merges one hash bucket and commits it.
+
+    Used as ``events.groupby('_bucket').map_groups(MergeApplier, ...,
+    concurrency=N)`` — the callable-class form makes Ray run it as an actor
+    pool; the CommitLog handle and policy are built once per actor
+    (reference analogue: per-engine state in ``engine/TaskProcessor.java``).
+    """
+
+    def __init__(
+        self,
+        lake_root: str,
+        policy: ConflictPolicy | None = None,
+        key_cols: tuple[str, ...] = ("repo", "path"),
+        hash_content: bool = True,
+    ):
+        self.commit_log = CommitLog(lake_root)
+        self.policy = policy or ConflictPolicy()
+        self.key_cols = tuple(key_cols)
+        self.hash_content = hash_content
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return LINEAGE_SCHEMA.empty_table()
+        bucket = group[BUCKET_COL][0].as_py()
+        events = group.drop_columns([BUCKET_COL])
+        if N_EVENTS_COL in events.column_names:
+            events_seen = pa.compute.sum(events[N_EVENTS_COL]).as_py() or 0
+        else:
+            events_seen = len(events)
+        lsn_lo = pa.compute.min(events["lsn"]).as_py()
+        lsn_hi = pa.compute.max(events["lsn"]).as_py()
+
+        # resume: drop events at or below the bucket's committed watermark
+        ckpt = self.commit_log.committed_lsn_hi(bucket)
+        if ckpt >= 0:
+            events = events.filter(pa.compute.greater(events["lsn"], ckpt))
+        if len(events) == 0 or lsn_hi <= ckpt:
+            state = self.commit_log.read_state(bucket)
+            return lineage_row(
+                partition_id=bucket, lsn_lo=lsn_lo, lsn_hi=lsn_hi,
+                events_seen=events_seen, rows_applied=0, inserted=0, updated=0,
+                kept_existing=0, tombstones=0,
+                state_rows=len(state),
+                state_sha=self._fingerprint(state), committed=False,
+            )
+
+        winners = _lww_with_counts(events, self.key_cols, "lsn")
+        if N_EVENTS_COL in winners.column_names:
+            winners = winners.drop_columns([N_EVENTS_COL])
+        if self.hash_content and "content" in winners.column_names:
+            winners = add_content_sha(winners)
+        state = self.commit_log.read_state(bucket)
+        new_state, stats = merge_bucket_state(state, winners, self.policy, self.key_cols)
+        committed = self.commit_log.commit_state(bucket, lsn_hi, new_state, meta=stats)
+        return lineage_row(
+            partition_id=bucket, lsn_lo=lsn_lo, lsn_hi=lsn_hi,
+            events_seen=events_seen,
+            rows_applied=stats["inserted"] + stats["updated"],
+            inserted=stats["inserted"], updated=stats["updated"],
+            kept_existing=stats["kept_existing"], tombstones=stats["tombstones"],
+            state_rows=len(new_state),
+            state_sha=self._fingerprint(new_state), committed=committed,
+        )
+
+    @staticmethod
+    def _fingerprint(state: pa.Table) -> str:
+        if len(state) == 0:
+            return state_fingerprint([])
+        if "content_sha" in state.column_names:
+            live = state
+            if DELETED_COL in state.column_names:
+                live = state.filter(pa.compute.equal(state[DELETED_COL], False))
+            return state_fingerprint(live["content_sha"].to_pylist())
+        return state_fingerprint([])

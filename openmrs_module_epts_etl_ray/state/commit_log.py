@@ -1,0 +1,119 @@
+"""Idempotent commit log for the partitioned Parquet lake.
+
+The reference achieves idempotency two ways: file sinks write-then-rename
+(``export/processor/DBExportProcessor.java:70-75``) and DB upserts converge
+under replay because insert-then-resolve-conflict is idempotent
+(``model/pojo/generic/AbstractDatabaseObject.java:289-317``). Progress is
+persisted per (operation, table) in ``table_operation_progress_info`` and
+per-thread interval JSON files
+(``engine/record_intervals_manager/ThreadRecordIntervalsManager.java:227-254``).
+
+Our equivalent: each hash bucket owns a directory of immutable state files
+plus a manifest of commits. A commit is ``commit-{lsn_hi}.json`` naming the
+state file that reflects all events with ``lsn <= lsn_hi`` for this bucket.
+Writes are tmp-then-``os.replace`` (atomic on POSIX); a replayed task finds
+the manifest entry already present and skips — exactly-once under Ray task
+retries because the merge is deterministic. On object stores without rename,
+the same protocol maps to conditional PUT of the manifest key.
+
+Layout::
+
+    lake_root/
+      data/bucket=<b>/state-<lsn_hi>.parquet      # full bucket state snapshot
+      _commitlog/bucket=<b>/commit-<lsn_hi>.json  # manifest entry (atomic)
+"""
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+class CommitLog:
+    def __init__(self, lake_root: str):
+        self.root = lake_root
+        self.data_dir = os.path.join(lake_root, "data")
+        self.log_dir = os.path.join(lake_root, "_commitlog")
+
+    # -- paths ---------------------------------------------------------
+    def _bucket_log_dir(self, bucket: int) -> str:
+        return os.path.join(self.log_dir, f"bucket={bucket}")
+
+    def _bucket_data_dir(self, bucket: int) -> str:
+        return os.path.join(self.data_dir, f"bucket={bucket}")
+
+    # -- read side -----------------------------------------------------
+    def commits(self, bucket: int) -> list[dict]:
+        d = self._bucket_log_dir(bucket)
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for f in os.listdir(d):
+            if f.startswith("commit-") and f.endswith(".json"):
+                with open(os.path.join(d, f)) as fh:
+                    out.append(json.load(fh))
+        return sorted(out, key=lambda c: c["lsn_hi"])
+
+    def current(self, bucket: int) -> dict | None:
+        c = self.commits(bucket)
+        return c[-1] if c else None
+
+    def committed_lsn_hi(self, bucket: int) -> int:
+        cur = self.current(bucket)
+        return cur["lsn_hi"] if cur else -1
+
+    def checkpoint(self) -> dict[int, int]:
+        """bucket -> highest committed LSN; the resume point (FIXTURES F6)."""
+        if not os.path.isdir(self.log_dir):
+            return {}
+        out = {}
+        for d in os.listdir(self.log_dir):
+            if d.startswith("bucket="):
+                b = int(d.split("=", 1)[1])
+                out[b] = self.committed_lsn_hi(b)
+        return out
+
+    def min_committed_lsn(self) -> int:
+        """Global read-pushdown bound: every event with lsn <= this is
+        already applied in every bucket that has any commit. Conservative
+        (-1 when any bucket lacks commits)."""
+        ck = self.checkpoint()
+        return min(ck.values()) if ck else -1
+
+    def read_state(self, bucket: int, schema: pa.Schema | None = None) -> pa.Table:
+        cur = self.current(bucket)
+        if cur is None:
+            return pa.table({}) if schema is None else schema.empty_table()
+        return pq.read_table(os.path.join(self._bucket_data_dir(bucket), cur["file"]))
+
+    # -- write side ----------------------------------------------------
+    def commit_state(self, bucket: int, lsn_hi: int, state: pa.Table, meta: dict | None = None) -> bool:
+        """Atomically persist a bucket snapshot. Returns False if this
+        (bucket, lsn_hi) was already committed (idempotent replay)."""
+        log_dir = self._bucket_log_dir(bucket)
+        data_dir = self._bucket_data_dir(bucket)
+        os.makedirs(log_dir, exist_ok=True)
+        os.makedirs(data_dir, exist_ok=True)
+        commit_path = os.path.join(log_dir, f"commit-{lsn_hi}.json")
+        if os.path.exists(commit_path):
+            return False
+        fname = f"state-{lsn_hi}.parquet"
+        fd, tmp = tempfile.mkstemp(dir=data_dir, suffix=".tmp")
+        os.close(fd)
+        try:
+            pq.write_table(state, tmp, compression="zstd")
+            os.replace(tmp, os.path.join(data_dir, fname))
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+        entry = {"bucket": bucket, "lsn_hi": lsn_hi, "file": fname, "rows": len(state)}
+        if meta:
+            entry.update(meta)
+        fd, tmp = tempfile.mkstemp(dir=log_dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as fh:
+            json.dump(entry, fh)
+        os.replace(tmp, commit_path)
+        return True
