@@ -1,0 +1,142 @@
+"""Benchmark harness (driver contract).
+
+Headline: end-to-end CDC replay throughput — synthesize a zipf-skewed
+change-event log to Parquet (untimed), then time the full replay pipeline
+(read → partial LWW combine → hash-bucket shuffle → MergeApplier actor pool →
+commit-logged lake) and report events/sec. Also times a representative subset
+of the queries() catalog over $GRAFT_SF_DIR.
+
+    python bench.py                  # one JSON line (uses $RAY_GRAFT_CPUS, default 32)
+    python bench.py --scaling        # N vs 4N cpus in fresh processes + efficiency
+    python bench.py --headline-only  # just the replay (used by --scaling children)
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+import warnings
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_EVENTS = int(os.environ.get("BENCH_EVENTS", "2000000"))
+N_KEYS = int(os.environ.get("BENCH_KEYS", "200000"))
+
+BENCH_QUERIES = [
+    "cdc_replay_lww", "cdc_events_lww", "pricing_summary", "revenue_by_nation",
+    "customers_without_orders", "reconcile_orders", "gap_detect",
+    "dedup_exact", "token_stats", "ann_topk", "minhash_near_dups",
+]
+
+
+def consume(res):
+    import pyarrow as pa
+    import ray.data as rd
+    if isinstance(res, rd.Dataset):
+        return res.count()
+    if isinstance(res, pa.Table):
+        return len(res)
+    return len(res)
+
+
+def run_headline(event_dir: str) -> dict:
+    import ray.data as rd
+
+    from openmrs_module_epts_etl_ray.pipelines.replay import replay
+
+    lake = tempfile.mkdtemp(prefix="bench_lake_", dir="/tmp")
+    try:
+        events = rd.read_parquet(event_dir)
+        t0 = time.time()
+        lineage = replay(events, lake, num_buckets=4 * NUM_CPUS,
+                         concurrency=(1, NUM_CPUS)).materialize()
+        dt = time.time() - t0
+        applied = int(lineage.sum("rows_applied"))
+        return {"replay_sec": round(dt, 3),
+                "events_per_sec": round(N_EVENTS / dt, 1),
+                "rows_applied": applied}
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+
+
+def prepare_events() -> str:
+    """Synthesize the event log to Parquet once (cached per size/seed)."""
+    out = f"/tmp/bench_events_{N_EVENTS}_{N_KEYS}"
+    if not os.path.isdir(out) or not os.listdir(out):
+        from openmrs_module_epts_etl_ray.sources.event_log import synthesize_event_log
+        shutil.rmtree(out, ignore_errors=True)
+        synthesize_event_log(N_EVENTS, n_keys=N_KEYS, n_shards=64,
+                             zipf_s=1.2, dup_rate=0.01).write_parquet(out)
+    else:
+        # warm the page cache so timed runs measure compute + shuffle
+        for f in os.listdir(out):
+            with open(os.path.join(out, f), "rb") as fh:
+                while fh.read(1 << 22):
+                    pass
+    return out
+
+
+def main():
+    warnings.filterwarnings("ignore")
+    headline_only = "--headline-only" in sys.argv
+
+    if "--scaling" in sys.argv:
+        lo, hi = 8, 32
+        res = {}
+        for n in (lo, hi):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+            out = subprocess.run(
+                [sys.executable, __file__, "--headline-only"], env=env,
+                capture_output=True, text=True, check=True).stdout
+            res[n] = json.loads(out.strip().splitlines()[-1])
+        eff = (res[hi]["events_per_sec"] / res[lo]["events_per_sec"]) / (hi / lo)
+        print(json.dumps({
+            "metric": "cdc_replay_scaling", "unit": "events/sec",
+            f"events_per_sec_{lo}": res[lo]["events_per_sec"],
+            f"events_per_sec_{hi}": res[hi]["events_per_sec"],
+            f"sec_{lo}": res[lo]["value"], f"sec_{hi}": res[hi]["value"],
+            "scaling_efficiency": round(eff, 3), "n_events": N_EVENTS,
+        }))
+        return
+
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    event_dir = prepare_events()
+    head = run_headline(event_dir)
+
+    queries = {}
+    if not headline_only:
+        from openmrs_module_epts_etl_ray.pipelines.queries import QUERIES
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            consume(QUERIES[name](SF_DIR))
+            queries[name] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "cdc_replay_throughput",
+        "value": head["replay_sec"],
+        "unit": "sec",
+        "events_per_sec": head["events_per_sec"],
+        "n_events": N_EVENTS,
+        "rows_applied": head["rows_applied"],
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "num_cpus": NUM_CPUS,
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""Text-analysis kernels for training-data pipelines.
+
+The reference's scalar utility layer (``utilities/CommonUtilities.java``,
+``utilities/FuncoesGenericas.java``) has no text analytics; these operators
+are the large-scale-pipeline extensions required alongside SURVEY §2: token
+counting, quality scoring, language-ID heuristics, and rolling-hash document
+fingerprints. All kernels are vectorized (pandas str / numpy); regexes are
+compiled once at module load (or per actor) — never per batch.
+"""
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+TOKEN_RE = re.compile(r"\S+")
+# a BPE-ish word/number/punct splitter for token estimation
+BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+PUNCT_RE = re.compile(r"[^\w\s]")
+ALPHA_RE = re.compile(r"[A-Za-z]")
+
+STOPWORDS = {
+    "en": {"the", "and", "of", "a", "to", "in", "is", "it", "for", "on"},
+    "es": {"el", "la", "de", "y", "que", "en", "un", "una", "los", "las"},
+    "fr": {"le", "la", "de", "et", "que", "en", "un", "une", "les", "des"},
+    "de": {"der", "die", "das", "und", "von", "zu", "ein", "eine", "ist", "nicht"},
+}
+
+
+def token_count(texts: pd.Series) -> pd.Series:
+    """Whitespace token count; empty/blank strings count 0."""
+    return texts.fillna("").str.count(TOKEN_RE).astype("int64")
+
+
+def bpe_ish_token_count(texts: pd.Series) -> pd.Series:
+    """Sub-word-ish token estimate: alpha runs + digit runs + punct marks."""
+    return texts.fillna("").str.count(BPE_RE).astype("int64")
+
+
+def quality_metrics(texts: pd.Series) -> pd.DataFrame:
+    """Length / punctuation / alpha ratios — cheap quality-filter features."""
+    t = texts.fillna("")
+    n_chars = t.str.len().astype("int64")
+    denom = n_chars.replace(0, 1)
+    return pd.DataFrame(
+        {
+            "n_chars": n_chars,
+            "n_tokens": token_count(t),
+            "punct_ratio": (t.str.count(PUNCT_RE) / denom).astype("float64"),
+            "alpha_ratio": (t.str.count(ALPHA_RE) / denom).astype("float64"),
+        }
+    )
+
+
+def predict_lang(texts: pd.Series) -> pd.Series:
+    """Stopword-vote language ID heuristic; 'und' when no vote, 'zh' when
+    CJK codepoints dominate. Vectorized per batch via tokenized membership."""
+    t = texts.fillna("").str.lower()
+    toks = t.str.findall(re.compile(r"[a-zà-ÿäöüß]+"))
+    cjk = t.str.count(re.compile(r"[一-鿿]"))
+    n = t.str.len().replace(0, 1)
+
+    def vote(words):
+        best, best_n = "und", 0
+        for lang, sw in STOPWORDS.items():
+            c = sum(1 for w in words if w in sw)
+            if c > best_n:
+                best, best_n = lang, c
+        return best
+
+    out = toks.map(vote)
+    out = out.mask((cjk / n) > 0.2, "zh")
+    return out
+
+
+def rolling_fingerprint(texts: pd.Series, window: int = 16) -> pd.Series:
+    """Deterministic rolling-hash document fingerprint (min of Rabin-style
+    window hashes) — cheap near-identity signature for grouping."""
+    B = np.uint64(1099511628211)
+
+    def fp(s: str) -> np.uint64:
+        if not s:
+            return np.uint64(0)
+        b = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8).astype(np.uint64)
+        if len(b) <= window:
+            h = np.uint64(14695981039346656037)
+            for x in b:
+                h = (h * B) ^ x
+            return h
+        pows = B ** np.arange(window, dtype=np.uint64)
+        conv = np.convolve(b, pows[::-1], mode="valid")  # wraps mod 2^64
+        return np.uint64(conv.min())
+
+    with np.errstate(over="ignore"):
+        return texts.fillna("").map(fp).astype("uint64")

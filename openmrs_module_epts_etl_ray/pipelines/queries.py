@@ -1,0 +1,620 @@
+"""Named query/pipeline catalog — one entry per operator family (SURVEY §2).
+
+Each ``q_*`` takes an ``sf_dir`` and returns a Dataset / DataFrame / Table.
+``ORACLE_SQL`` holds the DuckDB-equivalent SQL for the strongly-checked
+entries (column names matched exactly; floats rounded identically on both
+sides). Entries without SQL are non-SQL-expressible (sketchy / stateful) and
+get the driver's rows-only check; their real verification lives in tests/.
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..functions.hashing import sha256_hex
+from ..sources.event_log import events_from_documents
+from ..sources.tables import read_table
+from ..stages import dedup, detectors, gap_detect, joins, multimodal, similarity, text as text_stages
+from ..stages.lww import lww_final_state
+from ..stages.schema_evolution import NormalizeBatch
+from ..stages.transforms import FieldMapping, RecordTransform, apply_transform, filter_expr
+from .replay import read_lake, replay
+
+
+# ---------------------------------------------------------------------------
+# CDC core
+# ---------------------------------------------------------------------------
+
+def q_cdc_replay_lww(sf_dir: str):
+    """Flagship: full replay through MergeApplier + commit-log lake
+    (SURVEY §2.12 / §7.1). Events derived deterministically from documents."""
+    events = events_from_documents(sf_dir)
+    lake = tempfile.mkdtemp(prefix="cdc_lake_", dir="/tmp")
+    replay(events, lake, num_buckets=32).materialize()  # consume lineage
+    state = read_lake(lake)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "repo": t["repo"],
+            "path": t["path"],
+            "last_lsn": t["lsn"],
+            "commit": t["commit"],
+            "lang": t["lang"],
+            "content_sha": t["content_sha"],
+        })
+
+    return state.map_batches(project, batch_format="pyarrow")
+
+
+def q_cdc_events_lww(sf_dir: str):
+    """Generic-key LWW final state over the events stream (A4/D1):
+    key=user_id, LSN=event_id."""
+    ev = read_table(sf_dir, "events")
+    out = lww_final_state(ev, key_cols=("user_id",), lsn_col="event_id", num_buckets=32)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "last_event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "value": t["value"],
+            "ts": t["ts"],
+        })
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+def q_changed_records(sf_dir: str):
+    """Timestamp-predicate change detection (§2.9) + per-type rollup."""
+    from ray.data.aggregate import Count, Max
+
+    import datetime
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "ts"])
+    changed = detectors.detect_changed_records(
+        ev, "ts", datetime.datetime(2024, 1, 20)
+    )
+    agg = changed.groupby("event_type").aggregate(
+        Count(alias_name="n_changed"), Max("ts", alias_name="last_ts")
+    )
+    return agg
+
+
+def q_gap_detect(sf_dir: str):
+    """Gap detection (M7) over the non-click event_id sequence."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "event_type"])
+    ids = filter_expr(ev, lambda t: pc.not_equal(t["event_type"], "click"))
+    return gap_detect.detect_gaps(ids.select_columns(["event_id"]), "event_id",
+                                  range_size=1000)
+
+
+def q_lineage_rollup(sf_dir: str):
+    """Per-partition lineage-style rollup (ST3/A3): bucket = user_id % 16."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        return t.append_column("partition_id",
+                               pc.cast(pc.bit_wise_and(t["user_id"], pa.scalar(15)), pa.int64()))
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "partition_id": [g["partition_id"].iloc[0]],
+            "n_keys": [g["user_id"].nunique()],
+            "n_events": [len(g)],
+            "last_lsn": [g["event_id"].max()],
+        })
+
+    return (ev.map_batches(bucketize, batch_format="pyarrow")
+              .groupby("partition_id")
+              .map_groups(rollup, batch_format="pandas"))
+
+
+def q_schema_evolution(sf_dir: str):
+    """Schema unification with null-backfill (S9/F4): two payload epochs
+    (even ids: v1 columns; odd ids: v2 with value + renamed props->payload)."""
+    ev = read_table(sf_dir, "events")
+    target = pa.schema([
+        ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()), ("value", pa.float64()), ("payload", pa.string()),
+    ])
+    epoch1 = filter_expr(ev, lambda t: pc.equal(pc.bit_wise_and(t["event_id"], 1), 0)) \
+        .select_columns(["event_id", "ts", "user_id"]) \
+        .map_batches(NormalizeBatch(target=target), batch_format="pyarrow")
+    epoch2 = filter_expr(ev, lambda t: pc.equal(pc.bit_wise_and(t["event_id"], 1), 1)) \
+        .select_columns(["event_id", "user_id", "value", "props"]) \
+        .map_batches(NormalizeBatch(renames={"props": "payload"}, target=target),
+                     batch_format="pyarrow")
+    return epoch1.union(epoch2)
+
+
+# ---------------------------------------------------------------------------
+# Relational operators (reference ETL surface)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(sf_dir: str):
+    """Grouped aggregate with per-batch partial combine (A1-A3 pattern)."""
+    from ray.data.aggregate import Count, Sum
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_linestatus", "l_quantity",
+                             "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            pq=("l_quantity", "sum"), pb=("l_extendedprice", "sum"),
+            pd_=("disc_price", "sum"), pn=("l_quantity", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = li.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("pq", alias_name="sum_qty"), Sum("pb", alias_name="sum_base_price"),
+        Sum("pd_", alias_name="sum_disc_price"), Sum("pn", alias_name="n"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty": pc.round(t["sum_qty"], 2),
+            "sum_base_price": pc.round(t["sum_base_price"], 2),
+            "sum_disc_price": pc.round(t["sum_disc_price"], 2),
+            "avg_qty": pc.round(pc.divide(t["sum_qty"], pc.cast(t["n"], pa.float64())), 2),
+            "n": pc.cast(t["n"], pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """Multi-join rollup (J1): lineitem ⋈ orders (shuffle join) with
+    customer→nation broadcast lookup, pre-aggregated per batch."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    c2n = dict(zip(cust.c_custkey, cust.c_nationkey.map(
+        dict(zip(nation.n_nationkey, nation.n_name)))))
+    ref = ray.put(c2n)
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    joined = joins.inner_join(li, orders, ["l_orderkey"],
+                              right_on=("o_orderkey",), num_partitions=16)
+
+    class RollupByNation:
+        def __init__(self):
+            self.c2n = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df["n_name"] = df["o_custkey"].map(self.c2n)
+            df["rev"] = df["l_extendedprice"] * (1 - df["l_discount"])
+            return df.groupby("n_name", as_index=False).agg(rev=("rev", "sum"))
+
+    partials = joined.map_batches(RollupByNation, batch_format="pandas", concurrency=(1, 8))
+    agg = partials.groupby("n_name").aggregate(Sum("rev", alias_name="revenue"))
+    return agg.map_batches(
+        lambda t: pa.table({"n_name": t["n_name"], "revenue": pc.round(t["revenue"], 2)}),
+        batch_format="pyarrow")
+
+
+def q_customers_without_orders(sf_dir: str):
+    """Anti-join (J6/J8 — NOT EXISTS destination exclusion): customers with
+    no completed ('F') order."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
+    f_orders = filter_expr(orders, lambda t: pc.equal(t["o_orderstatus"], "F"))
+    f_orders = f_orders.map_batches(
+        lambda t: pa.table({"c_custkey": t["o_custkey"]}), batch_format="pyarrow")
+    return joins.anti_join(cust, f_orders, ["c_custkey"])
+
+
+def q_priority_big_lineitem_orders(sf_dir: str):
+    """Semi-join (J7 — EXISTS) + rollup: orders having any lineitem qty>45."""
+    from ray.data.aggregate import Count
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    big = filter_expr(li, lambda t: pc.greater(t["l_quantity"], 45.0))
+    big = big.map_batches(lambda t: pa.table({"o_orderkey": t["l_orderkey"]}),
+                          batch_format="pyarrow")
+    hit = joins.semi_join(orders, big, ["o_orderkey"])
+    return hit.groupby("o_orderpriority").aggregate(Count(alias_name="n_orders"))
+
+
+def q_reconcile_orders(sf_dir: str):
+    """Reconciliation (§3.3): src=orders vs a deterministically perturbed dst
+    → missing / outdated / phantom classification in ONE co-grouped shuffle."""
+    src = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def make_dst(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        kept = df[df.o_orderkey % 13 != 0].copy()
+        kept.loc[kept.o_orderkey % 17 == 0, "o_totalprice"] += 1.0
+        phantom = df[df.o_orderkey % 19 == 0].copy()
+        phantom["o_orderkey"] += 1_000_000
+        return pa.Table.from_pandas(pd.concat([kept, phantom]), preserve_index=False)
+
+    dst = src.map_batches(make_dst, batch_format="pyarrow")
+    return detectors.reconcile(src, dst, ["o_orderkey"], ["o_totalprice"])
+
+
+def q_fields_mapping(sf_dir: str):
+    """FieldsMapping projection (M1-M3): rename / constant / null / cast /
+    field UDF, exactly the reference's dst-row construction."""
+    cust = read_table(sf_dir, "customer")
+    transform = RecordTransform(mappings=[
+        FieldMapping("customer_id", src_field="c_custkey"),
+        FieldMapping("customer_name", src_field="c_name"),
+        FieldMapping("origin_app", src_value="epts"),
+        FieldMapping("legacy_note", map_to_null=True, dtype=pa.string()),
+        FieldMapping("acctbal_cents", src_field="c_acctbal",
+                     transformer=lambda a: pc.cast(pc.round(pc.multiply(a, 100.0)), pa.int64())),
+        FieldMapping("mktsegment", src_field="c_mktsegment",
+                     transformer=lambda a: pc.utf8_lower(a)),
+    ])
+    return apply_transform(cust, transform)
+
+
+def q_filter_predicate(sf_dir: str):
+    """Extraction predicate (M4) + scalar aggregate: TPC-H Q6 shape."""
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_shipdate", "l_discount", "l_quantity",
+                             "l_extendedprice"])
+
+    import datetime
+
+    def pred(t: pa.Table):
+        lo = pa.scalar(datetime.datetime(1995, 1, 1), type=pa.timestamp("us"))
+        hi = pa.scalar(datetime.datetime(1996, 1, 1), type=pa.timestamp("us"))
+        return pc.and_(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], lo),
+                pc.less(t["l_shipdate"], hi)),
+            pc.and_(
+                pc.and_(pc.greater_equal(t["l_discount"], 0.05),
+                        pc.less_equal(t["l_discount"], 0.07)),
+                pc.less(t["l_quantity"], 24.0)))
+
+    hit = filter_expr(li, pred)
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.sum(pc.multiply(t["l_extendedprice"], t["l_discount"])).as_py() or 0.0
+        return pa.table({"rev": pa.array([rev], pa.float64())})
+
+    from ray.data.aggregate import Sum
+    total = hit.map_batches(partial, batch_format="pyarrow") \
+               .aggregate(Sum("rev", alias_name="revenue"))
+    return pa.table({"revenue": pa.array([round(total["revenue"], 2)], pa.float64())})
+
+
+def q_distinct_flag_status(sf_dir: str):
+    """DISTINCT (D4) via groupby-first."""
+    li = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus"])
+    return li.groupby(["l_returnflag", "l_linestatus"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+
+
+def q_top_orders(sf_dir: str):
+    """Sort + limit (§2.6) with deterministic tie-break."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return orders.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def q_union_extracts(sf_dir: str):
+    """Set union (§2.7) of two filtered extracts."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
+    big_o = filter_expr(orders, lambda t: pc.and_(
+        pc.equal(t["o_orderstatus"], "O"), pc.greater(t["o_totalprice"], 400000.0)))
+    big_f = filter_expr(orders, lambda t: pc.and_(
+        pc.equal(t["o_orderstatus"], "F"), pc.greater(t["o_totalprice"], 400000.0)))
+    return big_o.union(big_f).select_columns(["o_orderkey", "o_orderstatus"])
+
+
+# ---------------------------------------------------------------------------
+# Training-data operators
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup: hash-partition on content hash + per-group min-id."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    keyed = docs.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "text": pc.utf8_slice_codeunits(t["text"], 0, 80)}),
+        batch_format="pyarrow")
+    return dedup.exact_dedup(keyed, text_col="text", id_col="doc_id")
+
+
+def q_token_stats(sf_dir: str):
+    """Token counting + length stats per document."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions import text as T
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "n_chars": df["text"].str.len().astype("int64").to_numpy(),
+            "n_tokens": T.token_count(df["text"]).to_numpy(),
+        })
+
+    return docs.map_batches(stats, batch_format="pandas")
+
+
+def q_quality_scores(sf_dir: str):
+    """Quality-scoring features. Exact integer counts (ratio rounding is
+    tie-broken differently by DuckDB ROUND vs numpy; counts are exact —
+    the ratio form lives in functions.text.quality_metrics)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "n_chars": df["text"].str.len().astype("int64").to_numpy(),
+            "alpha_chars": df["text"].str.count(r"[A-Za-z]").astype("int64").to_numpy(),
+            "spaces": df["text"].str.count(r" ").astype("int64").to_numpy(),
+        })
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-k: query matrix broadcast once, scatter-gather."""
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qrows = emb.filter(lambda r: r["vec_id"] < 8).take_all()
+    qrows.sort(key=lambda r: r["vec_id"])
+    Q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+    qids = [int(r["vec_id"]) for r in qrows]
+    corpus = filter_expr(emb, lambda t: pc.greater_equal(t["vec_id"], 8))
+    topk = similarity.brute_force_topk(corpus, Q, qids, k=5)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "query_id": df["query_id"].astype("int64"),
+            "vec_id": df["vec_id"].astype("int64"),
+            "rank": df["rank"].astype("int64"),
+            "cosine": df["cosine"].round(4),
+        })
+
+    return topk.map_batches(finish, batch_format="pandas")
+
+
+# -- rows-only checked (non-SQL-expressible; verified in tests/) -----------
+
+def q_minhash_near_dups(sf_dir: str):
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    cand = dedup.minhash_lsh_candidates(docs, num_perm=64, num_bands=16, k=3)
+    return dedup.verify_jaccard(cand, docs, threshold=0.5, k=3)
+
+
+def q_simhash_near_dups(sf_dir: str):
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup.simhash_candidates(docs)
+
+
+def q_langid(sf_dir: str):
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return text_stages.lang_id(docs)
+
+
+def q_fingerprints(sf_dir: str):
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return text_stages.fingerprint(docs)
+
+
+def q_embedding_near_dups(sf_dir: str):
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return dedup.embedding_near_dups(emb, threshold=0.5)
+
+
+def q_media_features(sf_dir: str):
+    media = multimodal.synthesize_media(200)
+    feats = multimodal.decode_features(media)
+    return feats.map_batches(
+        lambda df: df[["media_id", "kind", "payload_bytes"]], batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "cdc_replay_lww": q_cdc_replay_lww,
+    "cdc_events_lww": q_cdc_events_lww,
+    "changed_records": q_changed_records,
+    "gap_detect": q_gap_detect,
+    "lineage_rollup": q_lineage_rollup,
+    "schema_evolution": q_schema_evolution,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "customers_without_orders": q_customers_without_orders,
+    "priority_big_lineitem_orders": q_priority_big_lineitem_orders,
+    "reconcile_orders": q_reconcile_orders,
+    "fields_mapping": q_fields_mapping,
+    "filter_predicate": q_filter_predicate,
+    "distinct_flag_status": q_distinct_flag_status,
+    "top_orders": q_top_orders,
+    "union_extracts": q_union_extracts,
+    "dedup_exact": q_dedup_exact,
+    "token_stats": q_token_stats,
+    "quality_scores": q_quality_scores,
+    "ann_topk": q_ann_topk,
+    "minhash_near_dups": q_minhash_near_dups,
+    "simhash_near_dups": q_simhash_near_dups,
+    "langid": q_langid,
+    "fingerprints": q_fingerprints,
+    "embedding_near_dups": q_embedding_near_dups,
+    "media_features": q_media_features,
+}
+
+ORACLE_SQL = {
+    "cdc_replay_lww": """
+WITH v(v) AS (SELECT * FROM (VALUES (0),(1),(2),(3)) t(v)),
+ev AS (
+  SELECT 'r' || CAST(d.doc_id % 97 AS VARCHAR) AS repo,
+         'f/' || CAST(d.doc_id AS VARCHAR) AS path,
+         CAST(d.doc_id * 10 + v.v AS BIGINT) AS lsn,
+         substring(sha256('c' || CAST(d.doc_id * 10 + v.v AS VARCHAR)), 1, 40) AS commit,
+         CASE WHEN v.v = d.doc_id % 4 AND d.doc_id % 7 = 0 THEN 'delete'
+              WHEN v.v = 0 THEN 'insert' ELSE 'update' END AS op,
+         CASE WHEN v.v = d.doc_id % 4 AND d.doc_id % 7 = 0 THEN NULL
+              ELSE d.lang END AS lang,
+         CASE WHEN v.v = d.doc_id % 4 AND d.doc_id % 7 = 0 THEN NULL
+              ELSE d.text || '::v' || CAST(v.v AS VARCHAR) END AS content
+  FROM documents d JOIN v ON v.v <= d.doc_id % 4
+),
+w AS (SELECT repo, path, MAX(lsn) AS last_lsn FROM ev GROUP BY repo, path)
+SELECT e.repo, e.path, w.last_lsn, e.commit, e.lang, sha256(e.content) AS content_sha
+FROM ev e JOIN w ON e.repo = w.repo AND e.path = w.path AND e.lsn = w.last_lsn
+WHERE e.op <> 'delete'
+""",
+    "cdc_events_lww": """
+SELECT user_id, event_id AS last_event_id, event_type, value, ts
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+""",
+    "changed_records": """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_changed, MAX(ts) AS last_ts
+FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+GROUP BY event_type
+""",
+    "gap_detect": """
+WITH ids AS (SELECT event_id FROM events WHERE event_type <> 'click'),
+s AS (SELECT event_id, lead(event_id) OVER (ORDER BY event_id) AS nxt FROM ids)
+SELECT event_id + 1 AS gap_start, nxt - 1 AS gap_end
+FROM s WHERE nxt > event_id + 1
+""",
+    "lineage_rollup": """
+SELECT user_id % 16 AS partition_id,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MAX(event_id) AS last_lsn
+FROM events GROUP BY 1
+""",
+    "schema_evolution": """
+SELECT event_id, ts, user_id, CAST(NULL AS DOUBLE) AS value,
+       CAST(NULL AS VARCHAR) AS payload
+FROM events WHERE event_id % 2 = 0
+UNION ALL
+SELECT event_id, CAST(NULL AS TIMESTAMP) AS ts, user_id, value, props AS payload
+FROM events WHERE event_id % 2 = 1
+""",
+    "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_quantity) / COUNT(*), 2) AS avg_qty,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+    "revenue_by_nation": """
+SELECT n.n_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+    "customers_without_orders": """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+""",
+    "priority_big_lineitem_orders": """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+GROUP BY o_orderpriority
+""",
+    "reconcile_orders": """
+WITH dst AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 17 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 13 <> 0
+  UNION ALL
+  SELECT o_orderkey + 1000000 AS o_orderkey, o_totalprice
+  FROM orders WHERE o_orderkey % 19 = 0
+)
+SELECT COALESCE(s.o_orderkey, d.o_orderkey) AS o_orderkey,
+       CASE WHEN d.o_orderkey IS NULL THEN 'missing'
+            WHEN s.o_orderkey IS NULL THEN 'phantom'
+            ELSE 'outdated' END AS reason
+FROM orders s FULL OUTER JOIN dst d ON s.o_orderkey = d.o_orderkey
+WHERE d.o_orderkey IS NULL OR s.o_orderkey IS NULL
+   OR s.o_totalprice <> d.o_totalprice
+""",
+    "fields_mapping": """
+SELECT c_custkey AS customer_id, c_name AS customer_name,
+       'epts' AS origin_app, CAST(NULL AS VARCHAR) AS legacy_note,
+       CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS acctbal_cents,
+       LOWER(c_mktsegment) AS mktsegment
+FROM customer
+""",
+    "filter_predicate": """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""",
+    "distinct_flag_status": """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+""",
+    "top_orders": """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+""",
+    "union_extracts": """
+SELECT o_orderkey, o_orderstatus FROM orders
+WHERE o_orderstatus = 'O' AND o_totalprice > 400000
+UNION ALL
+SELECT o_orderkey, o_orderstatus FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice > 400000
+""",
+    "dedup_exact": """
+SELECT MIN(doc_id) AS doc_id, sha256(substring(text, 1, 80)) AS content_sha
+FROM documents GROUP BY sha256(substring(text, 1, 80))
+""",
+    "token_stats": """
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+FROM documents
+""",
+    "quality_scores": """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha_chars,
+       CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS spaces
+FROM documents
+""",
+    "ann_topk": """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < 8),
+d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de
+      FROM embeddings WHERE vec_id >= 8),
+s AS (SELECT q.query_id, d.vec_id,
+             list_cosine_similarity(q.qe, d.de) AS cos
+      FROM q CROSS JOIN d),
+r AS (SELECT query_id, vec_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM s)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, ROUND(cos, 4) AS cosine
+FROM r WHERE rank <= 5
+""",
+}

@@ -1,0 +1,110 @@
+"""Join / lookup operators (SURVEY §2.4).
+
+The reference expresses every lookup as SQL against the destination DB:
+self-joins in the extract query (``etl/model/EtlDatabaseObjectSearchParams.java:44-91``),
+per-record datasource lookups (``conf/TableDataSourceConfig.java:110-118``),
+NOT EXISTS destination-exclusion anti-joins
+(``EtlDatabaseObjectSearchParams.java:139-164``) and EXISTS semi-joins
+(``:166-190``). A Ray-Data-native engine has two physical strategies:
+
+- **broadcast** — when one side's key set is small enough to ship to every
+  task: ``ray.put`` once, probe per batch with a vectorized ``pc.is_in`` /
+  pandas merge. No shuffle; the right default for dimension tables.
+- **shuffle** — ``Dataset.join`` (hash-partitioned; Ray 2.49 supports inner /
+  left|right|full outer / semi / anti) when both sides are large.
+
+``semi_join`` / ``anti_join`` pick the broadcast path automatically when the
+right side is below ``broadcast_threshold`` rows, else fall back to the
+shuffled native join. Partitioning assumption for the shuffle path: keys
+hash-distribute reasonably; salt upstream if one key dominates.
+"""
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..functions.hashing import KEY_SEP
+
+DEFAULT_NUM_PARTITIONS = 32
+BROADCAST_THRESHOLD = 2_000_000  # rows; ~key-set sizes that fit in task heap
+
+
+def _key_array(t: pa.Table, keys: list[str]) -> pa.Array | pa.ChunkedArray:
+    if len(keys) == 1:
+        return t[keys[0]]
+    cols = [pc.cast(t[k], pa.string()) for k in keys]
+    return pc.binary_join_element_wise(*cols, pa.scalar(KEY_SEP, type=pa.string()))
+
+
+def _broadcast_key_set(ds: rd.Dataset, keys: list[str]):
+    """Collect the distinct key set of a (small) dataset and ray.put it once."""
+    vals = set()
+    for batch in ds.select_columns(keys).iter_batches(batch_format="pyarrow"):
+        vals.update(pc.cast(_key_array(batch, keys), pa.string()).to_pylist())
+    return ray.put(vals)
+
+
+class _MembershipFilter:
+    """Actor-pool batch filter probing a broadcast key set (built once per actor)."""
+
+    def __init__(self, key_set_ref, keys: list[str], keep_members: bool):
+        # materialize the probe set ONCE per actor as an Arrow array so the
+        # per-batch probe is a vectorized pc.is_in, not a Python loop
+        self.value_set = pa.array(list(ray.get(key_set_ref)), type=pa.string())
+        self.keys = keys
+        self.keep = keep_members
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        arr = pc.cast(_key_array(batch, self.keys), pa.string())
+        member = pc.is_in(arr, value_set=self.value_set)
+        mask = member if self.keep else pc.invert(member)
+        return batch.filter(mask)
+
+
+def semi_join(left: rd.Dataset, right: rd.Dataset, keys: list[str],
+              *, num_partitions: int = DEFAULT_NUM_PARTITIONS,
+              broadcast: bool | None = None) -> rd.Dataset:
+    """left rows whose key EXISTS in right (J7, ``EtlDatabaseObjectSearchParams.java:166-190``)."""
+    return _membership_join(left, right, keys, keep_members=True,
+                            num_partitions=num_partitions, broadcast=broadcast)
+
+
+def anti_join(left: rd.Dataset, right: rd.Dataset, keys: list[str],
+              *, num_partitions: int = DEFAULT_NUM_PARTITIONS,
+              broadcast: bool | None = None) -> rd.Dataset:
+    """left rows whose key does NOT exist in right (J6/J8 — the reference's
+    NOT EXISTS destination-exclusion / missing-records detector)."""
+    return _membership_join(left, right, keys, keep_members=False,
+                            num_partitions=num_partitions, broadcast=broadcast)
+
+
+def _membership_join(left, right, keys, *, keep_members, num_partitions, broadcast):
+    if broadcast is None:
+        broadcast = right.count() <= BROADCAST_THRESHOLD
+    if broadcast:
+        ref = _broadcast_key_set(right, keys)
+        return left.map_batches(
+            _MembershipFilter,
+            fn_constructor_kwargs=dict(key_set_ref=ref, keys=keys, keep_members=keep_members),
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+        )
+    join_type = "left_semi" if keep_members else "left_anti"
+    return left.join(right.select_columns(keys), join_type=join_type,
+                     num_partitions=num_partitions, on=tuple(keys))
+
+
+def inner_join(left: rd.Dataset, right: rd.Dataset, keys: list[str],
+               *, num_partitions: int = DEFAULT_NUM_PARTITIONS, **kw) -> rd.Dataset:
+    """J1/J2 required-datasource lookup = inner join (shuffled, hash-partitioned)."""
+    return left.join(right, join_type="inner", num_partitions=num_partitions,
+                     on=tuple(keys), **kw)
+
+
+def left_join(left: rd.Dataset, right: rd.Dataset, keys: list[str],
+              *, num_partitions: int = DEFAULT_NUM_PARTITIONS, **kw) -> rd.Dataset:
+    """J2/J3 optional-datasource lookup: unmatched rows null-backfilled."""
+    return left.join(right, join_type="left_outer", num_partitions=num_partitions,
+                     on=tuple(keys), **kw)

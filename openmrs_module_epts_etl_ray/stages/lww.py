@@ -80,6 +80,44 @@ class PartialLww:
         return out
 
 
+def lww_final_state(
+    ds,
+    key_cols=("repo", "path"),
+    lsn_col: str = "lsn",
+    *,
+    num_buckets: int = 32,
+    drop_deleted: bool = True,
+    batch_size: int = 65536,
+):
+    """Pure LWW final state of an event Dataset (no lake/commit-log).
+
+    This is the reference's resolve-conflicts-in-stage-area operation
+    (``ResolveConflictsInStageAreaProcessor.java:33-62``): group rows sharing
+    a key, keep the most recent. Partial combine per batch, then one
+    vectorized Arrow reduce per hash bucket.
+    """
+    import pyarrow.compute as pc
+
+    key_cols = tuple(key_cols)
+    collapsed = ds.map_batches(
+        PartialLww(key_cols=key_cols, lsn_col=lsn_col, num_buckets=num_buckets),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+
+    def final(group: pa.Table) -> pa.Table:
+        t = group.drop_columns([BUCKET_COL])
+        t = _lww_with_counts(t, key_cols, lsn_col)
+        if N_EVENTS_COL in t.column_names:
+            t = t.drop_columns([N_EVENTS_COL])
+        if drop_deleted and "op" in t.column_names:
+            t = t.filter(pc.not_equal(t["op"], "delete"))
+        return t
+
+    return collapsed.groupby(BUCKET_COL).map_groups(final, batch_format="pyarrow")
+
+
 def _lww_with_counts(t: pa.Table, key_cols, lsn_col: str) -> pa.Table:
     """LWW reduce that sums ``_n_events`` instead of taking last-of."""
     if len(t) == 0:

@@ -1,0 +1,150 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast ONCE via
+``ray.put`` and every batch does one numpy matmul + per-query local top-k;
+a final small groupby merges the per-batch top-k into the global top-k
+(classic scatter-gather, no corpus shuffle). Scale path: IVF-style routing —
+assign vectors to coarse centroids (seeded kmeans-ish on a sample), shuffle
+once on centroid id, and search only the probed cells.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+
+def _to_matrix(col) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col])
+
+
+def _normalize(M: np.ndarray) -> np.ndarray:
+    return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+
+class _BatchTopK:
+    """Per-batch scored candidates: query matrix fetched once per actor."""
+
+    def __init__(self, queries_ref, query_ids, k, vec_col, id_col):
+        self.Q = _normalize(ray.get(queries_ref))       # (q, d)
+        self.query_ids = np.asarray(query_ids)
+        self.k = k
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        V = _normalize(_to_matrix(batch[self.vec_col].to_numpy()))   # (n, d)
+        ids = batch[self.id_col].to_numpy()
+        S = self.Q @ V.T                                              # (q, n)
+        k = min(self.k, S.shape[1])
+        idx = np.argpartition(-S, kth=k - 1, axis=1)[:, :k]
+        out = {
+            "query_id": np.repeat(self.query_ids, k),
+            self.id_col: ids[idx].ravel(),
+            "cosine": np.take_along_axis(S, idx, axis=1).ravel(),
+        }
+        return pd.DataFrame(out)
+
+
+def brute_force_topk(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    query_ids,
+    *,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """Global top-k by cosine per query. Deterministic tie-break: higher
+    cosine first, then smaller id."""
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    scored = ds.map_batches(
+        _BatchTopK,
+        fn_constructor_kwargs=dict(queries_ref=qref, query_ids=query_ids, k=k,
+                                   vec_col=vec_col, id_col=id_col),
+        batch_format="pandas",
+        concurrency=(1, 8),
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return scored.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def ivf_topk(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    query_ids,
+    *,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 13,
+) -> rd.Dataset:
+    """IVF-bucketed ANN: coarse centroids from a seeded sample; vectors are
+    scored only when their cell is probed by some query. Approximate — recall
+    depends on n_probe/n_cells; the scale path for corpora where brute force
+    per batch is too hot."""
+    sample = _to_matrix([r[vec_col] for r in ds.take(min(2048, 4 * n_cells * 8))])
+    rng = np.random.default_rng(seed)
+    centroids = sample[rng.choice(len(sample), n_cells, replace=False)]
+    # a few Lloyd iterations on the sample (driver-side, tiny)
+    for _ in range(5):
+        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(n_cells):
+            m = assign == c
+            if m.any():
+                centroids[c] = sample[m].mean(0)
+    C = _normalize(centroids)
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    probed = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]          # cells per query
+    probed_cells = set(probed.ravel().tolist())
+    cref = ray.put(centroids)
+
+    class CellFilterScore(_BatchTopK):
+        def __init__(self, queries_ref, query_ids, k, vec_col, id_col):
+            super().__init__(queries_ref, query_ids, k, vec_col, id_col)
+            self.C = ray.get(cref)
+            self.probed = probed
+            self.probed_cells = probed_cells
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            V = _to_matrix(batch[self.vec_col].to_numpy())
+            cell = ((V[:, None, :] - self.C[None, :, :]) ** 2).sum(-1).argmin(1)
+            keep = np.isin(cell, list(self.probed_cells))
+            if not keep.any():
+                return pd.DataFrame({"query_id": [], self.id_col: [], "cosine": []})
+            sub = batch[keep].reset_index(drop=True)
+            out = super().__call__(sub)
+            # drop scores for queries that did not probe the vector's cell
+            cell_of = dict(zip(sub[self.id_col], cell[keep]))
+            probe_ok = [
+                cell_of[i] in self.probed[list(self.query_ids).index(q)]
+                for q, i in zip(out["query_id"], out[self.id_col])
+            ]
+            return out[np.asarray(probe_ok)]
+
+    qref_ids = list(query_ids)
+    scored = ds.map_batches(
+        CellFilterScore,
+        fn_constructor_kwargs=dict(queries_ref=ray.put(Q), query_ids=qref_ids, k=k,
+                                   vec_col=vec_col, id_col=id_col),
+        batch_format="pandas",
+        concurrency=(1, 8),
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return scored.groupby("query_id").map_groups(merge, batch_format="pandas")

@@ -1,0 +1,150 @@
+"""Training-data operators: dedup family, text analysis, similarity search,
+multimodal plumbing."""
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from openmrs_module_epts_etl_ray.functions import text as T
+from openmrs_module_epts_etl_ray.stages import dedup, multimodal, similarity
+from openmrs_module_epts_etl_ray.stages.text import fingerprint, lang_id, text_stats
+
+
+def docs_ds(texts):
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": texts}))
+
+
+def test_exact_dedup_min_id_wins():
+    ds = docs_ds(["same", "same", "other", "same"])
+    out = dedup.exact_dedup(ds).to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [0, 2]
+
+
+def test_minhash_finds_planted_near_dup():
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    near = base.replace("lazy", "sleepy", 1)
+    far = "completely different words nothing shared here at all " * 10
+    ds = docs_ds([base, near, far])
+    cand = dedup.minhash_lsh_candidates(ds, num_perm=64, num_bands=16)
+    verified = dedup.verify_jaccard(cand, ds, threshold=0.5).to_pandas()
+    pairs = set(zip(verified["id_a"], verified["id_b"]))
+    assert (0, 1) in pairs
+    assert all(2 not in p for p in pairs)
+
+
+def test_simhash_near_dup():
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    near = base.replace("zeta", "zetas", 1)
+    far = "x y z " * 30
+    out = dedup.simhash_candidates(docs_ds([base, near, far]),
+                                   max_hamming=6).to_pandas()
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert (0, 1) in pairs
+    # disjoint docs stay out even at the looser threshold
+    assert all(2 not in p for p in pairs)
+
+
+def test_jaccard_kernel():
+    a = dedup.word_shingles("a b c d", 2)
+    assert dedup.jaccard(a, a) == 1.0
+    assert dedup.jaccard(a, set()) == 0.0
+
+
+def test_embedding_near_dups_finds_planted_pair():
+    rng = np.random.default_rng(3)
+    V = rng.standard_normal((50, 16))
+    V[7] = V[3] + 0.01 * rng.standard_normal(16)   # planted near-dup
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(50), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in V],
+                              pa.list_(pa.float32()))}))
+    out = dedup.embedding_near_dups(ds, threshold=0.95).to_pandas()
+    assert (3, 7) in set(zip(out["id_a"], out["id_b"]))
+
+
+def test_brute_force_topk_matches_numpy():
+    rng = np.random.default_rng(5)
+    V = rng.standard_normal((100, 8))
+    Q = rng.standard_normal((3, 8))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(100), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in V],
+                              pa.list_(pa.float64()))}))
+    out = similarity.brute_force_topk(ds, Q, [0, 1, 2], k=4).to_pandas()
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    S = Qn @ Vn.T
+    for q in range(3):
+        want = list(np.argsort(-S[q])[:4])
+        got = out[out.query_id == q].sort_values("rank")["vec_id"].tolist()
+        assert got == want
+
+
+def test_ivf_topk_reasonable_recall():
+    rng = np.random.default_rng(6)
+    V = rng.standard_normal((300, 8))
+    Q = V[:2] + 0.01  # queries near existing vectors
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(300), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in V],
+                              pa.list_(pa.float64()))}))
+    out = similarity.ivf_topk(ds, Q, [0, 1], k=3, n_cells=8, n_probe=4).to_pandas()
+    # the near-identical vector must be found for each query
+    for q in (0, 1):
+        assert q in out[out.query_id == q]["vec_id"].tolist()
+
+
+def test_token_count_and_quality():
+    s = pd.Series(["a b  c", "", None, "one"])
+    assert T.token_count(s).tolist() == [3, 0, 0, 1]
+    qm = T.quality_metrics(pd.Series(["ab! cd"]))
+    assert qm["n_chars"][0] == 6
+    assert qm["n_tokens"][0] == 2
+    assert qm["punct_ratio"][0] == pytest.approx(1 / 6)
+
+
+def test_predict_lang():
+    s = pd.Series([
+        "the cat and the dog of a to in is it for on",
+        "el la de y que en un una los las",
+        "der die das und von zu ein eine ist nicht",
+    ])
+    assert T.predict_lang(s).tolist() == ["en", "es", "de"]
+
+
+def test_fingerprint_deterministic():
+    s = pd.Series(["hello world " * 5, "hello world " * 5, "different"])
+    fp = T.rolling_fingerprint(s)
+    assert fp[0] == fp[1]
+    assert fp[0] != fp[2]
+
+
+def test_text_stage_datasets():
+    ds = docs_ds(["hello world", "foo"])
+    st = text_stats(ds).to_pandas().sort_values("doc_id")
+    assert st["n_tokens"].tolist() == [2, 1]
+    li = lang_id(ds).to_pandas()
+    assert set(li.columns) == {"doc_id", "predicted_lang"}
+    fp = fingerprint(ds).to_pandas()
+    assert len(fp) == 2
+
+
+def test_multimodal_plumbing():
+    media = multimodal.synthesize_media(30)
+    feats = multimodal.decode_features(media).to_pandas()
+    assert len(feats) == 30
+    assert set(feats.columns) == {"media_id", "kind", "feature", "payload_bytes"}
+    assert all(len(f) == 8 for f in feats["feature"])
+    # deterministic features
+    feats2 = multimodal.decode_features(multimodal.synthesize_media(30)).to_pandas()
+    a = feats.sort_values("media_id")["feature"].map(tuple).tolist()
+    b = feats2.sort_values("media_id")["feature"].map(tuple).tolist()
+    assert a == b
+
+
+def test_multimodal_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.DecodeStage(fake=False)

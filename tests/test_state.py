@@ -1,0 +1,61 @@
+"""CommitLog / checkpoint / lineage unit behavior."""
+import pyarrow as pa
+
+from openmrs_module_epts_etl_ray.state.commit_log import CommitLog
+from openmrs_module_epts_etl_ray.state.lineage import lineage_row, state_fingerprint
+
+
+def t(n=3):
+    return pa.table({"k": [f"k{i}" for i in range(n)]})
+
+
+def test_commit_and_read(tmp_path):
+    log = CommitLog(str(tmp_path))
+    assert log.commit_state(0, 10, t()) is True
+    assert log.committed_lsn_hi(0) == 10
+    assert len(log.read_state(0)) == 3
+
+
+def test_commit_idempotent(tmp_path):
+    log = CommitLog(str(tmp_path))
+    assert log.commit_state(1, 5, t(2)) is True
+    assert log.commit_state(1, 5, t(9)) is False          # replay skipped
+    assert len(log.read_state(1)) == 2                     # first write wins
+
+
+def test_current_is_max_lsn(tmp_path):
+    log = CommitLog(str(tmp_path))
+    log.commit_state(2, 5, t(1))
+    log.commit_state(2, 20, t(4))
+    assert log.current(2)["lsn_hi"] == 20
+    assert len(log.read_state(2)) == 4
+
+
+def test_checkpoint_and_min(tmp_path):
+    log = CommitLog(str(tmp_path))
+    log.commit_state(0, 10, t())
+    log.commit_state(3, 7, t())
+    assert log.checkpoint() == {0: 10, 3: 7}
+    assert log.min_committed_lsn() == 7
+
+
+def test_empty_checkpoint(tmp_path):
+    log = CommitLog(str(tmp_path))
+    assert log.checkpoint() == {}
+    assert log.min_committed_lsn() == -1
+    assert log.committed_lsn_hi(5) == -1
+
+
+def test_state_fingerprint_order_insensitive():
+    assert state_fingerprint(["a", "b"]) == state_fingerprint(["b", "a"])
+    assert state_fingerprint(["a"]) != state_fingerprint(["b"])
+    assert state_fingerprint(["a", None]) == state_fingerprint(["a"])
+
+
+def test_lineage_row_schema():
+    row = lineage_row(partition_id=1, lsn_lo=0, lsn_hi=9, events_seen=10,
+                      rows_applied=5, inserted=3, updated=2, kept_existing=1,
+                      tombstones=0, state_rows=5, state_sha="x" * 64,
+                      committed=True)
+    assert len(row) == 1
+    assert row["partition_id"][0].as_py() == 1
