@@ -21,15 +21,27 @@ SALT_COL = "_salt"
 KEY_SEP = "\x1f"  # unit separator — cannot appear in repo/path values
 
 
-def key_hash(table: pa.Table, key_cols: tuple[str, ...]) -> np.ndarray:
-    """uint64 hash of the composite key, vectorized, deterministic."""
+def _joined_keys(table: pa.Table, key_cols: tuple[str, ...]) -> np.ndarray:
     if len(key_cols) == 1:
         joined = pc.cast(table[key_cols[0]], pa.string())
     else:
         cols = [pc.cast(table[c], pa.string()) for c in key_cols]
         joined = pc.binary_join_element_wise(*cols, pa.scalar(KEY_SEP, type=pa.string()))
-    arr = joined.to_numpy(zero_copy_only=False)
-    return hash_array(arr.astype(object, copy=False), categorize=False)
+    return joined.to_numpy(zero_copy_only=False).astype(object, copy=False)
+
+
+def key_hash(table: pa.Table, key_cols: tuple[str, ...]) -> np.ndarray:
+    """uint64 hash of the composite key, vectorized, deterministic."""
+    return hash_array(_joined_keys(table, key_cols), categorize=False)
+
+
+def key_hash2(table: pa.Table, key_cols: tuple[str, ...]) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent uint64 key hashes (128 bits total) — used when hash
+    equality stands in for key equality (collision odds ~2^-128)."""
+    arr = _joined_keys(table, key_cols)
+    h1 = hash_array(arr, categorize=False)
+    h2 = hash_array(arr, hash_key="9876543210123456", categorize=False)
+    return h1, h2
 
 
 def add_bucket(

@@ -36,7 +36,7 @@ def replay(
     key_cols: tuple[str, ...] = ("repo", "path"),
     lsn_range: tuple[int, int] | None = None,
     concurrency: int | tuple[int, int] | None = None,
-    batch_size: int = 65536,
+    batch_size: int | None = None,
 ) -> rd.Dataset:
     """Replay a change-event Dataset into the lake; returns the lineage Dataset.
 

@@ -57,10 +57,16 @@ N_EVENTS_COL = "_n_events"
 class PartialLww:
     """Per-batch LWW combiner for ``map_batches`` (pre-shuffle).
 
+    Selection-based: lexsort the (key-hash, lsn) INTEGER columns only, take
+    the last row per key — one ``Table.take`` of the winners instead of an
+    Arrow sort+hash-agg over the wide string payload (~2× cheaper per row).
+    Key identity within the batch uses a 128-bit (dual siphash) key, so a
+    false merge needs a 2^-128 collision; the final per-bucket reduce
+    compares real key strings.
+
     Also assigns the hash-bucket partition column when ``num_buckets`` is
-    given, so the downstream ``groupby(_bucket)`` shuffles the already-
-    collapsed rows only, and accumulates the raw event count per key in
-    ``_n_events`` so lineage can report true events-seen after collapsing.
+    given (so the shuffle moves only collapsed winners) and accumulates the
+    raw per-key event count in ``_n_events`` for lineage.
     """
 
     def __init__(self, key_cols=("repo", "path"), lsn_col: str = "lsn",
@@ -70,13 +76,46 @@ class PartialLww:
         self.num_buckets = num_buckets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if N_EVENTS_COL not in batch.column_names:
-            batch = batch.append_column(
-                N_EVENTS_COL, pa.array([1] * len(batch), type=pa.int64())
-            )
-        out = _lww_with_counts(batch, self.key_cols, self.lsn_col)
+        import numpy as np
+
+        from ..functions.hashing import key_hash2
+
+        n = len(batch)
+        if n == 0:
+            return batch
+        h1, h2 = key_hash2(batch, self.key_cols)
+        lsn = batch[self.lsn_col].to_numpy()
+        if "op" in batch.column_names:
+            # op as a tiny tie-break rank for pathological same-LSN pairs:
+            # update > insert > delete (matches lww_reduce_table)
+            op = batch["op"].to_numpy(zero_copy_only=False)
+            rank = np.where(op == "update", 2, np.where(op == "insert", 1, 0))
+            order = np.lexsort((rank, lsn, h2, h1))
+        else:
+            order = np.lexsort((lsn, h2, h1))
+        h1s, h2s = h1[order], h2[order]
+        is_last = np.empty(n, dtype=bool)
+        is_last[-1] = True
+        np.not_equal(h1s[1:], h1s[:-1], out=is_last[:-1])
+        is_last[:-1] |= h2s[1:] != h2s[:-1]
+        idx = order[is_last]
+
+        counts_in = batch[N_EVENTS_COL].to_numpy()[order] if N_EVENTS_COL in batch.column_names else None
+        group_ends = np.flatnonzero(is_last)
+        sizes = np.diff(np.r_[-1, group_ends])
+        if counts_in is not None:
+            csum = np.r_[0, np.cumsum(counts_in)]
+            counts = csum[group_ends + 1] - csum[np.r_[-1, group_ends[:-1]] + 1]
+        else:
+            counts = sizes
+
+        out = batch.take(pa.array(idx))
+        if N_EVENTS_COL in out.column_names:
+            out = out.drop_columns([N_EVENTS_COL])
+        out = out.append_column(N_EVENTS_COL, pa.array(counts, pa.int64()))
         if self.num_buckets is not None:
-            out = add_bucket(out, self.key_cols, self.num_buckets, BUCKET_COL)
+            bucket = (h1[idx] % np.uint64(self.num_buckets)).astype(np.int64)
+            out = out.append_column(BUCKET_COL, pa.array(bucket, pa.int64()))
         return out
 
 
