@@ -44,6 +44,35 @@ def key_hash2(table: pa.Table, key_cols: tuple[str, ...]) -> tuple[np.ndarray, n
     return h1, h2
 
 
+def key_codes(table: pa.Table, key_cols: tuple[str, ...]) -> tuple[np.ndarray, pa.Array]:
+    """EXACT block-local key identity: dictionary-encode the joined key.
+
+    Returns ``(codes, dictionary)`` — ``codes[i]`` is the int64 code of row
+    i's composite key within this block, ``dictionary`` the unique key
+    strings indexed by code. An order of magnitude cheaper than per-row
+    SipHash (the C++ hash table touches each string once), and exact — no
+    collision caveat. Codes are block-local; for a cross-block-stable
+    partition id, hash the (small) dictionary and scatter via the codes.
+    """
+    if len(key_cols) == 1:
+        joined = pc.cast(table[key_cols[0]], pa.string())
+    else:
+        cols = [pc.cast(table[c], pa.string()) for c in key_cols]
+        joined = pc.binary_join_element_wise(*cols, pa.scalar(KEY_SEP, type=pa.string()))
+    if isinstance(joined, pa.ChunkedArray):
+        joined = joined.combine_chunks()
+    enc = joined.dictionary_encode()
+    codes = enc.indices.to_numpy().astype(np.int64, copy=False)
+    return codes, enc.dictionary
+
+
+def dict_bucket(dictionary: pa.Array, num_buckets: int) -> np.ndarray:
+    """Stable hash-bucket per dictionary entry (SipHash of the key string) —
+    same assignment as :func:`add_bucket`, but hashing only the uniques."""
+    arr = dictionary.to_numpy(zero_copy_only=False).astype(object, copy=False)
+    return (hash_array(arr, categorize=False) % np.uint64(num_buckets)).astype(np.int64)
+
+
 def add_bucket(
     table: pa.Table,
     key_cols: tuple[str, ...],

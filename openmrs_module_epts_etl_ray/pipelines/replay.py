@@ -37,12 +37,19 @@ def replay(
     lsn_range: tuple[int, int] | None = None,
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int | None = None,
+    engine: str = "push",
 ) -> rd.Dataset:
     """Replay a change-event Dataset into the lake; returns the lineage Dataset.
 
     ``lsn_range=(lo, hi]`` bounds the window (micro-batch replay). The global
     committed low-watermark additionally prunes events at the read — the
     per-bucket exact watermark is enforced inside MergeApplier.
+
+    ``engine='push'`` (default) streams collapsed winners straight to
+    bucket-owning MergeActors — no shuffle barrier, merge overlaps the scan;
+    ``engine='sort'`` uses the Dataset-native ``groupby().map_groups``
+    exchange (identical committed state, kept for comparison and as the
+    path a multi-node sort-shuffle deployment would take).
     """
     ckpt_lo = CommitLog(lake_root).min_committed_lsn()
     lo = max(ckpt_lo, lsn_range[0]) if lsn_range else ckpt_lo
@@ -61,6 +68,27 @@ def replay(
         batch_size=batch_size,
         zero_copy_batch=True,
     )
+
+    if engine == "push":
+        import ray
+
+        from ..stages.push_exchange import push_exchange_merge
+
+        if isinstance(concurrency, tuple):
+            pool = concurrency[1]
+        elif concurrency:
+            pool = int(concurrency)
+        else:
+            pool = int(ray.cluster_resources().get("CPU", 8))
+        # merge actors get ~1/4 of the pool at a FULL CPU each so total
+        # process demand never exceeds the pool (an 0.5-CPU fudge convoys
+        # the ingest acks when num_cpus == physical cores)
+        lineage_table = push_exchange_merge(
+            collapsed, lake_root, policy=policy, key_cols=key_cols,
+            num_actors=max(1, pool // 4),
+        )
+        return rd.from_arrow(lineage_table)
+
     lineage = collapsed.groupby(BUCKET_COL).map_groups(
         MergeApplier,
         fn_constructor_kwargs=dict(lake_root=lake_root, policy=policy, key_cols=key_cols),

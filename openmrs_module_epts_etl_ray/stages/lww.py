@@ -10,20 +10,98 @@ Ray-Data shape: because max-LSN-wins is associative and commutative, the
 reduce runs in two phases with NO ordering requirement on the input:
 
 1. **partial combine** inside ``map_batches`` — each batch collapses to at
-   most one row per key *before* the shuffle (this is what makes zipf-hot
+   most one row per key *before* the exchange (this is what makes zipf-hot
    keys tractable: a mega-repo's millions of events shrink to one row per
    upstream block, the same effect as salting + first-phase reduce);
-2. **final reduce** after a hash-bucket ``groupby`` — one vectorized Arrow
-   group_by per bucket.
+2. **final reduce** per hash bucket (groupby shuffle or push exchange) —
+   the same selection kernel over the bucket's collapsed rows.
 
-Both phases use Arrow ``sort_by(lsn) -> group_by(keys).aggregate(last)``,
-zero Python-per-row work.
+The selection kernel is exact and vectorized: dictionary-encode the composite
+key (C++ hash table, touches each string once), compose ``(code, rel_lsn,
+op_rank)`` into one int64, argsort, take the last row per code group. Zero
+Python-per-row work, no wide-payload sort, no hash-collision caveat.
 """
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
-from ..functions.hashing import BUCKET_COL, add_bucket
+from ..functions.hashing import BUCKET_COL, dict_bucket, key_codes
+
+N_EVENTS_COL = "_n_events"
+
+_OP_RANK = {"delete": 0, "insert": 1, "update": 2}
+
+
+def _op_rank(batch: pa.Table) -> np.ndarray | None:
+    """Tie-break rank for pathological non-identical same-(key, lsn) pairs:
+    update > insert > delete — deterministic regardless of arrival order
+    (mirrors the reference's deterministic conflict pick, §2.12)."""
+    if "op" not in batch.column_names:
+        return None
+    col = batch["op"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    enc = col.dictionary_encode()
+    lut = np.array([_OP_RANK.get(v, 1) for v in enc.dictionary.to_pylist()],
+                   dtype=np.int64)
+    return lut[enc.indices.to_numpy().astype(np.int64, copy=False)]
+
+
+def lww_select(
+    batch: pa.Table,
+    key_cols: tuple[str, ...],
+    lsn_col: str = "lsn",
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, pa.Array]:
+    """Select the per-key winner rows of a batch (exact, vectorized).
+
+    Returns ``(winner_rows, counts, codes, dictionary)`` where ``winner_rows``
+    indexes the batch rows that win their key group, ``counts`` is the total
+    event count folded into each winner (summing an existing ``_n_events``
+    column when present, so re-combining already-combined rows keeps true
+    counts), ``codes``/``dictionary`` the block-local key encoding.
+    """
+    n = len(batch)
+    codes, dictionary = key_codes(batch, key_cols)
+    lsn = batch[lsn_col].to_numpy()
+    lsn0 = int(lsn.min())
+    rel = (lsn - lsn0).astype(np.int64)
+    rank = _op_rank(batch)
+
+    nu = len(dictionary)
+    span_bits = int(rel.max()).bit_length() + (2 if rank is not None else 0)
+    code_bits = max(nu - 1, 0).bit_length()
+    if code_bits + span_bits <= 62:
+        comp = codes << np.int64(span_bits)
+        if rank is not None:
+            comp |= (rel << np.int64(2)) | rank
+        else:
+            comp |= rel
+        order = np.argsort(comp, kind="stable")
+        sc = codes[order]
+    else:  # astronomically wide LSN span: fall back to multi-key lexsort
+        keys = (lsn, codes) if rank is None else (rank, lsn, codes)
+        order = np.lexsort(keys)
+        sc = codes[order]
+    is_last = np.empty(n, dtype=bool)
+    is_last[-1] = True
+    np.not_equal(sc[1:], sc[:-1], out=is_last[:-1])
+    winner_rows = order[is_last]
+
+    if N_EVENTS_COL in batch.column_names:
+        w = batch[N_EVENTS_COL].to_numpy().astype(np.int64, copy=False)
+        counts_per_code = np.bincount(codes, weights=w, minlength=nu).astype(np.int64)
+    else:
+        counts_per_code = np.bincount(codes, minlength=nu)
+    counts = counts_per_code[codes[winner_rows]]
+    return winner_rows, counts, codes, dictionary
+
+
+def _with_counts(batch: pa.Table, winner_rows: np.ndarray, counts: np.ndarray) -> pa.Table:
+    out = batch.take(pa.array(winner_rows))
+    if N_EVENTS_COL in out.column_names:
+        out = out.drop_columns([N_EVENTS_COL])
+    return out.append_column(N_EVENTS_COL, pa.array(counts, pa.int64()))
 
 
 def lww_reduce_table(
@@ -31,42 +109,30 @@ def lww_reduce_table(
     key_cols: tuple[str, ...] = ("repo", "path"),
     lsn_col: str = "lsn",
 ) -> pa.Table:
-    """Keep, per key, the row with max LSN. Same-LSN duplicates collapse.
-
-    Deterministic tie-break: among equal (key, lsn) rows the op column is a
-    secondary ascending sort key and the last row wins, so a pathological
-    non-identical same-LSN pair resolves deterministically to the
-    lexicographically greatest op (update > insert > delete).
-    """
+    """Keep, per key, the row with max LSN. Same-LSN duplicates collapse."""
     if len(t) == 0:
         return t
-    key_cols = tuple(key_cols)
-    sort_keys = [(lsn_col, "ascending")]
-    if "op" in t.column_names:
-        sort_keys.append(("op", "ascending"))
-    t = t.sort_by(sort_keys)
-    other = [c for c in t.column_names if c not in key_cols]
-    agg = t.group_by(list(key_cols), use_threads=False).aggregate([(c, "last") for c in other])
-    agg = agg.rename_columns(list(key_cols) + other)
-    return agg.select(t.column_names)
+    winner_rows, _, _, _ = lww_select(t, tuple(key_cols), lsn_col)
+    return t.take(pa.array(np.sort(winner_rows)))
 
 
-N_EVENTS_COL = "_n_events"
+def _lww_with_counts(t: pa.Table, key_cols, lsn_col: str) -> pa.Table:
+    """LWW reduce that sums ``_n_events`` across collapsed rows."""
+    if len(t) == 0:
+        return t
+    winner_rows, counts, _, _ = lww_select(t, tuple(key_cols), lsn_col)
+    return _with_counts(t, winner_rows, counts)
 
 
 class PartialLww:
-    """Per-batch LWW combiner for ``map_batches`` (pre-shuffle).
+    """Per-batch LWW combiner for ``map_batches`` (pre-exchange).
 
-    Selection-based: lexsort the (key-hash, lsn) INTEGER columns only, take
-    the last row per key — one ``Table.take`` of the winners instead of an
-    Arrow sort+hash-agg over the wide string payload (~2× cheaper per row).
-    Key identity within the batch uses a 128-bit (dual siphash) key, so a
-    false merge needs a 2^-128 collision; the final per-bucket reduce
-    compares real key strings.
-
-    Also assigns the hash-bucket partition column when ``num_buckets`` is
-    given (so the shuffle moves only collapsed winners) and accumulates the
-    raw per-key event count in ``_n_events`` for lineage.
+    One :func:`lww_select` pass per block; when ``num_buckets`` is given the
+    stable partition id is computed by hashing only the key *dictionary*
+    (uniques) and scattering through the codes, so the exchange moves only
+    the collapsed winners and the SipHash runs once per unique key, not once
+    per row. Raw per-key event counts accumulate in ``_n_events`` so lineage
+    reports true events-seen after collapsing.
     """
 
     def __init__(self, key_cols=("repo", "path"), lsn_col: str = "lsn",
@@ -76,45 +142,14 @@ class PartialLww:
         self.num_buckets = num_buckets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import numpy as np
-
-        from ..functions.hashing import key_hash2
-
-        n = len(batch)
-        if n == 0:
+        if len(batch) == 0:
             return batch
-        h1, h2 = key_hash2(batch, self.key_cols)
-        lsn = batch[self.lsn_col].to_numpy()
-        if "op" in batch.column_names:
-            # op as a tiny tie-break rank for pathological same-LSN pairs:
-            # update > insert > delete (matches lww_reduce_table)
-            op = batch["op"].to_numpy(zero_copy_only=False)
-            rank = np.where(op == "update", 2, np.where(op == "insert", 1, 0))
-            order = np.lexsort((rank, lsn, h2, h1))
-        else:
-            order = np.lexsort((lsn, h2, h1))
-        h1s, h2s = h1[order], h2[order]
-        is_last = np.empty(n, dtype=bool)
-        is_last[-1] = True
-        np.not_equal(h1s[1:], h1s[:-1], out=is_last[:-1])
-        is_last[:-1] |= h2s[1:] != h2s[:-1]
-        idx = order[is_last]
-
-        counts_in = batch[N_EVENTS_COL].to_numpy()[order] if N_EVENTS_COL in batch.column_names else None
-        group_ends = np.flatnonzero(is_last)
-        sizes = np.diff(np.r_[-1, group_ends])
-        if counts_in is not None:
-            csum = np.r_[0, np.cumsum(counts_in)]
-            counts = csum[group_ends + 1] - csum[np.r_[-1, group_ends[:-1]] + 1]
-        else:
-            counts = sizes
-
-        out = batch.take(pa.array(idx))
-        if N_EVENTS_COL in out.column_names:
-            out = out.drop_columns([N_EVENTS_COL])
-        out = out.append_column(N_EVENTS_COL, pa.array(counts, pa.int64()))
+        winner_rows, counts, codes, dictionary = lww_select(
+            batch, self.key_cols, self.lsn_col)
+        out = _with_counts(batch, winner_rows, counts)
         if self.num_buckets is not None:
-            bucket = (h1[idx] % np.uint64(self.num_buckets)).astype(np.int64)
+            bucket_u = dict_bucket(dictionary, self.num_buckets)
+            bucket = bucket_u[codes[winner_rows]]
             out = out.append_column(BUCKET_COL, pa.array(bucket, pa.int64()))
         return out
 
@@ -126,14 +161,14 @@ def lww_final_state(
     *,
     num_buckets: int = 32,
     drop_deleted: bool = True,
-    batch_size: int = 65536,
+    batch_size: int | None = None,
 ):
     """Pure LWW final state of an event Dataset (no lake/commit-log).
 
     This is the reference's resolve-conflicts-in-stage-area operation
     (``ResolveConflictsInStageAreaProcessor.java:33-62``): group rows sharing
     a key, keep the most recent. Partial combine per batch, then one
-    vectorized Arrow reduce per hash bucket.
+    vectorized reduce per hash bucket.
     """
     import pyarrow.compute as pc
 
@@ -155,19 +190,3 @@ def lww_final_state(
         return t
 
     return collapsed.groupby(BUCKET_COL).map_groups(final, batch_format="pyarrow")
-
-
-def _lww_with_counts(t: pa.Table, key_cols, lsn_col: str) -> pa.Table:
-    """LWW reduce that sums ``_n_events`` instead of taking last-of."""
-    if len(t) == 0:
-        return t
-    key_cols = tuple(key_cols)
-    sort_keys = [(lsn_col, "ascending")]
-    if "op" in t.column_names:
-        sort_keys.append(("op", "ascending"))
-    t = t.sort_by(sort_keys)
-    other = [c for c in t.column_names if c not in key_cols]
-    aggs = [(c, "sum" if c == N_EVENTS_COL else "last") for c in other]
-    agg = t.group_by(list(key_cols), use_threads=False).aggregate(aggs)
-    agg = agg.rename_columns(list(key_cols) + other)
-    return agg.select(t.column_names)

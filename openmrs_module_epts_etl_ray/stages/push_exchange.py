@@ -1,0 +1,157 @@
+"""Push-based hash exchange: collapsed winners stream to bucket-owning actors.
+
+Why not ``groupby(_bucket).map_groups``? Ray Data's sort-based shuffle is an
+all-to-all BARRIER: every collapsed block must materialize, get sampled,
+split M×N ways and re-merged before the first merge can start. Profiling at
+32M events showed the sort costing more wall time than every compute stage
+combined, and its driver-side overhead does not shrink with more CPUs.
+
+This module implements the same exchange as a *streaming push*: each map task
+(the :class:`~.lww.PartialLww` output, fused into the same task) splits its
+block by owning actor and pushes the slices via actor calls. Actors own a
+static range of hash buckets (``bucket % num_actors``), fold incoming slices
+into a bounded per-bucket buffer (re-collapsing with the exact LWW kernel
+whenever the buffer exceeds a threshold — so actor memory is bounded by the
+bucket's DISTINCT keys, not its event count), and on ``flush()`` run the
+normal :class:`~.merge_applier.MergeApplier` merge-and-commit per bucket.
+
+Scale notes / partitioning assumptions (SURVEY.md §7.3-7.4):
+- merge work overlaps the scan instead of waiting behind a shuffle barrier;
+- exchange volume = collapsed winners only (the partial combine is the
+  salting/combiner pass);
+- exactly-once is unchanged — the per-bucket CommitLog watermark makes
+  replays and task retries idempotent;
+- fault model: a lost actor loses only its in-flight window buffer; the run
+  fails and a re-run converges to the identical committed state (same
+  recovery contract as the reference's restart-from-progress-table,
+  ``engine/record_intervals_manager/ThreadRecordIntervalsManager.java:315-354``).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..functions.hashing import BUCKET_COL
+from .lww import _lww_with_counts
+from .merge_applier import ConflictPolicy, MergeApplier
+
+# re-collapse a bucket's buffer once it exceeds this many rows
+COMBINE_THRESHOLD = 131_072
+
+
+@ray.remote
+class MergeActor:
+    """Owns ``buckets ≡ actor_id (mod num_actors)``; ingests collapsed rows,
+    keeps a bounded LWW buffer per bucket, merges + commits on flush."""
+
+    def __init__(self, lake_root: str, policy: ConflictPolicy | None,
+                 key_cols: tuple[str, ...], hash_content: bool = True,
+                 combine_threshold: int = COMBINE_THRESHOLD):
+        self.applier = MergeApplier(lake_root, policy=policy, key_cols=key_cols,
+                                    hash_content=hash_content)
+        self.key_cols = tuple(key_cols)
+        self.combine_threshold = combine_threshold
+        self.parts: dict[int, list[pa.Table]] = {}
+        self.part_rows: dict[int, int] = {}
+
+    def ingest(self, table: pa.Table) -> int:
+        """Fold one routed slice (rows of several owned buckets) into the
+        per-bucket buffers. Returns rows accepted (the caller's ack doubles
+        as backpressure)."""
+        if len(table) == 0:
+            return 0
+        b = table[BUCKET_COL].to_numpy()
+        order = np.argsort(b, kind="stable")
+        tbl = table.take(pa.array(order))
+        bs = b[order]
+        bounds = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
+        bounds = np.r_[bounds, len(bs)]
+        for i in range(len(bounds) - 1):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            bucket = int(bs[lo])
+            self.parts.setdefault(bucket, []).append(tbl.slice(lo, hi - lo))
+            n = self.part_rows.get(bucket, 0) + (hi - lo)
+            if n > self.combine_threshold:
+                merged = _lww_with_counts(
+                    pa.concat_tables(self.parts[bucket], promote_options="default"),
+                    self.key_cols, "lsn")
+                self.parts[bucket] = [merged]
+                n = len(merged)
+            self.part_rows[bucket] = n
+        return len(table)
+
+    def flush(self) -> pa.Table:
+        """Merge-and-commit every owned bucket; returns its lineage rows."""
+        out = []
+        for bucket in sorted(self.parts):
+            group = pa.concat_tables(self.parts[bucket], promote_options="default")
+            out.append(self.applier(group))
+        self.parts.clear()
+        self.part_rows.clear()
+        if not out:
+            from ..state.lineage import LINEAGE_SCHEMA
+            return LINEAGE_SCHEMA.empty_table()
+        return pa.concat_tables(out, promote_options="default")
+
+
+class BucketRouter:
+    """``map_batches`` callable: splits each collapsed block by owning actor
+    and pushes the slices; the ``ray.get`` on the acks is the backpressure
+    (a map task cannot run ahead of the merge actors)."""
+
+    def __init__(self, actors: list, num_actors: int):
+        self.actors = actors
+        self.num_actors = num_actors
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"rows_routed": pa.array([], pa.int64())})
+        owner = (batch[BUCKET_COL].to_numpy() % self.num_actors).astype(np.int64)
+        order = np.argsort(owner, kind="stable")
+        tbl = batch.take(pa.array(order))
+        oo = owner[order]
+        bounds = np.flatnonzero(np.r_[True, oo[1:] != oo[:-1]])
+        bounds = np.r_[bounds, len(oo)]
+        refs = []
+        for i in range(len(bounds) - 1):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            refs.append(self.actors[int(oo[lo])].ingest.remote(tbl.slice(lo, hi - lo)))
+        ray.get(refs)
+        return pa.table({"rows_routed": pa.array([len(batch)], pa.int64())})
+
+
+def push_exchange_merge(
+    collapsed,
+    lake_root: str,
+    *,
+    policy: ConflictPolicy | None = None,
+    key_cols: tuple[str, ...] = ("repo", "path"),
+    num_actors: int = 8,
+    actor_num_cpus: float = 1.0,
+    hash_content: bool = True,
+) -> pa.Table:
+    """Drive the push exchange over a collapsed (bucketized) Dataset; returns
+    the lineage table. Eager: consumes the Dataset, then flushes the actors."""
+    actors = [
+        MergeActor.options(num_cpus=actor_num_cpus, max_restarts=0).remote(
+            lake_root, policy, key_cols, hash_content)
+        for _ in range(num_actors)
+    ]
+    try:
+        routed = collapsed.map_batches(
+            BucketRouter(actors, num_actors),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        # consume the stream (acks are one tiny row per block)
+        routed.sum("rows_routed")
+        lineage_parts = ray.get([a.flush.remote() for a in actors])
+    finally:
+        for a in actors:
+            ray.kill(a, no_restart=True)
+    parts = [t for t in lineage_parts if len(t) > 0]
+    if not parts:
+        from ..state.lineage import LINEAGE_SCHEMA
+        return LINEAGE_SCHEMA.empty_table()
+    return pa.concat_tables(parts, promote_options="default")

@@ -12,6 +12,12 @@ from openmrs_module_epts_etl_ray.sources.event_log import (
 SF = "/root/testdata/sf0.001"
 
 
+@pytest.fixture(params=["push", "sort"])
+def engine(request):
+    """Both exchange engines must produce the identical committed state."""
+    return request.param
+
+
 def final_shas(lake):
     df = read_lake(lake).to_pandas()
     return {(r.repo, r.path): r.content_sha for r in df.itertuples()}
@@ -25,52 +31,52 @@ def doc_events():
     return ds, tbl
 
 
-def test_replay_matches_oracle(doc_events, tmp_lake):
+def test_replay_matches_oracle(doc_events, tmp_lake, engine):
     ds, tbl = doc_events
-    replay(ds, tmp_lake, num_buckets=16).materialize()
+    replay(ds, tmp_lake, num_buckets=16, engine=engine).materialize()
     assert final_shas(tmp_lake) == oracle_final_shas(tbl)
 
 
-def test_replay_idempotent(doc_events, tmp_lake):
+def test_replay_idempotent(doc_events, tmp_lake, engine):
     ds, tbl = doc_events
-    replay(ds, tmp_lake, num_buckets=16).materialize()
-    lin2 = replay(ds, tmp_lake, num_buckets=16).materialize().to_pandas()
+    replay(ds, tmp_lake, num_buckets=16, engine=engine).materialize()
+    lin2 = replay(ds, tmp_lake, num_buckets=16, engine=engine).materialize().to_pandas()
     assert lin2["committed"].sum() == 0
     assert lin2["rows_applied"].sum() == 0
     assert final_shas(tmp_lake) == oracle_final_shas(tbl)
 
 
-def test_windowed_replay_resumes_to_same_state(doc_events, tmp_lake):
+def test_windowed_replay_resumes_to_same_state(doc_events, tmp_lake, engine):
     ds, tbl = doc_events
-    replay(ds, tmp_lake, num_buckets=16, lsn_range=(-1, 2000)).materialize()
-    replay(ds, tmp_lake, num_buckets=16).materialize()
+    replay(ds, tmp_lake, num_buckets=16, lsn_range=(-1, 2000), engine=engine).materialize()
+    replay(ds, tmp_lake, num_buckets=16, engine=engine).materialize()
     assert final_shas(tmp_lake) == oracle_final_shas(tbl)
 
 
-def test_bucket_count_invariance(doc_events, tmp_path):
+def test_bucket_count_invariance(doc_events, tmp_path, engine):
     """Partitioning is an execution detail: any bucket count yields the
     same final state (salting/skew-split correctness, FIXTURES F5)."""
     ds, tbl = doc_events
     want = oracle_final_shas(tbl)
     for b in (4, 64):
         lake = str(tmp_path / f"lake{b}")
-        replay(ds, lake, num_buckets=b).materialize()
+        replay(ds, lake, num_buckets=b, engine=engine).materialize()
         assert final_shas(lake) == want
 
 
-def test_synthetic_skewed_log_with_dups_out_of_order(tmp_lake):
+def test_synthetic_skewed_log_with_dups_out_of_order(tmp_lake, engine):
     """Zipf-hot keys + duplicate-LSN replays + shuffled delivery must still
     converge to the oracle state (order independence of max-LSN)."""
     ds = synthesize_event_log(5000, n_keys=300, n_shards=8, seed=9,
                               zipf_s=1.5, dup_rate=0.05).materialize()
     tbl = pa.Table.from_pylist(ds.take_all())
-    replay(ds, tmp_lake, num_buckets=8).materialize()
+    replay(ds, tmp_lake, num_buckets=8, engine=engine).materialize()
     assert final_shas(tmp_lake) == oracle_final_shas(tbl)
 
 
-def test_lineage_accounting(doc_events, tmp_lake):
+def test_lineage_accounting(doc_events, tmp_lake, engine):
     ds, tbl = doc_events
-    lin = replay(ds, tmp_lake, num_buckets=16).materialize().to_pandas()
+    lin = replay(ds, tmp_lake, num_buckets=16, engine=engine).materialize().to_pandas()
     assert lin["events_seen"].sum() == len(tbl)
     assert lin["committed"].all()
     assert lin["state_rows"].sum() == 500  # live rows + tombstones
@@ -79,15 +85,15 @@ def test_lineage_accounting(doc_events, tmp_lake):
     assert (lin["state_sha"].str.len() == 64).all()
 
 
-def test_replayed_window_is_noop_for_committed_partitions(tmp_lake):
+def test_replayed_window_is_noop_for_committed_partitions(tmp_lake, engine):
     """FIXTURES F6: rerunning an already-committed window must not rewrite."""
     ev = rd.from_arrow(pa.table({
         "lsn": pa.array([1, 2], pa.int64()), "op": ["insert", "insert"],
         "repo": ["r", "r"], "path": ["a", "b"],
         "commit": ["c", "c"], "lang": ["py", "py"], "content": ["x", "y"]}))
-    replay(ev, tmp_lake, num_buckets=2).materialize()
+    replay(ev, tmp_lake, num_buckets=2, engine=engine).materialize()
     from openmrs_module_epts_etl_ray.state.commit_log import CommitLog
     ck1 = CommitLog(tmp_lake).checkpoint()
-    lin = replay(ev, tmp_lake, num_buckets=2).materialize().to_pandas()
+    lin = replay(ev, tmp_lake, num_buckets=2, engine=engine).materialize().to_pandas()
     assert lin["committed"].sum() == 0
     assert CommitLog(tmp_lake).checkpoint() == ck1
