@@ -22,6 +22,9 @@ from ..functions.hashing import sha256_hex
 from ..sources.event_log import events_from_documents
 from ..sources.tables import read_table
 from ..stages import dedup, detectors, gap_detect, joins, multimodal, similarity, text as text_stages
+from ..stages.idgen import assign_surrogate_ids
+from ..stages.inconsistency import resolve_inconsistencies
+from ..stages.lookup import datasource_lookup
 from ..stages.lww import lww_final_state
 from ..stages.schema_evolution import NormalizeBatch
 from ..stages.transforms import FieldMapping, RecordTransform, apply_transform, filter_expr
@@ -134,9 +137,133 @@ def q_schema_evolution(sf_dir: str):
     return epoch1.union(epoch2)
 
 
+def q_cdc_replay_windowed(sf_dir: str):
+    """Micro-batch resume (ST3/F6): the same replay split into three LSN
+    windows over a fresh lake — final state must equal the single-shot
+    replay (and its oracle)."""
+    events = events_from_documents(sf_dir)
+    lake = tempfile.mkdtemp(prefix="cdc_lake_w_", dir="/tmp")
+    hi = int(events.max("lsn"))
+    cuts = [hi // 3, (2 * hi) // 3, hi]
+    lo = -1
+    for c in cuts:
+        replay(events, lake, num_buckets=32, lsn_range=(lo, c)).materialize()
+        lo = c
+    return _project_lake(read_lake(lake))
+
+
+def q_cdc_replay_compacted(sf_dir: str):
+    """Replay then compact (tombstone GC + snapshot GC): live state must be
+    byte-identical to the uncompacted replay — same oracle SQL."""
+    from ..state.compaction import compact_lake
+
+    events = events_from_documents(sf_dir)
+    lake = tempfile.mkdtemp(prefix="cdc_lake_c_", dir="/tmp")
+    replay(events, lake, num_buckets=32).materialize()
+    compact_lake(lake)
+    return _project_lake(read_lake(lake))
+
+
+def _project_lake(state):
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "repo": t["repo"], "path": t["path"], "last_lsn": t["lsn"],
+            "commit": t["commit"], "lang": t["lang"],
+            "content_sha": t["content_sha"],
+        })
+    return state.map_batches(project, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Relational operators (reference ETL surface)
 # ---------------------------------------------------------------------------
+
+
+def q_inconsistency_solver(sf_dir: str):
+    """FK-integrity repair (INCONSISTENCY_SOLVER, J4): orders with a
+    deterministically corrupted custkey, repaired to NULL
+    (setNullDueInconsistency) with the audit flag."""
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def corrupt(t: pa.Table) -> pa.Table:
+        bad = pc.equal(pc.subtract(t["o_orderkey"],
+                                   pc.multiply(pc.divide(t["o_orderkey"], 11), 11)), 0)
+        custkey = pc.add(t["o_custkey"],
+                         pc.multiply(pc.cast(bad, pa.int64()), 1_000_000))
+        return pa.table({"o_orderkey": t["o_orderkey"], "o_custkey": custkey})
+
+    corrupted = orders.map_batches(corrupt, batch_format="pyarrow")
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+    fixed = resolve_inconsistencies(
+        corrupted, cust, "o_custkey", "c_custkey",
+        on_missing="null", report_col="inconsistent")
+    return fixed
+
+
+def q_new_and_changed(sf_dir: str):
+    """NEW vs CHANGED records detector (§2.9): created=ts, changed=ts +
+    (event_id % 30) days; classified against the sync start date, rolled up
+    per (event_type, class)."""
+    from ray.data import aggregate as agg
+
+    import datetime
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "event_type", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        days = pc.subtract(t["event_id"],
+                           pc.multiply(pc.divide(t["event_id"], 30), 30))
+        delta = pc.multiply(pc.cast(days, pa.int64()),
+                            pa.scalar(86_400_000_000, pa.int64()))
+        changed = pc.add(t["ts"], pc.cast(delta, pa.duration("us")))
+        return pa.table({"event_type": t["event_type"], "created": t["ts"],
+                         "changed": changed})
+
+    derived = ev.map_batches(derive, batch_format="pyarrow")
+    classified = detectors.classify_new_changed(
+        derived, "created", "changed", datetime.datetime(2024, 1, 20))
+    return classified.groupby(["event_type", "change_class"]).aggregate(
+        agg.Count(alias_name="n"))
+
+
+def q_lookup_datasource(sf_dir: str):
+    """Extra-table datasource (J2, required=false): per-order customer-name
+    lookup against a restricted customer slice; misses null-backfill."""
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    cust3 = filter_expr(cust, lambda t: pc.not_equal(
+        pc.subtract(t["c_custkey"], pc.multiply(pc.divide(t["c_custkey"], 3), 3)), 0))
+    return datasource_lookup(orders, cust3, [("o_custkey", "c_custkey")],
+                             required=False, columns=["c_name"])
+
+
+def q_lookup_datasource_required(sf_dir: str):
+    """Extra-table datasource (J2, required=true): unmatched rows drop
+    (semi-join with payload)."""
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    cust3 = filter_expr(cust, lambda t: pc.not_equal(
+        pc.subtract(t["c_custkey"], pc.multiply(pc.divide(t["c_custkey"], 3), 3)), 0))
+    return datasource_lookup(orders, cust3, [("o_custkey", "c_custkey")],
+                             required=True, columns=["c_name"])
+
+
+def q_export_roundtrip(sf_dir: str):
+    """File sink + load (S5/S6 + S2): customer → CSV shards → read back."""
+    from .export import export_files, read_export
+
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_name", "c_mktsegment"])
+    out = tempfile.mkdtemp(prefix="export_csv_", dir="/tmp")
+    export_files(cust, out, fmt="csv")
+    return read_export(out, fmt="csv")
+
+
+def q_surrogate_ids(sf_dir: str):
+    """Id-generator (ST2): block-allocated surrogate ids; uniqueness/density
+    asserted in tests (assignment is nondeterministic → rows-only check)."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+    return assign_surrogate_ids(cust, id_col="surrogate_id")
 
 def q_pricing_summary(sf_dir: str):
     """Grouped aggregate with per-batch partial combine (A1-A3 pattern)."""
@@ -430,7 +557,15 @@ def q_media_features(sf_dir: str):
 
 QUERIES = {
     "cdc_replay_lww": q_cdc_replay_lww,
+    "cdc_replay_windowed": q_cdc_replay_windowed,
+    "cdc_replay_compacted": q_cdc_replay_compacted,
     "cdc_events_lww": q_cdc_events_lww,
+    "inconsistency_solver": q_inconsistency_solver,
+    "new_and_changed": q_new_and_changed,
+    "lookup_datasource": q_lookup_datasource,
+    "lookup_datasource_required": q_lookup_datasource_required,
+    "export_roundtrip": q_export_roundtrip,
+    "surrogate_ids": q_surrogate_ids,
     "changed_records": q_changed_records,
     "gap_detect": q_gap_detect,
     "lineage_rollup": q_lineage_rollup,
@@ -477,6 +612,44 @@ w AS (SELECT repo, path, MAX(lsn) AS last_lsn FROM ev GROUP BY repo, path)
 SELECT e.repo, e.path, w.last_lsn, e.commit, e.lang, sha256(e.content) AS content_sha
 FROM ev e JOIN w ON e.repo = w.repo AND e.path = w.path AND e.lsn = w.last_lsn
 WHERE e.op <> 'delete'
+""",
+    "inconsistency_solver": """
+WITH c AS (
+  SELECT o_orderkey,
+         o_custkey + CASE WHEN o_orderkey % 11 = 0 THEN 1000000 ELSE 0 END AS k
+  FROM orders
+)
+SELECT o_orderkey,
+       CASE WHEN k IN (SELECT c_custkey FROM customer) THEN k END AS o_custkey,
+       k NOT IN (SELECT c_custkey FROM customer) AS inconsistent
+FROM c
+""",
+    "new_and_changed": """
+WITH d AS (
+  SELECT event_type, ts AS created,
+         ts + (event_id % 30) * INTERVAL 1 DAY AS changed
+  FROM events
+)
+SELECT event_type,
+       CASE WHEN created >= TIMESTAMP '2024-01-20' THEN 'new'
+            WHEN changed >= TIMESTAMP '2024-01-20' THEN 'changed' END AS change_class,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM d
+WHERE created >= TIMESTAMP '2024-01-20' OR changed >= TIMESTAMP '2024-01-20'
+GROUP BY 1, 2
+""",
+    "lookup_datasource": """
+SELECT o.o_orderkey, o.o_custkey, c.c_name
+FROM orders o
+LEFT JOIN customer c ON c.c_custkey = o.o_custkey AND c.c_custkey % 3 <> 0
+""",
+    "lookup_datasource_required": """
+SELECT o.o_orderkey, o.o_custkey, c.c_name
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey AND c.c_custkey % 3 <> 0
+""",
+    "export_roundtrip": """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
 """,
     "cdc_events_lww": """
 SELECT user_id, event_id AS last_event_id, event_type, value, ts
@@ -618,3 +791,8 @@ SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, ROUND(cos, 4) AS cosine
 FROM r WHERE rank <= 5
 """,
 }
+
+# windowed-resume and compacted replays must land in the EXACT same final
+# state as the single-shot replay — share its oracle
+ORACLE_SQL["cdc_replay_windowed"] = ORACLE_SQL["cdc_replay_lww"]
+ORACLE_SQL["cdc_replay_compacted"] = ORACLE_SQL["cdc_replay_lww"]

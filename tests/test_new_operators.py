@@ -1,0 +1,122 @@
+"""Unit tests: idgen (ST2), inconsistency solver, datasource lookup (J2/J3),
+lake compaction, export sinks (S5/S6)."""
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+import ray.data as rd
+
+
+def _ds(**cols):
+    return rd.from_arrow(pa.table(cols))
+
+
+def test_surrogate_ids_unique_and_dense_blocks():
+    from openmrs_module_epts_etl_ray.stages.idgen import assign_surrogate_ids
+    ds = rd.range(5000).map_batches(
+        lambda t: pa.table({"x": t["id"]}), batch_format="pyarrow")
+    out = assign_surrogate_ids(ds, id_col="sid", start=100).to_pandas()
+    assert len(out) == 5000
+    assert out["sid"].is_unique
+    assert out["sid"].min() >= 100
+    assert out["sid"].max() < 100 + 5000  # block allocation leaves no waste
+
+
+def test_inconsistency_modes():
+    from openmrs_module_epts_etl_ray.stages.inconsistency import resolve_inconsistencies
+    rows = _ds(id=[1, 2, 3, 4], fk=[10, 99, None, 20])
+    parents = _ds(pk=[10, 20, 30])
+
+    dropped = resolve_inconsistencies(rows, parents, "fk", "pk",
+                                      on_missing="drop").to_pandas()
+    assert sorted(dropped["id"]) == [1, 3, 4]  # null FK is consistent
+
+    nulled = resolve_inconsistencies(rows, parents, "fk", "pk",
+                                     on_missing="null").to_pandas()
+    assert nulled.loc[nulled["id"] == 2, "fk"].isna().all()
+    assert nulled["_inconsistent"].sum() == 1
+
+    patched = resolve_inconsistencies(rows, parents, "fk", "pk",
+                                      on_missing="default",
+                                      default_value=30).to_pandas()
+    assert (patched.loc[patched["id"] == 2, "fk"] == 30).all()
+
+
+def test_datasource_lookup_required_and_optional():
+    from openmrs_module_epts_etl_ray.stages.lookup import datasource_lookup
+    src = _ds(k=[1, 2, 3], v=["a", "b", "c"])
+    lk = _ds(lk_k=[1, 3, 3], name=["one", "three", "dup-ignored"])
+
+    opt = datasource_lookup(src, lk, [("k", "lk_k")]).to_pandas()
+    assert len(opt) == 3
+    assert opt.loc[opt["k"] == 2, "name"].isna().all()
+    assert (opt.loc[opt["k"] == 3, "name"] == "three").all()  # first match wins
+
+    req = datasource_lookup(src, lk, [("k", "lk_k")], required=True).to_pandas()
+    assert sorted(req["k"]) == [1, 3]
+
+
+def test_compaction_drops_dead_tombstones_and_old_snapshots(tmp_path):
+    from openmrs_module_epts_etl_ray.pipelines.replay import read_lake, replay
+    from openmrs_module_epts_etl_ray.state.commit_log import CommitLog
+    from openmrs_module_epts_etl_ray.state.compaction import compact_lake
+
+    lake = str(tmp_path / "lake")
+    ev1 = pa.table({"lsn": pa.array([1, 2, 3], pa.int64()),
+                    "op": ["insert", "insert", "insert"],
+                    "repo": ["r", "r", "r"], "path": ["a", "b", "c"],
+                    "commit": ["x", "x", "x"], "lang": ["py"] * 3,
+                    "content": ["1", "2", "3"]})
+    ev2 = pa.table({"lsn": pa.array([4], pa.int64()), "op": ["delete"],
+                    "repo": ["r"], "path": ["b"], "commit": ["y"],
+                    "lang": pa.array([None], pa.string()),
+                    "content": pa.array([None], pa.string())})
+    replay(rd.from_arrow(ev1), lake, num_buckets=4).materialize()
+    replay(rd.from_arrow(ev2), lake, num_buckets=4).materialize()
+
+    with_dead = read_lake(lake, include_deleted=True).to_pandas()
+    assert len(with_dead) == 3  # two live + one tombstone
+
+    stats = compact_lake(lake).to_pandas()
+    assert stats["tombstones_dropped"].sum() >= 0  # watermark may retain it
+
+    # force-drop with explicit high watermark
+    stats = compact_lake(lake, watermark=10).to_pandas()
+    after = read_lake(lake, include_deleted=True).to_pandas()
+    assert len(after) == 2
+    assert sorted(after["path"]) == ["a", "c"]
+
+    # superseded snapshots gone, latest commit only
+    log = CommitLog(lake)
+    for b in log.checkpoint():
+        assert len(log.commits(b)) == 1
+
+    # idempotent
+    stats2 = compact_lake(lake, watermark=10).to_pandas()
+    assert stats2["tombstones_dropped"].sum() == 0
+    assert stats2["snapshots_gced"].sum() == 0
+
+
+def test_export_roundtrip_json_and_csv(tmp_path):
+    from openmrs_module_epts_etl_ray.pipelines.export import export_files, read_export
+    ds = _ds(k=list(range(100)), name=[f"n{i}" for i in range(100)])
+    for fmt in ("json", "csv"):
+        out = str(tmp_path / fmt)
+        manifest = export_files(ds, out, fmt=fmt)
+        assert len(manifest) >= 1
+        back = read_export(out, fmt=fmt).to_pandas().sort_values("k")
+        assert list(back["k"]) == list(range(100))
+        assert list(back["name"]) == [f"n{i}" for i in range(100)]
+
+
+def test_new_changed_classifier():
+    import datetime
+
+    from openmrs_module_epts_etl_ray.stages.detectors import classify_new_changed
+    t0 = datetime.datetime(2024, 1, 10)
+    mk = lambda d: datetime.datetime(2024, 1, d)
+    ds = _ds(id=[1, 2, 3],
+             created=[mk(12), mk(5), mk(2)],
+             changed=[mk(12), mk(11), mk(3)])
+    out = classify_new_changed(ds, "created", "changed", t0).to_pandas()
+    got = dict(zip(out["id"], out["change_class"]))
+    assert got == {1: "new", 2: "changed"}  # id=3 unchanged -> dropped
