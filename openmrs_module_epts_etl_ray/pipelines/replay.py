@@ -38,6 +38,7 @@ def replay(
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int | None = None,
     engine: str = "push",
+    dead_letter_dir: str | None = None,
 ) -> rd.Dataset:
     """Replay a change-event Dataset into the lake; returns the lineage Dataset.
 
@@ -61,6 +62,13 @@ def replay(
                 mask = pc.and_(mask, pc.less_equal(batch["lsn"], hi))
             return batch.filter(mask)
         events = events.map_batches(window, batch_format="pyarrow")
+
+    if dead_letter_dir is not None:
+        from ..stages.validate import Validator
+
+        events = events.map_batches(
+            Validator(dead_letter_dir, key_cols=key_cols),
+            batch_format="pyarrow", zero_copy_batch=True)
 
     collapsed = events.map_batches(
         PartialLww(key_cols=key_cols, num_buckets=num_buckets),

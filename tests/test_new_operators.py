@@ -120,3 +120,35 @@ def test_new_changed_classifier():
     out = classify_new_changed(ds, "created", "changed", t0).to_pandas()
     got = dict(zip(out["id"], out["change_class"]))
     assert got == {1: "new", 2: "changed"}  # id=3 unchanged -> dropped
+
+
+def test_dead_letter_channel(tmp_path):
+    """Invalid events divert to the dead-letter dir with reasons; the lake
+    state matches the oracle of the VALID rows only."""
+    from openmrs_module_epts_etl_ray.oracle import oracle_final_shas
+    from openmrs_module_epts_etl_ray.pipelines.replay import read_lake, replay
+    from openmrs_module_epts_etl_ray.stages.validate import read_dead_letters
+
+    good = pa.table({"lsn": pa.array([1, 2, 3], pa.int64()),
+                     "op": ["insert", "insert", "delete"],
+                     "repo": ["r", "r", "r"], "path": ["a", "b", "b"],
+                     "commit": ["c1", "c2", "c3"],
+                     "lang": pa.array(["py", "py", None]),
+                     "content": pa.array(["x", "y", None])})
+    bad = pa.table({"lsn": pa.array([None, 7, 8], pa.int64()),
+                    "op": ["insert", "upsert", "insert"],
+                    "repo": ["r", "r", None], "path": ["z", "z", "z"],
+                    "commit": ["c", "c", "c"],
+                    "lang": pa.array(["py", "py", "py"]),
+                    "content": pa.array(["v", "v", "v"])})
+    ev = rd.from_arrow(pa.concat_tables([good, bad]))
+    lake, dl = str(tmp_path / "lake"), str(tmp_path / "dead")
+    replay(ev, lake, num_buckets=4, dead_letter_dir=dl).materialize()
+
+    state = read_lake(lake).to_pandas()
+    mine = {(r.repo, r.path): r.content_sha for r in state.itertuples()}
+    assert mine == oracle_final_shas(good)
+
+    dead = read_dead_letters(dl).to_pandas().sort_values("lsn", na_position="first")
+    assert len(dead) == 3
+    assert list(dead["_reason"]) == ["bad_lsn", "bad_op", "null_key:repo"]
