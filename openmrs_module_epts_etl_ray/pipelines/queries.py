@@ -455,7 +455,8 @@ def q_union_extracts(sf_dir: str):
 
 def q_dedup_exact(sf_dir: str):
     """Exact dedup: hash-partition on content hash + per-group min-id."""
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      override_num_blocks=32)
     keyed = docs.map_batches(
         lambda t: pa.table({"doc_id": t["doc_id"],
                             "text": pc.utf8_slice_codeunits(t["text"], 0, 80)}),
@@ -465,7 +466,8 @@ def q_dedup_exact(sf_dir: str):
 
 def q_token_stats(sf_dir: str):
     """Token counting + length stats per document."""
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      override_num_blocks=32)
 
     def stats(df: pd.DataFrame) -> pd.DataFrame:
         from ..functions import text as T
@@ -482,7 +484,8 @@ def q_quality_scores(sf_dir: str):
     """Quality-scoring features. Exact integer counts (ratio rounding is
     tie-broken differently by DuckDB ROUND vs numpy; counts are exact —
     the ratio form lives in functions.text.quality_metrics)."""
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      override_num_blocks=32)
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -497,7 +500,8 @@ def q_quality_scores(sf_dir: str):
 
 def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-k: query matrix broadcast once, scatter-gather."""
-    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+                     override_num_blocks=16)
     qrows = emb.filter(lambda r: r["vec_id"] < 8).take_all()
     qrows.sort(key=lambda r: r["vec_id"])
     Q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
@@ -519,28 +523,33 @@ def q_ann_topk(sf_dir: str):
 # -- rows-only checked (non-SQL-expressible; verified in tests/) -----------
 
 def q_minhash_near_dups(sf_dir: str):
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      override_num_blocks=32)
     cand = dedup.minhash_lsh_candidates(docs, num_perm=64, num_bands=16, k=3)
     return dedup.verify_jaccard(cand, docs, threshold=0.5, k=3)
 
 
 def q_simhash_near_dups(sf_dir: str):
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      override_num_blocks=32)
     return dedup.simhash_candidates(docs)
 
 
 def q_langid(sf_dir: str):
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      override_num_blocks=32)
     return text_stages.lang_id(docs)
 
 
 def q_fingerprints(sf_dir: str):
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      override_num_blocks=32)
     return text_stages.fingerprint(docs)
 
 
 def q_embedding_near_dups(sf_dir: str):
-    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+                     override_num_blocks=16)
     return dedup.embedding_near_dups(emb, threshold=0.5)
 
 
