@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "cdc_replay_lww", "cdc_events_lww", "pricing_summary", "revenue_by_nation",
     "customers_without_orders", "reconcile_orders", "gap_detect",
     "dedup_exact", "token_stats", "ann_topk", "minhash_near_dups",
+    "inconsistency_solver", "lookup_datasource", "simhash_near_dups",
 ]
 
 

@@ -553,6 +553,30 @@ def q_embedding_near_dups(sf_dir: str):
     return dedup.embedding_near_dups(emb, threshold=0.5)
 
 
+def q_near_dup_clusters(sf_dir: str):
+    """MinHash pairs -> Jaccard verify -> connected components -> canonical
+    doc per cluster (the full near-dedup pipeline a training corpus needs)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      override_num_blocks=32)
+    cand = dedup.minhash_lsh_candidates(docs, num_perm=64, num_bands=16, k=3)
+    verified = dedup.verify_jaccard(cand, docs, threshold=0.5, k=3)
+    return dedup.connected_components(verified)
+
+
+def q_ann_ivf_topk(sf_dir: str):
+    """IVF-bucketed approximate top-k (the scale path of ann_topk): coarse
+    centroids prune the corpus per query; recall vs brute force asserted in
+    tests (approximate => rows-only here)."""
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+                     override_num_blocks=16)
+    qrows = emb.filter(lambda r: r["vec_id"] < 8).take_all()
+    qrows.sort(key=lambda r: r["vec_id"])
+    Q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+    qids = [int(r["vec_id"]) for r in qrows]
+    corpus = filter_expr(emb, lambda t: pc.greater_equal(t["vec_id"], 8))
+    return similarity.ivf_topk(corpus, Q, qids, k=5, n_cells=16, n_probe=6)
+
+
 def q_media_features(sf_dir: str):
     media = multimodal.synthesize_media(200)
     feats = multimodal.decode_features(media)
@@ -598,6 +622,8 @@ QUERIES = {
     "langid": q_langid,
     "fingerprints": q_fingerprints,
     "embedding_near_dups": q_embedding_near_dups,
+    "near_dup_clusters": q_near_dup_clusters,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "media_features": q_media_features,
 }
 

@@ -399,3 +399,40 @@ def embedding_near_dups(
     cand = _bucket_pairs(bucketed, ["band", "code"], id_col, pair_fn,
                          max_bucket=None)  # dense hyperplane buckets: no truncation
     return _distinct_pairs(cand)
+
+
+# ---------------------------------------------------------------------------
+# near-dup clusters (connected components over verified pairs)
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs: rd.Dataset) -> pd.DataFrame:
+    """Cluster verified near-dup pairs; returns (doc_id, canonical_id) with
+    canonical = min id per component.
+
+    The candidate graph is orders of magnitude smaller than the corpus (only
+    docs that passed LSH + Jaccard verification appear), so a driver-side
+    union-find over the collected edges is the right tool; for a degenerate
+    corpus where near-dup pairs approach corpus size, switch to iterative
+    min-label propagation (edges joined to labels per round, a few groupby
+    rounds until fixpoint) — same result, all-distributed.
+    """
+    edges = pairs.select_columns(["id_a", "id_b"]).to_pandas()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:   # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(edges["id_a"], edges["id_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by smaller root => canonical = min id naturally
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    rows = sorted((x, find(x)) for x in parent)
+    return pd.DataFrame(rows, columns=["doc_id", "canonical_id"])

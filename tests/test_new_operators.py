@@ -152,3 +152,11 @@ def test_dead_letter_channel(tmp_path):
     dead = read_dead_letters(dl).to_pandas().sort_values("lsn", na_position="first")
     assert len(dead) == 3
     assert list(dead["_reason"]) == ["bad_lsn", "bad_op", "null_key:repo"]
+
+
+def test_connected_components_clusters():
+    from openmrs_module_epts_etl_ray.stages.dedup import connected_components
+    pairs = _ds(id_a=[1, 2, 10, 20], id_b=[2, 3, 11, 10])
+    out = connected_components(pairs)
+    got = dict(zip(out["doc_id"], out["canonical_id"]))
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 10}
