@@ -553,6 +553,23 @@ def q_embedding_near_dups(sf_dir: str):
     return dedup.embedding_near_dups(emb, threshold=0.5)
 
 
+def q_windowed_aggregate(sf_dir: str):
+    """Tumbling 1-day event-time windows per event_type (streaming-shaped
+    workload expressed batch-native; see stages/windows.py)."""
+    from ..stages.windows import tumbling_window_agg
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+    out = tumbling_window_agg(ev, "ts", every="1D", key_cols=["event_type"],
+                              sum_cols=["value"])
+    return out.map_batches(
+        lambda t: pa.table({
+            "window_start": t["window_start"],
+            "event_type": t["event_type"],
+            "n": t["n"],
+            "sum_value": pc.round(t["sum_value"], 2),
+        }), batch_format="pyarrow")
+
+
 def q_near_dup_clusters(sf_dir: str):
     """MinHash pairs -> Jaccard verify -> connected components -> canonical
     doc per cluster (the full near-dedup pipeline a training corpus needs)."""
@@ -622,6 +639,7 @@ QUERIES = {
     "langid": q_langid,
     "fingerprints": q_fingerprints,
     "embedding_near_dups": q_embedding_near_dups,
+    "windowed_aggregate": q_windowed_aggregate,
     "near_dup_clusters": q_near_dup_clusters,
     "ann_ivf_topk": q_ann_ivf_topk,
     "media_features": q_media_features,
@@ -685,6 +703,12 @@ JOIN customer c ON c.c_custkey = o.o_custkey AND c.c_custkey % 3 <> 0
 """,
     "export_roundtrip": """
 SELECT c_custkey, c_name, c_mktsegment FROM customer
+""",
+    "windowed_aggregate": """
+SELECT date_trunc('day', ts) AS window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
 """,
     "cdc_events_lww": """
 SELECT user_id, event_id AS last_event_id, event_type, value, ts

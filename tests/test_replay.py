@@ -97,3 +97,44 @@ def test_replayed_window_is_noop_for_committed_partitions(tmp_lake, engine):
     lin = replay(ev, tmp_lake, num_buckets=2, engine=engine).materialize().to_pandas()
     assert lin["committed"].sum() == 0
     assert CommitLog(tmp_lake).checkpoint() == ck1
+
+
+def test_mega_key_skew(tmp_path):
+    """One key holding 90% of all events (the mega-repo case): the per-block
+    partial combine collapses it to one row per block before the exchange,
+    so no bucket blows up; state matches the oracle."""
+    import numpy as np
+
+    from openmrs_module_epts_etl_ray.oracle import oracle_final_shas
+
+    n = 20000
+    rng = np.random.default_rng(3)
+    hot = rng.random(n) < 0.9
+    path = np.where(hot, "hot", [f"p{i}" for i in range(n)])
+    t = pa.table({
+        "lsn": pa.array(np.arange(n, dtype=np.int64)),
+        "op": pa.array(np.where(np.arange(n) == 0, "insert", "update")),
+        "repo": pa.array(["r"] * n),
+        "path": pa.array(path.astype(object), pa.string()),
+        "commit": pa.array([f"c{i}" for i in range(n)]),
+        "lang": pa.array(["py"] * n),
+        "content": pa.array([f"v{i}" for i in range(n)]),
+    })
+    ds = rd.from_arrow(t).repartition(16)
+    lake = str(tmp_path / "lake")
+    lin = replay(ds, lake, num_buckets=8).materialize().to_pandas()
+    got = final_shas(lake)
+    assert got == oracle_final_shas(t)
+    assert lin["events_seen"].sum() == n
+
+
+def test_write_lineage_roundtrip(doc_events, tmp_lake):
+    from openmrs_module_epts_etl_ray.pipelines.replay import write_lineage
+
+    ds, _ = doc_events
+    lin = replay(ds, tmp_lake, num_buckets=8).materialize()
+    write_lineage(lin, tmp_lake, run_id="r1")
+    back = rd.read_parquet(f"{tmp_lake}/_lineage/run=r1").to_pandas()
+    assert back["events_seen"].sum() == lin.to_pandas()["events_seen"].sum()
+    assert set(back.columns) >= {"partition_id", "lsn_lo", "lsn_hi",
+                                 "rows_applied", "state_sha", "committed"}
