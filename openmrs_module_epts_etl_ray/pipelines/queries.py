@@ -553,6 +553,26 @@ def q_embedding_near_dups(sf_dir: str):
     return dedup.embedding_near_dups(emb, threshold=0.5)
 
 
+def q_asof_last_purchase(sf_dir: str):
+    """As-of join: for each click, the user's latest purchase at/before the
+    click time (point-in-time enrichment; stages/asof.py)."""
+    from ..stages.asof import asof_join
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "event_type", "ts", "value"])
+    clicks = filter_expr(ev, lambda t: pc.equal(t["event_type"], "click"))         .map_batches(lambda t: pa.table({
+            "click_id": t["event_id"], "user_id": t["user_id"], "ts": t["ts"]}),
+            batch_format="pyarrow")
+    purchases = filter_expr(ev, lambda t: pc.equal(t["event_type"], "purchase"))         .map_batches(lambda t: pa.table({
+            "purchase_id": t["event_id"], "user_id": t["user_id"], "ts": t["ts"],
+            "purchase_value": pc.round(t["value"], 2)}), batch_format="pyarrow")
+    out = asof_join(clicks, purchases, by="user_id", on="ts",
+                    right_cols=["purchase_id", "purchase_value"])
+    return out.map_batches(
+        lambda df: df[["click_id", "user_id", "ts", "purchase_id",
+                       "purchase_value"]], batch_format="pandas")
+
+
 def q_windowed_aggregate(sf_dir: str):
     """Tumbling 1-day event-time windows per event_type (streaming-shaped
     workload expressed batch-native; see stages/windows.py)."""
@@ -639,6 +659,7 @@ QUERIES = {
     "langid": q_langid,
     "fingerprints": q_fingerprints,
     "embedding_near_dups": q_embedding_near_dups,
+    "asof_last_purchase": q_asof_last_purchase,
     "windowed_aggregate": q_windowed_aggregate,
     "near_dup_clusters": q_near_dup_clusters,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -703,6 +724,14 @@ JOIN customer c ON c.c_custkey = o.o_custkey AND c.c_custkey % 3 <> 0
 """,
     "export_roundtrip": """
 SELECT c_custkey, c_name, c_mktsegment FROM customer
+""",
+    "asof_last_purchase": """
+WITH c AS (SELECT event_id AS click_id, user_id, ts FROM events
+           WHERE event_type = 'click'),
+p AS (SELECT event_id AS purchase_id, user_id, ts, ROUND(value, 2) AS purchase_value
+      FROM events WHERE event_type = 'purchase')
+SELECT c.click_id, c.user_id, c.ts, p.purchase_id, p.purchase_value
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
 """,
     "windowed_aggregate": """
 SELECT date_trunc('day', ts) AS window_start, event_type,

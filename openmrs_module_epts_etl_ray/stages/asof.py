@@ -1,0 +1,63 @@
+"""As-of (time-travel) join — an operator Ray Data lacks natively.
+
+For each left row, attach the latest right row with ``right.ts <= left.ts``
+for the same key (classic point-in-time enrichment). Composition per
+ray_guide's as-of pattern: tag both sides, hash-bucket by the equi-key so a
+key's full history co-locates, then one ``pd.merge_asof(by=key)`` per bucket
+over ts-sorted frames — ONE shuffle total, vectorized within buckets.
+
+Partitioning assumption: the equi-key distributes; a single key's history
+must fit one bucket's task (true for per-user/per-entity timelines; salt by
+time range if one entity's history alone exceeds a task's memory).
+"""
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..functions.hashing import BUCKET_COL, add_bucket
+
+_SIDE = "_side"
+
+
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    by: str,
+    on: str,
+    right_cols: list[str],
+    suffix: str = "_right",
+    num_buckets: int = 16,
+) -> rd.Dataset:
+    """Left as-of join (backward): latest right row with ``right[on] <=
+    left[on]`` per ``by`` key; unmatched left rows null-backfill."""
+
+    def tag(side):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.append_column(_SIDE, pa.array([side] * len(t)))
+            return add_bucket(t, (by,), num_buckets)
+        return fn
+
+    tagged = left.map_batches(tag("l"), batch_format="pyarrow").union(
+        right.map_batches(tag("r"), batch_format="pyarrow"))
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=[BUCKET_COL])
+        l = g[g[_SIDE] == "l"].drop(columns=[_SIDE]).dropna(axis=1, how="all")
+        r = g[g[_SIDE] == "r"].drop(columns=[_SIDE]).dropna(axis=1, how="all")
+        l = l.sort_values(on, kind="stable")
+        keep = [by, on] + [c for c in right_cols if c not in (by, on)]
+        if len(r) == 0:
+            out = l.copy()
+            for c in right_cols:
+                out[f"{c}{suffix}" if c in l.columns else c] = None
+            return out
+        r = r[keep].sort_values(on, kind="stable")
+        merged = pd.merge_asof(l, r, on=on, by=by, direction="backward",
+                               suffixes=("", suffix))
+        return merged
+
+    return tagged.repartition(num_buckets).groupby(BUCKET_COL).map_groups(
+        join_bucket, batch_format="pandas")

@@ -1,5 +1,6 @@
 """Unit tests: idgen (ST2), inconsistency solver, datasource lookup (J2/J3),
 lake compaction, export sinks (S5/S6)."""
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pytest
@@ -160,3 +161,19 @@ def test_connected_components_clusters():
     out = connected_components(pairs)
     got = dict(zip(out["doc_id"], out["canonical_id"]))
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 10}
+
+
+def test_asof_join_backward_with_misses():
+    import datetime
+
+    from openmrs_module_epts_etl_ray.stages.asof import asof_join
+    mk = lambda m: datetime.datetime(2024, 1, 1, 0, m)
+    left = _ds(lid=[1, 2, 3], user=[7, 7, 8], ts=[mk(10), mk(20), mk(5)])
+    right = _ds(rid=[100, 101], user=[7, 7], ts=[mk(10), mk(15)], v=[1.0, 2.0])
+    out = asof_join(left, right, by="user", on="ts",
+                    right_cols=["rid", "v"], num_buckets=4).to_pandas()
+    out = out.set_index("lid").sort_index()
+    assert out.loc[1, "rid"] == 100      # exact-ts match allowed
+    assert out.loc[2, "rid"] == 101      # latest at/before
+    assert pd.isna(out.loc[3, "rid"])    # user 8: no purchase -> null
+
