@@ -21,6 +21,17 @@ Layout::
     lake_root/
       data/bucket=<b>/state-<lsn_hi>.parquet      # full bucket state snapshot
       _commitlog/bucket=<b>/commit-<lsn_hi>.json  # manifest entry (atomic)
+
+Scale note — full snapshot per commit, deliberately: a CDC window over a
+zipf-skewed log touches most hot buckets anyway, reads of current state stay
+one file per bucket (no delta-chain replay on the read path), and the
+write amplification is bounded by bucket size — which is operator-controlled
+via ``num_buckets`` (more buckets at larger scale => smaller rewrites).
+Superseded snapshots are GC'd by :mod:`.compaction`. A delta-log variant
+(changed rows per commit + periodic full snapshot) trades read-path
+complexity for write amplification; at 10^10 events with 10k+ buckets the
+full-snapshot design keeps both paths O(bucket), which is the property that
+matters.
 """
 from __future__ import annotations
 

@@ -59,3 +59,21 @@ def test_lww_final_state_drops_deleted():
             (1, "insert", "r", "b", "keep")])
     out = lww_final_state(rd.from_arrow(t), num_buckets=4).to_pandas()
     assert out["path"].tolist() == ["b"]
+
+
+def test_lww_select_wide_lsn_span_fallback():
+    """LSN span too wide for the int64 composite => lexsort fallback path."""
+    import numpy as np
+
+    from openmrs_module_epts_etl_ray.stages.lww import lww_reduce_table
+    t = pa.table({
+        "lsn": pa.array([0, 2**62, 5, 2**62 + 1], pa.int64()),
+        "op": ["insert", "update", "insert", "update"],
+        "repo": ["r", "r", "r", "r"],
+        "path": ["a", "a", "b", "b"],
+        "commit": ["c"] * 4, "lang": ["py"] * 4,
+        "content": ["a0", "a1", "b0", "b1"],
+    })
+    out = lww_reduce_table(t).to_pydict()
+    got = dict(zip(out["path"], out["content"]))
+    assert got == {"a": "a1", "b": "b1"}
