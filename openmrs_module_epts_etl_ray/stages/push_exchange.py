@@ -54,11 +54,22 @@ class MergeActor:
         self.combine_threshold = combine_threshold
         self.parts: dict[int, list[pa.Table]] = {}
         self.part_rows: dict[int, int] = {}
+        self.seen_slices: set = set()
 
-    def ingest(self, table: pa.Table) -> int:
+    def ingest(self, table: pa.Table, slice_fp: int | None = None) -> int:
         """Fold one routed slice (rows of several owned buckets) into the
         per-bucket buffers. Returns rows accepted (the caller's ack doubles
-        as backpressure)."""
+        as backpressure).
+
+        ``slice_fp`` is the router's content fingerprint of this slice: a
+        map task that fails AFTER some ingest calls succeeded is re-executed
+        by Ray and re-sends identical slices — the final state is unaffected
+        (max-LSN is idempotent) but lineage ``events_seen`` would double
+        count, so replayed slices are dropped here."""
+        if slice_fp is not None:
+            if slice_fp in self.seen_slices:
+                return 0
+            self.seen_slices.add(slice_fp)
         if len(table) == 0:
             return 0
         b = table[BUCKET_COL].to_numpy()
@@ -113,10 +124,20 @@ class BucketRouter:
         oo = owner[order]
         bounds = np.flatnonzero(np.r_[True, oo[1:] != oo[:-1]])
         bounds = np.r_[bounds, len(oo)]
+        lsn = tbl["lsn"].to_numpy() if "lsn" in tbl.column_names else None
         refs = []
         for i in range(len(bounds) - 1):
             lo, hi = int(bounds[i]), int(bounds[i + 1])
-            refs.append(self.actors[int(oo[lo])].ingest.remote(tbl.slice(lo, hi - lo)))
+            sl = tbl.slice(lo, hi - lo)
+            if lsn is not None:
+                seg = lsn[lo:hi]
+                # order-independent content fingerprint: dedups task-retry
+                # re-sends without hashing the payload
+                fp = hash((int(seg.min()), int(seg.max()), len(seg),
+                           int(np.bitwise_xor.reduce(seg)), int(seg.sum())))
+            else:
+                fp = None
+            refs.append(self.actors[int(oo[lo])].ingest.remote(sl, fp))
         ray.get(refs)
         return pa.table({"rows_routed": pa.array([len(batch)], pa.int64())})
 

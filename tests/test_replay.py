@@ -138,3 +138,35 @@ def test_write_lineage_roundtrip(doc_events, tmp_lake):
     assert back["events_seen"].sum() == lin.to_pandas()["events_seen"].sum()
     assert set(back.columns) >= {"partition_id", "lsn_lo", "lsn_hi",
                                  "rows_applied", "state_sha", "committed"}
+
+
+def test_push_exchange_slice_replay_is_dropped(tmp_path):
+    """Simulated map-task retry: routing the identical block twice to the
+    same actors must not double-count lineage (exactly-once under retries)."""
+    import ray
+
+    from openmrs_module_epts_etl_ray.functions.hashing import add_bucket
+    from openmrs_module_epts_etl_ray.stages.push_exchange import (
+        BucketRouter, MergeActor,
+    )
+
+    t = pa.table({
+        "lsn": pa.array([1, 2, 3, 4], pa.int64()),
+        "op": ["insert"] * 4, "repo": ["r"] * 4,
+        "path": ["a", "b", "c", "d"], "commit": ["c"] * 4,
+        "lang": ["py"] * 4, "content": ["1", "2", "3", "4"],
+        "_n_events": pa.array([1, 1, 1, 1], pa.int64()),
+    })
+    t = add_bucket(t, ("repo", "path"), 4)
+    lake = str(tmp_path / "lake")
+    actors = [MergeActor.options(num_cpus=0).remote(lake, None, ("repo", "path"), True)
+              for _ in range(2)]
+    router = BucketRouter(actors, 2)
+    router(t)
+    router(t)  # the retry re-send
+    lin = pa.concat_tables(ray.get([a.flush.remote() for a in actors]),
+                           promote_options="default").to_pandas()
+    for a in actors:
+        ray.kill(a)
+    assert lin["events_seen"].sum() == 4
+    assert lin["rows_applied"].sum() == 4
