@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
 import tempfile
 
 import numpy as np
@@ -39,7 +40,8 @@ def q_cdc_replay_lww(sf_dir: str):
     """Flagship: full replay through MergeApplier + commit-log lake
     (SURVEY §2.12 / §7.1). Events derived deterministically from documents."""
     events = events_from_documents(sf_dir)
-    lake = tempfile.mkdtemp(prefix="cdc_lake_", dir="/tmp")
+    lake = "/tmp/cdc_lake_fixed"
+    shutil.rmtree(lake, ignore_errors=True)
     replay(events, lake, num_buckets=32).materialize()  # consume lineage
     state = read_lake(lake)
 
@@ -142,7 +144,8 @@ def q_cdc_replay_windowed(sf_dir: str):
     windows over a fresh lake — final state must equal the single-shot
     replay (and its oracle)."""
     events = events_from_documents(sf_dir)
-    lake = tempfile.mkdtemp(prefix="cdc_lake_w_", dir="/tmp")
+    lake = "/tmp/cdc_lake_w_fixed"
+    shutil.rmtree(lake, ignore_errors=True)
     hi = int(events.max("lsn"))
     cuts = [hi // 3, (2 * hi) // 3, hi]
     lo = -1
@@ -158,7 +161,8 @@ def q_cdc_replay_compacted(sf_dir: str):
     from ..state.compaction import compact_lake
 
     events = events_from_documents(sf_dir)
-    lake = tempfile.mkdtemp(prefix="cdc_lake_c_", dir="/tmp")
+    lake = "/tmp/cdc_lake_c_fixed"
+    shutil.rmtree(lake, ignore_errors=True)
     replay(events, lake, num_buckets=32).materialize()
     compact_lake(lake)
     return _project_lake(read_lake(lake))
@@ -254,7 +258,8 @@ def q_export_roundtrip(sf_dir: str):
 
     cust = read_table(sf_dir, "customer",
                       columns=["c_custkey", "c_name", "c_mktsegment"])
-    out = tempfile.mkdtemp(prefix="export_csv_", dir="/tmp")
+    out = "/tmp/export_csv_fixed"
+    shutil.rmtree(out, ignore_errors=True)
     export_files(cust, out, fmt="csv")
     return read_export(out, fmt="csv")
 

@@ -124,3 +124,32 @@ def test_schema_evolution_in_merge():
     assert "size_bytes" in df.columns
     assert df.loc["b", "size_bytes"] == 123
     assert df.loc["a", "size_bytes"] is None or df.loc["a", "size_bytes"] != df.loc["a", "size_bytes"]
+
+
+def test_keep_existing_policy_across_windows(tmp_path):
+    """End-to-end: with KEEP_EXISTING, a later window cannot overwrite a row
+    committed by an earlier window (reference onConflict semantics)."""
+    import ray.data as rd
+
+    from openmrs_module_epts_etl_ray.pipelines.replay import read_lake, replay
+    from openmrs_module_epts_etl_ray.stages.merge_applier import ConflictPolicy
+
+    w1 = pa.table({"lsn": pa.array([1], pa.int64()), "op": ["insert"],
+                   "repo": ["r"], "path": ["a"], "commit": ["c1"],
+                   "lang": ["py"], "content": ["first"]})
+    w2 = pa.table({"lsn": pa.array([2], pa.int64()), "op": ["update"],
+                   "repo": ["r"], "path": ["a"], "commit": ["c2"],
+                   "lang": ["py"], "content": ["second"]})
+    lake = str(tmp_path / "lake")
+    pol = ConflictPolicy(mode="keep_existing")
+    replay(rd.from_arrow(w1), lake, num_buckets=2, policy=pol).materialize()
+    replay(rd.from_arrow(w2), lake, num_buckets=2, policy=pol).materialize()
+    df = read_lake(lake).to_pandas()
+    assert list(df["content"]) == ["first"]
+
+    # and with the default LWW policy the update wins
+    lake2 = str(tmp_path / "lake2")
+    replay(rd.from_arrow(w1), lake2, num_buckets=2).materialize()
+    replay(rd.from_arrow(w2), lake2, num_buckets=2).materialize()
+    df2 = read_lake(lake2).to_pandas()
+    assert list(df2["content"]) == ["second"]
