@@ -525,6 +525,32 @@ def q_ann_topk(sf_dir: str):
     return topk.map_batches(finish, batch_format="pandas")
 
 
+def q_corpus_prep(sf_dir: str):
+    """Composite training-corpus prep: quality filter -> exact dedup ->
+    per-doc stats. The operator-chaining flagship for the training-data
+    surface; every stage vectorized, only (sha, id) pairs shuffle."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      override_num_blocks=32)
+
+    def quality_gate(df: pd.DataFrame) -> pd.DataFrame:
+        n_chars = df["text"].str.len()
+        alpha = df["text"].str.count(r"[A-Za-z]")
+        keep = (n_chars >= 100) & (alpha * 2 >= n_chars)
+        return df[keep]
+
+    good = docs.map_batches(quality_gate, batch_format="pandas")
+    winners = dedup.exact_dedup(good, text_col="text", id_col="doc_id")
+
+    stats = good.map_batches(
+        lambda df: pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "n_chars": df["text"].str.len().astype("int64").to_numpy(),
+            "n_tokens": df["text"].str.split().str.len().astype("int64").to_numpy(),
+        }), batch_format="pandas")
+    kept = joins.semi_join(stats, winners.select_columns(["doc_id"]), ["doc_id"])
+    return kept
+
+
 # -- rows-only checked (non-SQL-expressible; verified in tests/) -----------
 
 def q_minhash_near_dups(sf_dir: str):
@@ -656,6 +682,7 @@ QUERIES = {
     "top_orders": q_top_orders,
     "union_extracts": q_union_extracts,
     "dedup_exact": q_dedup_exact,
+    "corpus_prep": q_corpus_prep,
     "token_stats": q_token_stats,
     "quality_scores": q_quality_scores,
     "ann_topk": q_ann_topk,
@@ -850,6 +877,19 @@ WHERE o_orderstatus = 'O' AND o_totalprice > 400000
 UNION ALL
 SELECT o_orderkey, o_orderstatus FROM orders
 WHERE o_orderstatus = 'F' AND o_totalprice > 400000
+""",
+    "corpus_prep": """
+WITH good AS (
+  SELECT doc_id, text FROM documents
+  WHERE length(text) >= 100
+    AND length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 2 >= length(text)
+),
+winners AS (
+  SELECT MIN(doc_id) AS doc_id FROM good GROUP BY sha256(text)
+)
+SELECT g.doc_id, CAST(length(g.text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_split_to_array(trim(g.text), '\\s+')) AS BIGINT) AS n_tokens
+FROM good g JOIN winners w ON g.doc_id = w.doc_id
 """,
     "dedup_exact": """
 SELECT MIN(doc_id) AS doc_id, sha256(substring(text, 1, 80)) AS content_sha
