@@ -604,6 +604,26 @@ def q_asof_last_purchase(sf_dir: str):
                        "purchase_value"]], batch_format="pandas")
 
 
+def q_range_join_clicks_after_signup(sf_dir: str):
+    """Range join: clicks by the same user within 7 days AFTER a signup,
+    rolled up per signup (stages/asof.py::range_join)."""
+    from ray.data.aggregate import Count
+
+    from ..stages.asof import range_join
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "event_type", "ts"])
+    signups = filter_expr(ev, lambda t: pc.equal(t["event_type"], "signup"))         .map_batches(lambda t: pa.table({
+            "signup_id": t["event_id"], "user_id": t["user_id"], "ts": t["ts"]}),
+            batch_format="pyarrow")
+    clicks = filter_expr(ev, lambda t: pc.equal(t["event_type"], "click"))         .map_batches(lambda t: pa.table({
+            "click_id": t["event_id"], "user_id": t["user_id"], "ts": t["ts"]}),
+            batch_format="pyarrow")
+    pairs = range_join(signups, clicks, by="user_id", on="ts",
+                       lo_offset="0s", hi_offset="7D")
+    return pairs.groupby("signup_id").aggregate(Count(alias_name="n_clicks"))
+
+
 def q_windowed_aggregate(sf_dir: str):
     """Tumbling 1-day event-time windows per event_type (streaming-shaped
     workload expressed batch-native; see stages/windows.py)."""
@@ -692,6 +712,7 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "embedding_near_dups": q_embedding_near_dups,
     "asof_last_purchase": q_asof_last_purchase,
+    "range_join_clicks_after_signup": q_range_join_clicks_after_signup,
     "windowed_aggregate": q_windowed_aggregate,
     "near_dup_clusters": q_near_dup_clusters,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -764,6 +785,15 @@ p AS (SELECT event_id AS purchase_id, user_id, ts, ROUND(value, 2) AS purchase_v
       FROM events WHERE event_type = 'purchase')
 SELECT c.click_id, c.user_id, c.ts, p.purchase_id, p.purchase_value
 FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+""",
+    "range_join_clicks_after_signup": """
+WITH s AS (SELECT event_id AS signup_id, user_id, ts FROM events
+           WHERE event_type = 'signup'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+SELECT s.signup_id, CAST(COUNT(*) AS BIGINT) AS n_clicks
+FROM s JOIN c ON s.user_id = c.user_id
+ AND c.ts >= s.ts AND c.ts <= s.ts + INTERVAL 7 DAY
+GROUP BY s.signup_id
 """,
     "windowed_aggregate": """
 SELECT date_trunc('day', ts) AS window_start, event_type,

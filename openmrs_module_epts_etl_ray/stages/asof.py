@@ -61,3 +61,50 @@ def asof_join(
 
     return tagged.repartition(num_buckets).groupby(BUCKET_COL).map_groups(
         join_bucket, batch_format="pandas")
+
+
+def range_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    by: str,
+    on: str,
+    lo_offset,
+    hi_offset,
+    num_buckets: int = 16,
+) -> rd.Dataset:
+    """Interval join: pair each left row with every right row of the same
+    ``by`` key whose ``on`` lies in ``[left.on + lo_offset, left.on +
+    hi_offset]``. Same bucketed-cogroup shape as :func:`asof_join` (one
+    shuffle); within a bucket the match is an equi-merge on the key followed
+    by a vectorized interval filter.
+
+    Scale note: output volume is the true cost (each left row may match many
+    right rows). When a single key's timeline is dense, band the time axis
+    upstream (add a coarse time-bucket to ``by``) so a pair's candidates
+    co-locate without the full key history joining against itself.
+    """
+    def tag(side):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.append_column(_SIDE, pa.array([side] * len(t)))
+            return add_bucket(t, (by,), num_buckets)
+        return fn
+
+    tagged = left.map_batches(tag("l"), batch_format="pyarrow").union(
+        right.map_batches(tag("r"), batch_format="pyarrow"))
+    lo = pd.Timedelta(lo_offset) if isinstance(lo_offset, str) else lo_offset
+    hi = pd.Timedelta(hi_offset) if isinstance(hi_offset, str) else hi_offset
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=[BUCKET_COL])
+        l = g[g[_SIDE] == "l"].drop(columns=[_SIDE]).dropna(axis=1, how="all")
+        r = g[g[_SIDE] == "r"].drop(columns=[_SIDE]).dropna(axis=1, how="all")
+        if len(l) == 0 or len(r) == 0:
+            return l.iloc[0:0].merge(r.iloc[0:0], on=by, suffixes=("", "_right"))
+        m = l.merge(r, on=by, suffixes=("", "_right"))
+        t0 = m[on]
+        t1 = m[f"{on}_right"]
+        return m[(t1 >= t0 + lo) & (t1 <= t0 + hi)]
+
+    return tagged.repartition(num_buckets).groupby(BUCKET_COL).map_groups(
+        join_bucket, batch_format="pandas")
