@@ -397,6 +397,34 @@ def q_fields_mapping(sf_dir: str):
     return apply_transform(cust, transform)
 
 
+def q_multi_dst_fanout(sf_dir: str):
+    """One src -> multiple dstConf mappings in one pass (reference
+    EtlItemConfiguration: srcConf + list of dstConf, each with its own
+    FieldsMapping). Both destination rows are emitted from ONE scan of the
+    src batch and unioned with a dst tag."""
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_name", "c_acctbal", "c_mktsegment"])
+
+    def fanout(t: pa.Table) -> pa.Table:
+        dim = pa.table({
+            "dst": pa.array(["customer_dim"] * len(t)),
+            "customer_id": t["c_custkey"],
+            "payload": t["c_name"],
+        })
+        seg = pa.table({
+            "dst": pa.array(["segment_balance"] * len(t)),
+            "customer_id": t["c_custkey"],
+            "payload": pc.binary_join_element_wise(
+                pc.utf8_lower(t["c_mktsegment"]),
+                pc.cast(pc.cast(pc.round(pc.multiply(t["c_acctbal"], 100.0)),
+                                pa.int64()), pa.string()),
+                ":"),
+        })
+        return pa.concat_tables([dim, seg])
+
+    return cust.map_batches(fanout, batch_format="pyarrow")
+
+
 def q_filter_predicate(sf_dir: str):
     """Extraction predicate (M4) + scalar aggregate: TPC-H Q6 shape."""
     li = read_table(sf_dir, "lineitem",
@@ -697,6 +725,7 @@ QUERIES = {
     "priority_big_lineitem_orders": q_priority_big_lineitem_orders,
     "reconcile_orders": q_reconcile_orders,
     "fields_mapping": q_fields_mapping,
+    "multi_dst_fanout": q_multi_dst_fanout,
     "filter_predicate": q_filter_predicate,
     "distinct_flag_status": q_distinct_flag_status,
     "top_orders": q_top_orders,
@@ -886,6 +915,15 @@ SELECT c_custkey AS customer_id, c_name AS customer_name,
        'epts' AS origin_app, CAST(NULL AS VARCHAR) AS legacy_note,
        CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS acctbal_cents,
        LOWER(c_mktsegment) AS mktsegment
+FROM customer
+""",
+    "multi_dst_fanout": """
+SELECT 'customer_dim' AS dst, c_custkey AS customer_id, c_name AS payload
+FROM customer
+UNION ALL
+SELECT 'segment_balance' AS dst, c_custkey AS customer_id,
+       LOWER(c_mktsegment) || ':' ||
+       CAST(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS VARCHAR) AS payload
 FROM customer
 """,
     "filter_predicate": """
