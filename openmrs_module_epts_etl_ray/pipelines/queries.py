@@ -535,7 +535,7 @@ def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-k: query matrix broadcast once, scatter-gather."""
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"],
                      override_num_blocks=16)
-    qrows = emb.filter(lambda r: r["vec_id"] < 8).take_all()
+    qrows = filter_expr(emb, lambda t: pc.less(t["vec_id"], 8)).take_all()
     qrows.sort(key=lambda r: r["vec_id"])
     Q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
     qids = [int(r["vec_id"]) for r in qrows]
@@ -685,7 +685,7 @@ def q_ann_ivf_topk(sf_dir: str):
     tests (approximate => rows-only here)."""
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"],
                      override_num_blocks=16)
-    qrows = emb.filter(lambda r: r["vec_id"] < 8).take_all()
+    qrows = filter_expr(emb, lambda t: pc.less(t["vec_id"], 8)).take_all()
     qrows.sort(key=lambda r: r["vec_id"])
     Q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
     qids = [int(r["vec_id"]) for r in qrows]
