@@ -177,3 +177,54 @@ def test_asof_join_backward_with_misses():
     assert out.loc[2, "rid"] == 101      # latest at/before
     assert pd.isna(out.loc[3, "rid"])    # user 8: no purchase -> null
 
+
+
+def test_json_process_config_runner(tmp_path):
+    """Reference-vocabulary JSON config (srcConf/dstConf/FieldsMapping)
+    compiles to the Ray pipeline and writes both destinations."""
+    from openmrs_module_epts_etl_ray.pipelines.config import run_config
+
+    cfg = {
+        "processType": "etl",
+        "etlConfiguration": [{
+            "srcConf": {
+                "tableName": "customer",
+                "sfDir": "/root/testdata/sf0.001",
+                "columns": ["c_custkey", "c_name", "c_acctbal"],
+                "extraConditionForExtract": "c_acctbal > 0",
+            },
+            "dstConf": [
+                {"tableName": "customer_dim",
+                 "mapping": [
+                     {"srcField": "c_custkey", "dstField": "customer_id"},
+                     {"srcField": "c_name", "dstField": "name"},
+                     {"srcValue": "epts", "dstField": "origin_app"},
+                     {"mapToNullValue": True, "dstField": "legacy", "type": "string"},
+                 ],
+                 "dstType": "parquet",
+                 "outDir": str(tmp_path / "dim")},
+                {"tableName": "balances",
+                 "mapping": [
+                     {"srcField": "c_custkey", "dstField": "customer_id"},
+                     {"srcField": "c_acctbal", "dstField": "balance"},
+                 ],
+                 "dstType": "csv",
+                 "outDir": str(tmp_path / "bal")},
+            ],
+        }],
+    }
+    outs = run_config(cfg)
+    assert set(outs) == {"customer_dim", "balances"}
+
+    import duckdb
+    con = duckdb.connect()
+    want = con.sql("SELECT count(*) FROM read_parquet("
+                   "'/root/testdata/sf0.001/customer.parquet') WHERE c_acctbal > 0"
+                   ).fetchone()[0]
+    dim = rd.read_parquet(outs["customer_dim"]).to_pandas()
+    assert len(dim) == want
+    assert set(dim.columns) == {"customer_id", "name", "origin_app", "legacy"}
+    assert (dim["origin_app"] == "epts").all()
+    assert dim["legacy"].isna().all()
+    bal = rd.read_csv(outs["balances"]).to_pandas()
+    assert len(bal) == want
