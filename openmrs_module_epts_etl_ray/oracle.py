@@ -13,15 +13,24 @@ import hashlib
 import pyarrow as pa
 
 
+_OP_RANK = {"delete": 0, "insert": 1, "update": 2}
+
+
 def oracle_replay(events: pa.Table, key_cols=("repo", "path")) -> dict[tuple, dict]:
-    """Returns key -> final row dict (tombstoned keys excluded)."""
+    """Returns key -> final row dict (tombstoned keys excluded).
+
+    Tie-break for pathological non-identical same-LSN pairs: highest op rank
+    wins (update > insert > delete) — the engine's documented deterministic
+    rule (stages/lww.py); true idempotent replays are identical rows, so the
+    rule only matters for malformed logs."""
     rows = events.to_pylist()
-    rows.sort(key=lambda r: (r["lsn"], r["op"]))
+    rows.sort(key=lambda r: (r["lsn"], _OP_RANK.get(r["op"], 1)))
     state: dict[tuple, dict] = {}
     for r in rows:
         k = tuple(r[c] for c in key_cols)
         cur = state.get(k)
-        if cur is not None and cur["lsn"] >= r["lsn"]:
+        if cur is not None and (cur["lsn"], _OP_RANK.get(cur["op"], 1)) >= (
+                r["lsn"], _OP_RANK.get(r["op"], 1)):
             continue  # stale or idempotent replay
         state[k] = r
     return {
