@@ -133,3 +133,53 @@ def write_lineage(lineage: rd.Dataset, lake_root: str, run_id: str) -> None:
     """Persist the run's lineage rows under the lake (audit trail; reference:
     operation-history stage tables, ``common/model/SyncImportInfoDAO.java``)."""
     lineage.write_parquet(os.path.join(lake_root, "_lineage", f"run={run_id}"))
+
+
+def replay_until_caught_up(
+    events: rd.Dataset,
+    lake_root: str,
+    *,
+    window_size: int,
+    num_buckets: int = 64,
+    policy: ConflictPolicy | None = None,
+    key_cols: tuple[str, ...] = ("repo", "path"),
+    engine: str = "push",
+) -> list[rd.Dataset]:
+    """Tail the log in LSN windows from the committed low-watermark to the
+    log head — the micro-batch driver loop (reference: the re-runnable
+    detection windows, ``ProcessController.reRunConditionsAreSatisfied:562-586``).
+
+    Each window is one exactly-once :func:`replay`; a crash between windows
+    resumes from the commit-log watermark on the next call. Returns the
+    per-window lineage Datasets.
+    """
+    head = events.max("lsn")
+    if head is None:
+        return []
+    # NOTE: the per-bucket low-watermark is a LOWER bound only (min over
+    # buckets of each bucket's own applied max) — it prunes re-reads but
+    # cannot drive the window cursor, because buckets that never see the
+    # head LSN keep the min below it forever. The cursor advances by
+    # explicit windows from a persisted head marker; the per-bucket
+    # watermarks inside replay() make any overlap idempotent.
+    import json
+    import tempfile
+
+    marker = os.path.join(lake_root, "_commitlog", "head.json")
+    lo = CommitLog(lake_root).min_committed_lsn()
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            lo = max(lo, json.load(fh)["lsn"])
+    out = []
+    while lo < head:
+        hi = min(lo + window_size, head)
+        out.append(replay(events, lake_root, num_buckets=num_buckets,
+                          policy=policy, key_cols=key_cols,
+                          lsn_range=(lo, hi), engine=engine).materialize())
+        lo = hi
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(marker), suffix=".tmp")
+        with os.fdopen(fd, "w") as fh:
+            json.dump({"lsn": lo}, fh)
+        os.replace(tmp, marker)
+    return out

@@ -170,3 +170,16 @@ def test_push_exchange_slice_replay_is_dropped(tmp_path):
         ray.kill(a)
     assert lin["events_seen"].sum() == 4
     assert lin["rows_applied"].sum() == 4
+
+
+def test_replay_until_caught_up(doc_events, tmp_path):
+    from openmrs_module_epts_etl_ray.oracle import oracle_final_shas
+    from openmrs_module_epts_etl_ray.pipelines.replay import replay_until_caught_up
+
+    ds, tbl = doc_events
+    lake = str(tmp_path / "lake")
+    windows = replay_until_caught_up(ds, lake, window_size=1500, num_buckets=8)
+    assert len(windows) >= 2  # actually micro-batched
+    assert final_shas(lake) == oracle_final_shas(tbl)
+    # caught up: another call is a no-op
+    assert replay_until_caught_up(ds, lake, window_size=1500, num_buckets=8) == []
