@@ -436,3 +436,72 @@ def connected_components(pairs: rd.Dataset) -> pd.DataFrame:
             parent[rb] = ra
     rows = sorted((x, find(x)) for x in parent)
     return pd.DataFrame(rows, columns=["doc_id", "canonical_id"])
+
+
+def connected_components_distributed(
+    pairs: rd.Dataset, *, max_iters: int = 20,
+) -> rd.Dataset:
+    """All-distributed connected components by iterative min-label
+    propagation — the scale path of :func:`connected_components` for
+    candidate graphs too large to collect.
+
+    Each round: every edge forwards min(label_a, label_b) to both endpoints;
+    a groupby-min folds messages per node; converged when no label changes
+    (checked with one small aggregate per round). Rounds needed = graph
+    diameter (near-dup clusters are shallow — typically 2-4).
+
+    The per-round label lookup is broadcast (``ray.put`` of the label map —
+    comfortable to ~10^7 labeled nodes); beyond that, replace the lookup
+    with two shuffle joins (edges ⋈ labels on each endpoint) — the loop
+    shape and the groupby-min fold stay identical.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    edges = pairs.map_batches(
+        lambda t: pa.table({"id_a": pc.cast(t["id_a"], pa.int64()),
+                            "id_b": pc.cast(t["id_b"], pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    # labels: every endpoint starts as its own label
+    nodes = edges.map_batches(
+        lambda t: pa.table({"doc_id": pa.concat_arrays(
+            [t["id_a"].combine_chunks(), t["id_b"].combine_chunks()])}),
+        batch_format="pyarrow")
+    labels = nodes.groupby("doc_id").map_groups(
+        lambda g: g.head(1), batch_format="pandas").map_batches(
+        lambda t: pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                            "label": pc.cast(t["doc_id"], pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    for _ in range(max_iters):
+        lab = {int(r["doc_id"]): int(r["label"])
+               for b in labels.iter_batches(batch_format="pandas")
+               for r in b.to_dict("records")}
+        import ray as _ray
+        ref = _ray.put(lab)
+
+        def propagate(t: pa.Table) -> pa.Table:
+            l = _ray.get(ref)
+            a = t["id_a"].to_numpy()
+            b = t["id_b"].to_numpy()
+            la = np.array([l[x] for x in a])
+            lb = np.array([l[x] for x in b])
+            m = np.minimum(la, lb)
+            return pa.table({"doc_id": np.r_[a, b], "label": np.r_[m, m]})
+
+        msgs = edges.map_batches(propagate, batch_format="pyarrow")
+        self_msgs = labels.map_batches(
+            lambda t: t.select(["doc_id", "label"]), batch_format="pyarrow")
+        new_labels = msgs.union(self_msgs).groupby("doc_id").aggregate(
+            Min("label", alias_name="label")).materialize()
+        changed = sum(
+            int((b["label"].to_numpy() != np.array(
+                [lab[i] for i in b["doc_id"].to_numpy()])).sum())
+            for b in new_labels.iter_batches(batch_format="pandas"))
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "canonical_id": t["label"]}),
+        batch_format="pyarrow")

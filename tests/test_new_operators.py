@@ -228,3 +228,14 @@ def test_json_process_config_runner(tmp_path):
     assert dim["legacy"].isna().all()
     bal = rd.read_csv(outs["balances"]).to_pandas()
     assert len(bal) == want
+
+
+def test_connected_components_distributed_matches_union_find():
+    from openmrs_module_epts_etl_ray.stages.dedup import (
+        connected_components, connected_components_distributed,
+    )
+    pairs = _ds(id_a=[1, 2, 10, 20, 30, 31], id_b=[2, 3, 11, 10, 31, 32])
+    want = connected_components(pairs).set_index("doc_id")["canonical_id"].to_dict()
+    got_df = connected_components_distributed(pairs).to_pandas()
+    got = dict(zip(got_df["doc_id"].astype(int), got_df["canonical_id"].astype(int)))
+    assert got == want
