@@ -52,7 +52,21 @@ def replay(
     exchange (identical committed state, kept for comparison and as the
     path a multi-node sort-shuffle deployment would take).
     """
-    ckpt_lo = CommitLog(lake_root).min_committed_lsn()
+    # validation FIRST: the window filter silently drops null-LSN rows
+    # (null comparisons filter false), so malformed rows must be diverted
+    # to the dead-letter channel before any LSN predicate runs
+    if dead_letter_dir is not None:
+        from ..stages.validate import Validator
+
+        events = events.map_batches(
+            Validator(dead_letter_dir, key_cols=key_cols),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    log = CommitLog(lake_root)
+    # the lake's bucketing is pinned at creation; a mismatched num_buckets
+    # arg is overridden by the stored value (see CommitLog.ensure_bucketing)
+    num_buckets = log.ensure_bucketing(num_buckets)
+    ckpt_lo = log.min_committed_lsn()
     lo = max(ckpt_lo, lsn_range[0]) if lsn_range else ckpt_lo
     hi = lsn_range[1] if lsn_range else None
     if lo >= 0 or hi is not None:
@@ -62,13 +76,6 @@ def replay(
                 mask = pc.and_(mask, pc.less_equal(batch["lsn"], hi))
             return batch.filter(mask)
         events = events.map_batches(window, batch_format="pyarrow")
-
-    if dead_letter_dir is not None:
-        from ..stages.validate import Validator
-
-        events = events.map_batches(
-            Validator(dead_letter_dir, key_cols=key_cols),
-            batch_format="pyarrow", zero_copy_batch=True)
 
     collapsed = events.map_batches(
         PartialLww(key_cols=key_cols, num_buckets=num_buckets),

@@ -40,21 +40,25 @@ def asof_join(
             return add_bucket(t, (by,), num_buckets)
         return fn
 
+    # capture each side's column set UP FRONT: inside a bucket the union
+    # null-fills the absent side's columns, and a bucket may hold rows from
+    # only one side (recovering columns by dropna would drop everything)
+    left_cols = list(left.schema().names)
+    keep = [by, on] + [c for c in right_cols if c not in (by, on)]
+    extra = [c for c in right_cols if c not in (by, on)]
+
     tagged = left.map_batches(tag("l"), batch_format="pyarrow").union(
         right.map_batches(tag("r"), batch_format="pyarrow"))
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop(columns=[BUCKET_COL])
-        l = g[g[_SIDE] == "l"].drop(columns=[_SIDE]).dropna(axis=1, how="all")
-        r = g[g[_SIDE] == "r"].drop(columns=[_SIDE]).dropna(axis=1, how="all")
-        l = l.sort_values(on, kind="stable")
-        keep = [by, on] + [c for c in right_cols if c not in (by, on)]
-        if len(r) == 0:
+        l = g[g[_SIDE] == "l"].reindex(columns=left_cols).sort_values(on, kind="stable")
+        r = g[g[_SIDE] == "r"].reindex(columns=keep)
+        if len(r) == 0 or len(l) == 0:
             out = l.copy()
-            for c in right_cols:
-                out[f"{c}{suffix}" if c in l.columns else c] = None
+            for c in extra:
+                out[f"{c}{suffix}" if c in left_cols else c] = None
             return out
-        r = r[keep].sort_values(on, kind="stable")
+        r = r.sort_values(on, kind="stable")
         merged = pd.merge_asof(l, r, on=on, by=by, direction="backward",
                                suffixes=("", suffix))
         return merged
@@ -90,15 +94,18 @@ def range_join(
             return add_bucket(t, (by,), num_buckets)
         return fn
 
+    # explicit per-side column capture — see asof_join for why
+    left_cols = list(left.schema().names)
+    rt_cols = list(right.schema().names)
+
     tagged = left.map_batches(tag("l"), batch_format="pyarrow").union(
         right.map_batches(tag("r"), batch_format="pyarrow"))
     lo = pd.Timedelta(lo_offset) if isinstance(lo_offset, str) else lo_offset
     hi = pd.Timedelta(hi_offset) if isinstance(hi_offset, str) else hi_offset
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop(columns=[BUCKET_COL])
-        l = g[g[_SIDE] == "l"].drop(columns=[_SIDE]).dropna(axis=1, how="all")
-        r = g[g[_SIDE] == "r"].drop(columns=[_SIDE]).dropna(axis=1, how="all")
+        l = g[g[_SIDE] == "l"].reindex(columns=left_cols)
+        r = g[g[_SIDE] == "r"].reindex(columns=rt_cols)
         if len(l) == 0 or len(r) == 0:
             return l.iloc[0:0].merge(r.iloc[0:0], on=by, suffixes=("", "_right"))
         m = l.merge(r, on=by, suffixes=("", "_right"))

@@ -144,8 +144,11 @@ def minhash_lsh_candidates(
 ) -> rd.Dataset:
     """Candidate near-dup pairs (id_a < id_b) from LSH band collisions.
 
-    Buckets larger than ``max_bucket`` are truncated (logged via the
-    ``truncated`` column) — the standard guard against degenerate buckets.
+    Degenerate buckets larger than ``max_bucket`` are truncated to the
+    ``max_bucket`` smallest ids (all-pairs cost is quadratic in bucket
+    size); pairs among the overflow are dropped SILENTLY — pass
+    ``max_bucket=None`` via the underlying ``_bucket_pairs`` when full
+    recall matters more than the quadratic guard.
     """
     sigs = ds.map_batches(
         MinHasher,
@@ -179,9 +182,14 @@ def verify_jaccard(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> rd.Dataset:
-    """Exact n-gram Jaccard over candidate pairs. The doc texts are joined in
-    by id (two hash joins on bounded candidate sets), so only candidate
-    texts move — never the corpus."""
+    """Exact n-gram Jaccard over candidate pairs.
+
+    Text lookup strategy: the WHOLE corpus text map is collected and
+    broadcast once (``ray.put``) — right for corpora whose text fits a
+    node's memory (the common case after upstream filtering; candidate
+    verification reads texts many times). For corpora beyond that, swap
+    the broadcast for two shuffle joins (candidates ⋈ docs on id_a, then
+    id_b via ``stages.joins.inner_join``) so only candidate texts move."""
     import ray
 
     # At candidate-set scale the text lookup fits as a broadcast dict; the
@@ -502,6 +510,13 @@ def connected_components_distributed(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        import warnings
+        warnings.warn(
+            f"connected_components_distributed: not converged after "
+            f"{max_iters} rounds ({changed} labels still changing) — "
+            f"component diameter exceeds max_iters; labels are partial",
+            stacklevel=2)
     return labels.map_batches(
         lambda t: pa.table({"doc_id": t["doc_id"], "canonical_id": t["label"]}),
         batch_format="pyarrow")

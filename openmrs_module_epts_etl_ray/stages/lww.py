@@ -143,7 +143,14 @@ class PartialLww:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
-            return batch
+            # keep the OUTPUT schema even for empty blocks (a window filter
+            # can empty a block; heterogeneous schemas break the exchange)
+            out = batch
+            if N_EVENTS_COL not in out.column_names:
+                out = out.append_column(N_EVENTS_COL, pa.array([], pa.int64()))
+            if self.num_buckets is not None and BUCKET_COL not in out.column_names:
+                out = out.append_column(BUCKET_COL, pa.array([], pa.int64()))
+            return out
         winner_rows, counts, codes, dictionary = lww_select(
             batch, self.key_cols, self.lsn_col)
         out = _with_counts(batch, winner_rows, counts)

@@ -56,7 +56,7 @@ class MergeActor:
         self.part_rows: dict[int, int] = {}
         self.seen_slices: set = set()
 
-    def ingest(self, table: pa.Table, slice_fp: int | None = None) -> int:
+    def ingest(self, table: pa.Table, slice_fp: str | None = None) -> int:
         """Fold one routed slice (rows of several owned buckets) into the
         per-bucket buffers. Returns rows accepted (the caller's ack doubles
         as backpressure).
@@ -111,11 +111,17 @@ class BucketRouter:
     and pushes the slices; the ``ray.get`` on the acks is the backpressure
     (a map task cannot run ahead of the merge actors)."""
 
-    def __init__(self, actors: list, num_actors: int):
+    def __init__(self, actors: list, num_actors: int,
+                 key_cols: tuple[str, ...] = ("repo", "path")):
         self.actors = actors
         self.num_actors = num_actors
+        self.key_cols = tuple(key_cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        from ..functions.hashing import key_hash
+
         if len(batch) == 0:
             return pa.table({"rows_routed": pa.array([], pa.int64())})
         owner = (batch[BUCKET_COL].to_numpy() % self.num_actors).astype(np.int64)
@@ -125,16 +131,22 @@ class BucketRouter:
         bounds = np.flatnonzero(np.r_[True, oo[1:] != oo[:-1]])
         bounds = np.r_[bounds, len(oo)]
         lsn = tbl["lsn"].to_numpy() if "lsn" in tbl.column_names else None
+        # per-row SipHash of the composite key: the slice fingerprint must
+        # distinguish slices whose LSN sets coincide but whose KEYS differ
+        # (same-transaction CDC rows share an LSN across many keys), so it
+        # hashes the (lsn, keyhash) byte streams — a collision now needs two
+        # distinct slices agreeing on the full 128-bit digest
+        kh = key_hash(tbl, self.key_cols) if all(
+            c in tbl.column_names for c in self.key_cols) else None
         refs = []
         for i in range(len(bounds) - 1):
             lo, hi = int(bounds[i]), int(bounds[i + 1])
             sl = tbl.slice(lo, hi - lo)
             if lsn is not None:
-                seg = lsn[lo:hi]
-                # order-independent content fingerprint: dedups task-retry
-                # re-sends without hashing the payload
-                fp = hash((int(seg.min()), int(seg.max()), len(seg),
-                           int(np.bitwise_xor.reduce(seg)), int(seg.sum())))
+                h = hashlib.blake2b(lsn[lo:hi].tobytes(), digest_size=16)
+                if kh is not None:
+                    h.update(kh[lo:hi].tobytes())
+                fp = h.hexdigest()
             else:
                 fp = None
             refs.append(self.actors[int(oo[lo])].ingest.remote(sl, fp))
@@ -161,7 +173,7 @@ def push_exchange_merge(
     ]
     try:
         routed = collapsed.map_batches(
-            BucketRouter(actors, num_actors),
+            BucketRouter(actors, num_actors, key_cols=key_cols),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )

@@ -38,7 +38,12 @@ class _BatchTopK:
         ids = batch[self.id_col].to_numpy()
         S = self.Q @ V.T                                              # (q, n)
         k = min(self.k, S.shape[1])
-        idx = np.argpartition(-S, kth=k - 1, axis=1)[:, :k]
+        # full lexsort per query row: deterministic (cosine desc, id asc)
+        # tie-break matching the oracle's ORDER BY cos DESC, vec_id ASC even
+        # when duplicate vectors straddle the k-th slot (argpartition splits
+        # boundary ties arbitrarily); q is small, so q * n log n is cheap
+        idx = np.stack([np.lexsort((ids, -S[qi]))[:k]
+                        for qi in range(S.shape[0])])
         out = {
             "query_id": np.repeat(self.query_ids, k),
             self.id_col: ids[idx].ravel(),

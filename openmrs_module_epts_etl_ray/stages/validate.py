@@ -75,9 +75,13 @@ class Validator:
             lsns = bad["lsn"].to_pylist()
             lo = min((x for x in lsns if x is not None), default=-1)
             hi = max((x for x in lsns if x is not None), default=-1)
-            fp = hashlib.sha256(
-                f"{lo}-{hi}-{len(bad)}-{sorted(set(bad[REASON_COL].to_pylist()))}"
-                .encode()).hexdigest()[:12]
+            # content digest over the full bad rows: distinct blocks with
+            # coincidentally equal (lo, hi, n, reasons) must NOT collide —
+            # a collision overwrites another block's error records
+            h = hashlib.sha256()
+            for col in bad.column_names:
+                h.update(repr(bad[col].to_pylist()).encode())
+            fp = h.hexdigest()[:16]
             path = os.path.join(self.dir, f"errors-{lo}-{hi}-{len(bad)}-{fp}.parquet")
             tmp = path + ".tmp"
             pq.write_table(bad, tmp)

@@ -100,6 +100,24 @@ class CommitLog:
             return pa.table({}) if schema is None else schema.empty_table()
         return pq.read_table(os.path.join(self._bucket_data_dir(bucket), cur["file"]))
 
+    def ensure_bucketing(self, num_buckets: int) -> int:
+        """Pin the lake's bucket count on first use and return the effective
+        value. Keys are routed by ``hash % num_buckets``; replaying an
+        existing lake under a DIFFERENT count would split a key's history
+        across old and new buckets and read_lake would emit stale duplicates
+        — so the stored value always wins. Rebucketing is an offline rewrite
+        (read_lake -> replay into a fresh lake)."""
+        path = os.path.join(self.log_dir, "bucketing.json")
+        if os.path.exists(path):
+            with open(path) as fh:
+                return json.load(fh)["num_buckets"]
+        os.makedirs(self.log_dir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=self.log_dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as fh:
+            json.dump({"num_buckets": int(num_buckets)}, fh)
+        os.replace(tmp, path)
+        return int(num_buckets)
+
     # -- write side ----------------------------------------------------
     def commit_state(self, bucket: int, lsn_hi: int, state: pa.Table, meta: dict | None = None) -> bool:
         """Atomically persist a bucket snapshot. Returns False if this

@@ -239,3 +239,22 @@ def test_connected_components_distributed_matches_union_find():
     got_df = connected_components_distributed(pairs).to_pandas()
     got = dict(zip(got_df["doc_id"].astype(int), got_df["canonical_id"].astype(int)))
     assert got == want
+
+
+def test_asof_and_range_join_single_side_buckets():
+    """Buckets holding rows from only one side must not crash (keys present
+    on one side only, many buckets so some see a single side)."""
+    import datetime
+
+    from openmrs_module_epts_etl_ray.stages.asof import asof_join, range_join
+    mk = lambda m: datetime.datetime(2024, 1, 1, 0, m)
+    left = _ds(lid=[1, 2], user=[1, 2], ts=[mk(10), mk(20)])
+    right = _ds(rid=[9], user=[77], ts=[mk(1)], v=[5.0])  # user 77: right-only
+    out = asof_join(left, right, by="user", on="ts",
+                    right_cols=["rid", "v"], num_buckets=8).to_pandas()
+    assert sorted(out["lid"]) == [1, 2]
+    assert out["rid"].isna().all()
+
+    rj = range_join(left, right, by="user", on="ts",
+                    lo_offset="0s", hi_offset="1D", num_buckets=8).to_pandas()
+    assert len(rj) == 0

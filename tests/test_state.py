@@ -59,3 +59,26 @@ def test_lineage_row_schema():
                       committed=True)
     assert len(row) == 1
     assert row["partition_id"][0].as_py() == 1
+
+
+def test_lake_bucketing_is_pinned(tmp_path):
+    """Replaying an existing lake with a different num_buckets must not split
+    key histories across bucketings — the stored count wins."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from openmrs_module_epts_etl_ray.pipelines.replay import read_lake, replay
+
+    lake = str(tmp_path / "lake")
+    ev1 = pa.table({"lsn": pa.array([1], pa.int64()), "op": ["insert"],
+                    "repo": ["r"], "path": ["a"], "commit": ["c"],
+                    "lang": ["py"], "content": ["v1"]})
+    ev2 = pa.table({"lsn": pa.array([2], pa.int64()), "op": ["update"],
+                    "repo": ["r"], "path": ["a"], "commit": ["c"],
+                    "lang": ["py"], "content": ["v2"]})
+    replay(rd.from_arrow(ev1), lake, num_buckets=64).materialize()
+    # different bucket count on the second window: stored 64 must win
+    replay(rd.from_arrow(ev2), lake, num_buckets=7).materialize()
+    df = read_lake(lake).to_pandas()
+    assert len(df) == 1
+    assert df["content"].iloc[0] == "v2"
