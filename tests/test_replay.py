@@ -183,3 +183,34 @@ def test_replay_until_caught_up(doc_events, tmp_path):
     assert final_shas(lake) == oracle_final_shas(tbl)
     # caught up: another call is a no-op
     assert replay_until_caught_up(ds, lake, window_size=1500, num_buckets=8) == []
+
+
+def test_push_exchange_same_lsn_different_keys_not_deduped(tmp_path):
+    """Regression: two slices sharing an LSN but holding DIFFERENT keys
+    (multi-file commit) must BOTH be ingested — only true re-sends of the
+    same slice content may be dropped."""
+    import ray
+
+    from openmrs_module_epts_etl_ray.functions.hashing import add_bucket
+    from openmrs_module_epts_etl_ray.stages.push_exchange import (
+        BucketRouter, MergeActor,
+    )
+
+    def one_row(path):
+        t = pa.table({
+            "lsn": pa.array([100], pa.int64()), "op": ["insert"],
+            "repo": ["r"], "path": [path], "commit": ["c"],
+            "lang": ["py"], "content": [f"v-{path}"],
+            "_n_events": pa.array([1], pa.int64()),
+        })
+        return add_bucket(t, ("repo", "path"), 1)  # both land in bucket 0
+
+    lake = str(tmp_path / "lake")
+    actor = MergeActor.options(num_cpus=0).remote(lake, None, ("repo", "path"), True)
+    router = BucketRouter([actor], 1)
+    router(one_row("a"))   # same lsn=100, different key
+    router(one_row("b"))
+    lin = ray.get(actor.flush.remote()).to_pandas()
+    ray.kill(actor)
+    assert lin["rows_applied"].sum() == 2
+    assert lin["events_seen"].sum() == 2
