@@ -39,6 +39,10 @@ def _op_rank(batch: pa.Table) -> np.ndarray | None:
     (mirrors the reference's deterministic conflict pick, §2.12)."""
     if "op" not in batch.column_names:
         return None
+    if batch["op"].null_count:
+        raise ValueError(
+            "null 'op' in event batch — route untrusted input through "
+            "replay(dead_letter_dir=...)")
     col = batch["op"]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -62,6 +66,10 @@ def lww_select(
     counts), ``codes``/``dictionary`` the block-local key encoding.
     """
     n = len(batch)
+    if batch[lsn_col].null_count:
+        raise ValueError(
+            f"null {lsn_col!r} in event batch — the LSN total order must "
+            f"exist; route untrusted input through replay(dead_letter_dir=...)")
     codes, dictionary = key_codes(batch, key_cols)
     lsn = batch[lsn_col].to_numpy()
     lsn0 = int(lsn.min())

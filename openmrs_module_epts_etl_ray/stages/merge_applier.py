@@ -64,7 +64,9 @@ class ConflictPolicy:
             return wins
         # lww_lsn: strictly newer wins (reference: dateDiff > 0,
         # EtlDatabaseObject.java:677-714); equal LSN = idempotent replay -> keep
-        return (incoming["lsn"].to_numpy() > existing_lsn.to_numpy())
+        existing = existing_lsn.to_numpy(dtype="int64", na_value=-1) \
+            if existing_lsn.dtype == "Int64" else existing_lsn.to_numpy()
+        return (incoming["lsn"].to_numpy() > existing)
 
 
 def merge_bucket_state(
@@ -97,19 +99,22 @@ def merge_bucket_state(
 
     sdf = state.to_pandas()
     # schema evolution: unify payload columns across state and incoming
+    # (after these two loops both frames share one column SET; the final
+    # Arrow-schema unification happens in unify_and_backfill below)
     for c in wdf.columns:
         if c not in sdf.columns:
             sdf[c] = None
     for c in sdf.columns:
         if c not in wdf.columns:
             wdf[c] = None
-    wdf = wdf[sdf.columns.tolist() + [c for c in wdf.columns if c not in sdf.columns]]
+    wdf = wdf[sdf.columns.tolist()]
 
-    merged = wdf.merge(
-        sdf[key_cols + ["lsn"]].rename(columns={"lsn": "_existing_lsn"}),
-        on=key_cols,
-        how="left",
-    )
+    # nullable Int64 keeps _existing_lsn EXACT: a plain left merge coerces
+    # int64 -> float64 whenever any incoming key is new, and above 2^53 a
+    # strictly newer LSN then compares equal and the update is dropped
+    probe = sdf[key_cols + ["lsn"]].rename(columns={"lsn": "_existing_lsn"})
+    probe["_existing_lsn"] = probe["_existing_lsn"].astype("Int64")
+    merged = wdf.merge(probe, on=key_cols, how="left")
     has_existing = merged["_existing_lsn"].notna().to_numpy()
     wins = np.ones(len(merged), dtype=bool)
     if has_existing.any():

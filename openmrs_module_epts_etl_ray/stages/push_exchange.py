@@ -65,12 +65,14 @@ class MergeActor:
         map task that fails AFTER some ingest calls succeeded is re-executed
         by Ray and re-sends identical slices — the final state is unaffected
         (max-LSN is idempotent) but lineage ``events_seen`` would double
-        count, so replayed slices are dropped here."""
-        if slice_fp is not None:
-            if slice_fp in self.seen_slices:
-                return 0
-            self.seen_slices.add(slice_fp)
+        count, so replayed slices are dropped here. The fp is registered
+        only AFTER buffering succeeds: registering first would make a
+        transient ingest failure permanently swallow the retried slice."""
+        if slice_fp is not None and slice_fp in self.seen_slices:
+            return 0
         if len(table) == 0:
+            if slice_fp is not None:
+                self.seen_slices.add(slice_fp)
             return 0
         b = table[BUCKET_COL].to_numpy()
         order = np.argsort(b, kind="stable")
@@ -90,6 +92,8 @@ class MergeActor:
                 self.parts[bucket] = [merged]
                 n = len(merged)
             self.part_rows[bucket] = n
+        if slice_fp is not None:
+            self.seen_slices.add(slice_fp)
         return len(table)
 
     def flush(self) -> pa.Table:
@@ -131,21 +135,30 @@ class BucketRouter:
         bounds = np.flatnonzero(np.r_[True, oo[1:] != oo[:-1]])
         bounds = np.r_[bounds, len(oo)]
         lsn = tbl["lsn"].to_numpy() if "lsn" in tbl.column_names else None
-        # per-row SipHash of the composite key: the slice fingerprint must
-        # distinguish slices whose LSN sets coincide but whose KEYS differ
-        # (same-transaction CDC rows share an LSN across many keys), so it
-        # hashes the (lsn, keyhash) byte streams — a collision now needs two
-        # distinct slices agreeing on the full 128-bit digest
+        # the slice fingerprint must distinguish every legitimately distinct
+        # slice: per-row key SipHash (same-transaction rows share an LSN
+        # across many keys), op rank (non-identical same-(key,lsn) pairs),
+        # _n_events and content length (at-least-once duplicate blocks) —
+        # a false dedup now needs agreement on the full 128-bit digest
         kh = key_hash(tbl, self.key_cols) if all(
             c in tbl.column_names for c in self.key_cols) else None
+        import pyarrow.compute as _pc
+
+        from .lww import N_EVENTS_COL, _op_rank
+        rank = _op_rank(tbl)
+        nev = (tbl[N_EVENTS_COL].to_numpy()
+               if N_EVENTS_COL in tbl.column_names else None)
+        clen = (_pc.fill_null(_pc.binary_length(tbl["content"]), -1).to_numpy()
+                if "content" in tbl.column_names else None)
         refs = []
         for i in range(len(bounds) - 1):
             lo, hi = int(bounds[i]), int(bounds[i + 1])
             sl = tbl.slice(lo, hi - lo)
             if lsn is not None:
                 h = hashlib.blake2b(lsn[lo:hi].tobytes(), digest_size=16)
-                if kh is not None:
-                    h.update(kh[lo:hi].tobytes())
+                for arr in (kh, rank, nev, clen):
+                    if arr is not None:
+                        h.update(arr[lo:hi].tobytes())
                 fp = h.hexdigest()
             else:
                 fp = None

@@ -68,13 +68,30 @@ class CommitLog:
                     out.append(json.load(fh))
         return sorted(out, key=lambda c: c["lsn_hi"])
 
+    def _commit_lsns(self, bucket: int) -> list[int]:
+        """Committed lsn_hi values from file NAMES alone — no JSON parse
+        (committed_lsn_hi/checkpoint run per bucket per window; parsing
+        every historical commit made a W-window run O(W^2) in file I/O)."""
+        d = self._bucket_log_dir(bucket)
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for f in os.listdir(d):
+            if f.startswith("commit-") and f.endswith(".json"):
+                out.append(int(f[len("commit-"):-len(".json")]))
+        return sorted(out)
+
     def current(self, bucket: int) -> dict | None:
-        c = self.commits(bucket)
-        return c[-1] if c else None
+        lsns = self._commit_lsns(bucket)
+        if not lsns:
+            return None
+        with open(os.path.join(self._bucket_log_dir(bucket),
+                               f"commit-{lsns[-1]}.json")) as fh:
+            return json.load(fh)
 
     def committed_lsn_hi(self, bucket: int) -> int:
-        cur = self.current(bucket)
-        return cur["lsn_hi"] if cur else -1
+        lsns = self._commit_lsns(bucket)
+        return lsns[-1] if lsns else -1
 
     def checkpoint(self) -> dict[int, int]:
         """bucket -> highest committed LSN; the resume point (FIXTURES F6)."""
@@ -87,12 +104,27 @@ class CommitLog:
                 out[b] = self.committed_lsn_hi(b)
         return out
 
+    def num_buckets(self) -> int | None:
+        path = os.path.join(self.log_dir, "bucketing.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as fh:
+            return json.load(fh)["num_buckets"]
+
     def min_committed_lsn(self) -> int:
         """Global read-pushdown bound: every event with lsn <= this is
-        already applied in every bucket that has any commit. Conservative
-        (-1 when any bucket lacks commits)."""
+        already applied in EVERY bucket. Conservative: -1 unless ALL
+        pinned buckets have committed at least once — a bucket that has
+        never seen a key is absent from checkpoint(), and advancing the
+        watermark past it would silently drop that bucket's first events
+        on a resumed replay."""
         ck = self.checkpoint()
-        return min(ck.values()) if ck else -1
+        if not ck:
+            return -1
+        nb = self.num_buckets()
+        if nb is not None and len(ck) < nb:
+            return -1
+        return min(ck.values())
 
     def read_state(self, bucket: int, schema: pa.Schema | None = None) -> pa.Table:
         cur = self.current(bucket)
@@ -112,10 +144,16 @@ class CommitLog:
             with open(path) as fh:
                 return json.load(fh)["num_buckets"]
         os.makedirs(self.log_dir, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=self.log_dir, suffix=".tmp")
+        try:
+            # O_EXCL: exactly one concurrent first-replay wins the pin;
+            # losers adopt the winner's value (check-then-replace would let
+            # two racers each proceed with a different bucketing)
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            with open(path) as fh:
+                return json.load(fh)["num_buckets"]
         with os.fdopen(fd, "w") as fh:
             json.dump({"num_buckets": int(num_buckets)}, fh)
-        os.replace(tmp, path)
         return int(num_buckets)
 
     # -- write side ----------------------------------------------------

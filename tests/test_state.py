@@ -82,3 +82,52 @@ def test_lake_bucketing_is_pinned(tmp_path):
     df = read_lake(lake).to_pandas()
     assert len(df) == 1
     assert df["content"].iloc[0] == "v2"
+
+
+def test_min_watermark_conservative_for_untouched_buckets(tmp_path):
+    """A resumed replay whose new keys hash to a never-committed bucket must
+    not have its events pruned by the global watermark."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from openmrs_module_epts_etl_ray.pipelines.replay import read_lake, replay
+    from openmrs_module_epts_etl_ray.state.commit_log import CommitLog
+
+    lake = str(tmp_path / "lake")
+    # window 1: one key at a HIGH lsn (commits only its own bucket)
+    ev1 = pa.table({"lsn": pa.array([1000], pa.int64()), "op": ["insert"],
+                    "repo": ["r"], "path": ["a"], "commit": ["c"],
+                    "lang": ["py"], "content": ["va"]})
+    replay(rd.from_arrow(ev1), lake, num_buckets=16).materialize()
+    assert CommitLog(lake).min_committed_lsn() == -1  # 15 buckets untouched
+
+    # window 2: first-ever event for other keys at LOWER lsns
+    ev2 = pa.table({"lsn": pa.array([5, 7], pa.int64()),
+                    "op": ["insert", "insert"], "repo": ["r", "r"],
+                    "path": ["b", "c"], "commit": ["c", "c"],
+                    "lang": ["py", "py"], "content": ["vb", "vc"]})
+    replay(rd.from_arrow(ev2), lake, num_buckets=16).materialize()
+    df = read_lake(lake).to_pandas()
+    assert sorted(df["path"]) == ["a", "b", "c"]
+
+
+def test_merge_exact_lsn_above_2_53(tmp_path):
+    """LSN comparison stays exact above float64's 2^53 integer range."""
+    import pyarrow as pa
+
+    from openmrs_module_epts_etl_ray.stages.merge_applier import (
+        ConflictPolicy, merge_bucket_state,
+    )
+
+    big = 2**53
+    state = pa.table({"repo": ["r"], "path": ["a"],
+                      "lsn": pa.array([big], pa.int64()),
+                      "content": ["old"], "_deleted": [False]})
+    incoming = pa.table({"repo": ["r", "r"], "path": ["a", "new"],
+                         "lsn": pa.array([big + 1, 1], pa.int64()),
+                         "op": ["update", "insert"],
+                         "content": ["newer", "x"]})
+    out, stats = merge_bucket_state(state, incoming, ConflictPolicy())
+    df = out.to_pandas().set_index("path")
+    assert df.loc["a", "content"] == "newer"   # strictly newer must win
+    assert stats["updated"] == 1 and stats["inserted"] == 1
