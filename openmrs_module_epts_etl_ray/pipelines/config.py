@@ -58,18 +58,20 @@ _TYPES = {
 }
 
 
-def _compile_condition(cond: str):
-    """Compile a SQL boolean expression to a per-batch Arrow filter via an
-    in-process DuckDB relation (no data leaves the task)."""
-    def fn(t: pa.Table) -> pa.Table:
+class _ConditionFilter:
+    """Per-actor DuckDB evaluation of the extraction condition: the
+    connection is built ONCE per actor (a fresh connect per batch costs more
+    than the filter itself on a many-block scan); each batch registers and
+    filters in-process — no data leaves the task."""
+
+    def __init__(self, cond: str):
         import duckdb
-        con = duckdb.connect()
-        try:
-            con.register("b", t)
-            return con.sql(f"SELECT * FROM b WHERE {cond}").arrow()
-        finally:
-            con.close()
-    return fn
+        self.cond = cond
+        self.con = duckdb.connect()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        self.con.register("b", t)
+        return self.con.sql(f"SELECT * FROM b WHERE {self.cond}").arrow()
 
 
 def _compile_mapping(entries: list[dict]) -> RecordTransform:
@@ -104,7 +106,9 @@ def run_config(cfg: dict | str) -> dict[str, str]:
                         columns=src.get("columns"))
         cond = src.get("extraConditionForExtract")
         if cond:
-            ds = ds.map_batches(_compile_condition(cond), batch_format="pyarrow")
+            ds = ds.map_batches(_ConditionFilter,
+                                fn_constructor_kwargs=dict(cond=cond),
+                                batch_format="pyarrow", concurrency=(1, 8))
         for dst in item["dstConf"]:
             out = apply_transform(ds, _compile_mapping(dst["mapping"]))
             out_dir = dst.get("outDir") or os.path.join(

@@ -20,7 +20,15 @@ import ray.data as rd
 
 
 def export_files(ds: rd.Dataset, out_dir: str, fmt: str = "json") -> pa.Table:
-    """Export a Dataset to JSON-lines or CSV files; returns the manifest."""
+    """Export a Dataset to JSON-lines / CSV / parquet files; returns the
+    manifest (file, bytes). The destination directory is REPLACED — Ray's
+    write sinks append UUID-named files, so an untouched re-run would
+    silently double the data; whole-directory replace is what makes the
+    export resumable per destination."""
+    import shutil
+
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     if fmt == "json":
         ds.write_json(out_dir)

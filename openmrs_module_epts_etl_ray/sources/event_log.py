@@ -186,6 +186,9 @@ def synthesize_event_log(
     dup_rate: float = 0.01,
 ) -> rd.Dataset:
     """Distributed deterministic event-log generation as a Dataset."""
+    import ray
+
+    pool = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     shards = rd.range(n_shards).repartition(n_shards)
     return shards.map_batches(
         _ShardGenerator,
@@ -195,7 +198,7 @@ def synthesize_event_log(
         ),
         batch_format="numpy",
         batch_size=1,
-        concurrency=(1, 8),
+        concurrency=(1, min(n_shards, pool)),
     )
 
 

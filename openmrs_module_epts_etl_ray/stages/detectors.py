@@ -93,7 +93,10 @@ def reconcile(
         if len(both) and compare_cols:
             diff_mask = False
             for c in compare_cols:
-                diff_mask = diff_mask | (both[f"{c}_src"] != both[f"{c}_dst"])
+                a, b = both[f"{c}_src"], both[f"{c}_dst"]
+                # null-aware: NaN != NaN is True in pandas, which would flag
+                # identical both-null rows as outdated
+                diff_mask = diff_mask | ((a != b) & ~(a.isna() & b.isna()))
             outdated = both[diff_mask][keys].assign(reason="outdated")
         else:
             outdated = both.iloc[0:0][keys].assign(reason="outdated")

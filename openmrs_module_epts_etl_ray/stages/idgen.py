@@ -2,9 +2,13 @@
 
 The reference reserves id blocks ``[lastId+1, lastId+qty]`` from ``MAX(pk)``
 under a lock, per (processor, dstConf). The Ray-native equivalent is a tiny
-detached-scope actor holding the high-water mark: each map task reserves one
-contiguous range per batch with a single actor call, then assigns ids
-vectorized. This is the canonical "shared mutable index" case where a raw
+session-scoped actor holding the high-water mark (it lives until killed or
+the driver exits — pass your own handle via ``generator`` to control its
+lifetime or share it across stages): each map task reserves one contiguous
+range per batch with a single actor call, then assigns ids vectorized.
+NOTE the Dataset is lazy: consuming it twice re-executes the assignment and
+burns fresh ranges — ``materialize()`` the result if it is read more than
+once and ids must be stable. This is the canonical "shared mutable index" case where a raw
 actor is the right tool — the state is one integer, the call rate is one per
 batch (not per row), so the actor is never hot.
 

@@ -33,10 +33,14 @@ def resolve_inconsistencies(
     on_missing: str = "drop",  # drop | default | null
     default_value=None,
     report_col: str = "_inconsistent",
+    audit_dir: str | None = None,
 ) -> rd.Dataset:
     """Repair rows whose ``fk_col`` has no parent. Null FKs are consistent
     (optional relationship). Output carries ``report_col`` marking repaired
-    rows (the ``inconsistence_info`` audit analogue); ``drop`` removes them.
+    rows (the ``inconsistence_info`` audit analogue). ``drop`` removes
+    offenders; pass ``audit_dir`` to write the dropped rows (with the FK
+    column that failed) as the inconsistence_info side channel — without it
+    the drop is silent.
     """
     if on_missing not in ("drop", "default", "null"):
         raise ValueError(f"on_missing={on_missing!r}")
@@ -54,6 +58,23 @@ def resolve_inconsistencies(
             ok = pc.fill_null(ok, False)
             bad = pc.invert(ok)
             if on_missing == "drop":
+                if audit_dir:
+                    import hashlib
+                    import os
+
+                    import pyarrow.parquet as pq
+                    dropped = t.filter(bad)
+                    if len(dropped):
+                        os.makedirs(audit_dir, exist_ok=True)
+                        h = hashlib.sha256()
+                        for col in dropped.column_names:
+                            h.update(repr(dropped[col].to_pylist()).encode())
+                        path = os.path.join(
+                            audit_dir,
+                            f"inconsistent-{fk_col}-{len(dropped)}-{h.hexdigest()[:16]}.parquet")
+                        tmp = path + ".tmp"
+                        pq.write_table(dropped, tmp)
+                        os.replace(tmp, path)
                 return t.filter(ok)
             if on_missing == "null":
                 fixed = pc.if_else(bad, pa.scalar(None, type=fk.type), fk)

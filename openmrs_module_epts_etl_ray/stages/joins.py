@@ -39,10 +39,12 @@ def _key_array(t: pa.Table, keys: list[str]) -> pa.Array | pa.ChunkedArray:
 
 
 def _broadcast_key_set(ds: rd.Dataset, keys: list[str]):
-    """Collect the distinct key set of a (small) dataset and ray.put it once."""
+    """Collect the distinct key set of a (small) dataset and ray.put it once.
+    Null keys are EXCLUDED — SQL EXISTS/NOT EXISTS never matches on null."""
     vals = set()
     for batch in ds.select_columns(keys).iter_batches(batch_format="pyarrow"):
-        vals.update(pc.cast(_key_array(batch, keys), pa.string()).to_pylist())
+        vals.update(v for v in pc.cast(_key_array(batch, keys), pa.string()).to_pylist()
+                    if v is not None)
     return ray.put(vals)
 
 
@@ -58,7 +60,10 @@ class _MembershipFilter:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         arr = pc.cast(_key_array(batch, self.keys), pa.string())
-        member = pc.is_in(arr, value_set=self.value_set)
+        # SQL semantics: a null key is never a member (EXISTS false,
+        # NOT EXISTS true) — matching the shuffled left_semi/left_anti path
+        member = pc.and_(pc.fill_null(pc.is_in(arr, value_set=self.value_set), False),
+                         pc.is_valid(arr))
         mask = member if self.keep else pc.invert(member)
         return batch.filter(mask)
 
@@ -82,6 +87,9 @@ def anti_join(left: rd.Dataset, right: rd.Dataset, keys: list[str],
 
 def _membership_join(left, right, keys, *, keep_members, num_partitions, broadcast):
     if broadcast is None:
+        # materialize once: count() then the key-set collection would
+        # otherwise execute the right-side plan twice
+        right = right.materialize()
         broadcast = right.count() <= BROADCAST_THRESHOLD
     if broadcast:
         ref = _broadcast_key_set(right, keys)

@@ -39,8 +39,9 @@ def datasource_lookup(
     l_keys = [lf for _, lf in join_fields]
     if columns is not None:
         lk = lk[l_keys + [c for c in columns if c not in l_keys]]
-    # one row per key (the reference takes the first matching row)
-    lk = lk.drop_duplicates(subset=l_keys, keep="first")
+    # one row per key (the reference takes the first matching row); null
+    # keys never match (pandas merge would join NaN==NaN, unlike SQL)
+    lk = lk.dropna(subset=l_keys).drop_duplicates(subset=l_keys, keep="first")
     ref = ray.put(lk)
     s_keys = [sf for sf, _ in join_fields]
 

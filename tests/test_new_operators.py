@@ -258,3 +258,49 @@ def test_asof_and_range_join_single_side_buckets():
     rj = range_join(left, right, by="user", on="ts",
                     lo_offset="0s", hi_offset="1D", num_buckets=8).to_pandas()
     assert len(rj) == 0
+
+
+def test_membership_join_sql_null_semantics():
+    """Null keys: EXISTS false (semi drops), NOT EXISTS true (anti keeps) —
+    on the broadcast path too, even with nulls in the right side."""
+    from openmrs_module_epts_etl_ray.stages.joins import anti_join, semi_join
+    left = _ds(k=pa.array([1, 2, None], pa.int64()), v=["a", "b", "c"])
+    right = _ds(k=pa.array([1, None], pa.int64()))
+    semi = semi_join(left, right, ["k"]).to_pandas()
+    assert sorted(semi["v"]) == ["a"]
+    anti = anti_join(left, right, ["k"]).to_pandas()
+    assert sorted(anti["v"]) == ["b", "c"]
+
+
+def test_reconcile_both_null_not_outdated():
+    from openmrs_module_epts_etl_ray.stages.detectors import reconcile
+    src = _ds(k=[1, 2], x=pa.array([None, 5.0], pa.float64()))
+    dst = _ds(k=[1, 2], x=pa.array([None, 6.0], pa.float64()))
+    out = reconcile(src, dst, ["k"], ["x"]).to_pandas()
+    assert list(out["k"]) == [2]  # both-null row 1 is identical, not outdated
+
+
+def test_export_rerun_replaces_not_appends(tmp_path):
+    from openmrs_module_epts_etl_ray.pipelines.export import export_files, read_export
+    ds = _ds(k=list(range(10)))
+    out = str(tmp_path / "exp")
+    export_files(ds, out, fmt="csv")
+    export_files(ds, out, fmt="csv")  # re-run must replace, not double
+    assert len(read_export(out, fmt="csv").to_pandas()) == 10
+
+
+def test_inconsistency_drop_audit_channel(tmp_path):
+    import pyarrow.parquet as pq
+
+    from openmrs_module_epts_etl_ray.stages.inconsistency import resolve_inconsistencies
+    rows = _ds(id=[1, 2], fk=[10, 99])
+    parents = _ds(pk=[10])
+    audit = str(tmp_path / "audit")
+    kept = resolve_inconsistencies(rows, parents, "fk", "pk",
+                                   on_missing="drop", audit_dir=audit).to_pandas()
+    assert list(kept["id"]) == [1]
+    import os
+    files = [f for f in os.listdir(audit) if f.endswith(".parquet")]
+    assert len(files) == 1
+    dropped = pq.read_table(os.path.join(audit, files[0])).to_pandas()
+    assert list(dropped["id"]) == [2]
