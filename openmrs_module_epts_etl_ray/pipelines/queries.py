@@ -204,6 +204,29 @@ def q_inconsistency_solver(sf_dir: str):
     return fixed
 
 
+def q_fk_remap(sf_dir: str):
+    """FK key-remap join (J4): orders.o_custkey rewritten through the
+    parents' (old -> new) surrogate mapping; custkeys divisible by 5 are
+    absent from the mapping and keep their old value (on_missing=keep)."""
+    from ..stages.lookup import remap_fk
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+    mapping = cust.map_batches(
+        lambda t: pa.table({
+            "old_key": t["c_custkey"],
+            "new_key": pc.add(pc.multiply(t["c_custkey"], 10), 1),
+        }), batch_format="pyarrow")
+    mapping = filter_expr(mapping, lambda t: pc.not_equal(
+        pc.subtract(t["old_key"], pc.multiply(pc.divide(t["old_key"], 5), 5)), 0))
+    out = remap_fk(orders, mapping, "o_custkey",
+                   old_col="old_key", new_col="new_key", on_missing="keep")
+    return out.map_batches(
+        lambda t: pa.table({"o_orderkey": t["o_orderkey"],
+                            "o_custkey": pc.cast(t["o_custkey"], pa.int64())}),
+        batch_format="pyarrow")
+
+
 def q_new_and_changed(sf_dir: str):
     """NEW vs CHANGED records detector (§2.9): created=ts, changed=ts +
     (event_id % 30) days; classified against the sync start date, rolled up
@@ -710,6 +733,7 @@ QUERIES = {
     "cdc_replay_compacted": q_cdc_replay_compacted,
     "cdc_events_lww": q_cdc_events_lww,
     "inconsistency_solver": q_inconsistency_solver,
+    "fk_remap": q_fk_remap,
     "new_and_changed": q_new_and_changed,
     "lookup_datasource": q_lookup_datasource,
     "lookup_datasource_required": q_lookup_datasource_required,
@@ -779,6 +803,12 @@ SELECT o_orderkey,
        CASE WHEN k IN (SELECT c_custkey FROM customer) THEN k END AS o_custkey,
        k NOT IN (SELECT c_custkey FROM customer) AS inconsistent
 FROM c
+""",
+    "fk_remap": """
+SELECT o.o_orderkey,
+       CASE WHEN o.o_custkey % 5 <> 0 THEN o.o_custkey * 10 + 1
+            ELSE o.o_custkey END AS o_custkey
+FROM orders o
 """,
     "new_and_changed": """
 WITH d AS (

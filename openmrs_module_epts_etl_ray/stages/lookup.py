@@ -58,3 +58,45 @@ def datasource_lookup(
             return merged.drop(columns=drop, errors="ignore")
 
     return ds.map_batches(Probe, batch_format="pandas", concurrency=(1, 8))
+
+
+def remap_fk(
+    ds: rd.Dataset,
+    mapping: rd.Dataset,
+    fk_col: str,
+    *,
+    old_col: str,
+    new_col: str,
+    on_missing: str = "keep",  # keep | null | drop
+) -> rd.Dataset:
+    """FK key-remap join (reference J4 — parent resolution,
+    ``etl/model/LoadRecord.java:230-330``): rewrite ``fk_col`` through an
+    (old -> new) parent key mapping, the step that follows the parents'
+    own id transformation. Broadcast probe (mapping = a dimension-sized
+    table); misses keep / null / drop per the RefMapping repair options.
+    """
+    if on_missing not in ("keep", "null", "drop"):
+        raise ValueError(f"on_missing={on_missing!r}")
+    import pandas as pd
+
+    mp = mapping.to_pandas()[[old_col, new_col]].dropna(subset=[old_col])
+    mp = mp.drop_duplicates(subset=[old_col], keep="first")
+    lut = dict(zip(mp[old_col], mp[new_col]))
+    ref = ray.put(lut)
+
+    class Remap:
+        def __init__(self):
+            self.lut = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            mapped = df[fk_col].map(self.lut)
+            hit = mapped.notna() | df[fk_col].isna()
+            if on_missing == "drop":
+                df = df[hit]
+                mapped = mapped[hit]
+            elif on_missing == "keep":
+                mapped = mapped.where(mapped.notna(), df[fk_col])
+            df = df.assign(**{fk_col: mapped})
+            return df
+
+    return ds.map_batches(Remap, batch_format="pandas", concurrency=(1, 8))

@@ -304,3 +304,23 @@ def test_inconsistency_drop_audit_channel(tmp_path):
     assert len(files) == 1
     dropped = pq.read_table(os.path.join(audit, files[0])).to_pandas()
     assert list(dropped["id"]) == [2]
+
+
+def test_fk_remap_modes():
+    from openmrs_module_epts_etl_ray.stages.lookup import remap_fk
+    rows = _ds(id=[1, 2, 3], fk=pa.array([10, 20, None], pa.int64()))
+    mapping = _ds(old=[10], new=[100])
+
+    kept = remap_fk(rows, mapping, "fk", old_col="old", new_col="new",
+                    on_missing="keep").to_pandas().set_index("id")
+    assert kept.loc[1, "fk"] == 100
+    assert kept.loc[2, "fk"] == 20       # unmapped keeps old value
+    assert pd.isna(kept.loc[3, "fk"])    # null FK passes through
+
+    nulled = remap_fk(rows, mapping, "fk", old_col="old", new_col="new",
+                      on_missing="null").to_pandas().set_index("id")
+    assert pd.isna(nulled.loc[2, "fk"])
+
+    dropped = remap_fk(rows, mapping, "fk", old_col="old", new_col="new",
+                       on_missing="drop").to_pandas()
+    assert sorted(dropped["id"]) == [1, 3]
