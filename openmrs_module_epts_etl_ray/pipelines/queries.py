@@ -649,7 +649,8 @@ def q_asof_last_purchase(sf_dir: str):
             "purchase_id": t["event_id"], "user_id": t["user_id"], "ts": t["ts"],
             "purchase_value": pc.round(t["value"], 2)}), batch_format="pyarrow")
     out = asof_join(clicks, purchases, by="user_id", on="ts",
-                    right_cols=["purchase_id", "purchase_value"])
+                    right_cols=["purchase_id", "purchase_value"],
+                    right_order=["purchase_id"])
     return out.map_batches(
         lambda df: df[["click_id", "user_id", "ts", "purchase_id",
                        "purchase_value"]], batch_format="pandas")
@@ -841,9 +842,12 @@ SELECT c_custkey, c_name, c_mktsegment FROM customer
 WITH c AS (SELECT event_id AS click_id, user_id, ts FROM events
            WHERE event_type = 'click'),
 p AS (SELECT event_id AS purchase_id, user_id, ts, ROUND(value, 2) AS purchase_value
-      FROM events WHERE event_type = 'purchase')
-SELECT c.click_id, c.user_id, c.ts, p.purchase_id, p.purchase_value
-FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+      FROM events WHERE event_type = 'purchase'),
+j AS (SELECT c.click_id, c.user_id, c.ts, p.purchase_id, p.purchase_value,
+             row_number() OVER (PARTITION BY c.click_id
+                                ORDER BY p.ts DESC, p.purchase_id DESC) AS rn
+      FROM c LEFT JOIN p ON p.user_id = c.user_id AND p.ts <= c.ts)
+SELECT click_id, user_id, ts, purchase_id, purchase_value FROM j WHERE rn = 1
 """,
     "range_join_clicks_after_signup": """
 WITH s AS (SELECT event_id AS signup_id, user_id, ts FROM events

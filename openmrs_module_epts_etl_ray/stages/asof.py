@@ -21,6 +21,31 @@ from ..functions.hashing import BUCKET_COL, add_bucket
 _SIDE = "_side"
 
 
+def _pd_dtypes(schema) -> dict:
+    """Pandas dtype each column of a Dataset schema carries pre-union.
+
+    The tagged union null-fills the absent side's columns inside a bucket,
+    which silently coerces int64 to float64 (pandas NaN promotion). Casting
+    back through these captured dtypes keeps the output byte-identical to
+    a join that never unioned (nullable ids stay Arrow int64, not NaN-float).
+    """
+    arrow = pa.schema(zip(schema.names, schema.types))
+    return dict(arrow.empty_table().to_pandas().dtypes)
+
+
+def _nullable(dtype) -> object:
+    """Nullable pandas extension dtype for a numpy dtype — converts back to
+    Arrow with true nulls (never NaN-coerced float64)."""
+    s = str(dtype)
+    if s.startswith("int"):
+        return "Int" + s[3:]
+    if s.startswith("uint"):
+        return "UInt" + s[4:]
+    if s.startswith("float"):
+        return "Float" + s[5:]
+    return dtype
+
+
 def asof_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -30,9 +55,16 @@ def asof_join(
     right_cols: list[str],
     suffix: str = "_right",
     num_buckets: int = 16,
+    right_order: list[str] | None = None,
 ) -> rd.Dataset:
     """Left as-of join (backward): latest right row with ``right[on] <=
-    left[on]`` per ``by`` key; unmatched left rows null-backfill."""
+    left[on]`` per ``by`` key; unmatched left rows null-backfill.
+
+    ``right_order``: extra right-side columns to break equal-``on`` ties
+    deterministically (the LAST row in ``[on] + right_order`` sort order
+    wins, matching a SQL ``ORDER BY on DESC, right_order DESC ... rn = 1``
+    restatement). Without it, equal-timestamp winners depend on block layout.
+    """
 
     def tag(side):
         def fn(t: pa.Table) -> pa.Table:
@@ -40,28 +72,40 @@ def asof_join(
             return add_bucket(t, (by,), num_buckets)
         return fn
 
-    # capture each side's column set UP FRONT: inside a bucket the union
-    # null-fills the absent side's columns, and a bucket may hold rows from
-    # only one side (recovering columns by dropna would drop everything)
+    # capture each side's column set AND dtypes UP FRONT: inside a bucket the
+    # union null-fills the absent side's columns (and may float-coerce ints),
+    # and a bucket may hold rows from only one side (recovering columns by
+    # dropna would drop everything)
     left_cols = list(left.schema().names)
+    left_dtypes = _pd_dtypes(left.schema())
+    right_dtypes = _pd_dtypes(right.schema())
     keep = [by, on] + [c for c in right_cols if c not in (by, on)]
     extra = [c for c in right_cols if c not in (by, on)]
+    # right-side attach columns become nullable in the output (unmatched left
+    # rows); map them to pandas extension dtypes so Arrow sees real nulls
+    out_extra_dtypes = {
+        (f"{c}{suffix}" if c in left_cols else c): _nullable(right_dtypes[c])
+        for c in extra
+    }
 
     tagged = left.map_batches(tag("l"), batch_format="pyarrow").union(
         right.map_batches(tag("r"), batch_format="pyarrow"))
+    order = [on] + [c for c in (right_order or []) if c in keep]
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g[_SIDE] == "l"].reindex(columns=left_cols).sort_values(on, kind="stable")
-        r = g[g[_SIDE] == "r"].reindex(columns=keep)
+        l = (g[g[_SIDE] == "l"].reindex(columns=left_cols)
+             .astype(left_dtypes).sort_values(on, kind="stable"))
+        r = (g[g[_SIDE] == "r"].reindex(columns=keep)
+             .astype({c: right_dtypes[c] for c in keep}))
         if len(r) == 0 or len(l) == 0:
             out = l.copy()
-            for c in extra:
-                out[f"{c}{suffix}" if c in left_cols else c] = None
+            for name, dt in out_extra_dtypes.items():
+                out[name] = pd.Series(pd.NA, index=out.index, dtype=dt)
             return out
-        r = r.sort_values(on, kind="stable")
+        r = r.sort_values(order, kind="stable")
         merged = pd.merge_asof(l, r, on=on, by=by, direction="backward",
                                suffixes=("", suffix))
-        return merged
+        return merged.astype(out_extra_dtypes)
 
     return tagged.repartition(num_buckets).groupby(BUCKET_COL).map_groups(
         join_bucket, batch_format="pandas")
@@ -94,9 +138,11 @@ def range_join(
             return add_bucket(t, (by,), num_buckets)
         return fn
 
-    # explicit per-side column capture — see asof_join for why
+    # explicit per-side column + dtype capture — see asof_join for why
     left_cols = list(left.schema().names)
     rt_cols = list(right.schema().names)
+    left_dtypes = _pd_dtypes(left.schema())
+    right_dtypes = _pd_dtypes(right.schema())
 
     tagged = left.map_batches(tag("l"), batch_format="pyarrow").union(
         right.map_batches(tag("r"), batch_format="pyarrow"))
@@ -104,8 +150,8 @@ def range_join(
     hi = pd.Timedelta(hi_offset) if isinstance(hi_offset, str) else hi_offset
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g[_SIDE] == "l"].reindex(columns=left_cols)
-        r = g[g[_SIDE] == "r"].reindex(columns=rt_cols)
+        l = g[g[_SIDE] == "l"].reindex(columns=left_cols).astype(left_dtypes)
+        r = g[g[_SIDE] == "r"].reindex(columns=rt_cols).astype(right_dtypes)
         if len(l) == 0 or len(r) == 0:
             return l.iloc[0:0].merge(r.iloc[0:0], on=by, suffixes=("", "_right"))
         m = l.merge(r, on=by, suffixes=("", "_right"))
