@@ -32,6 +32,22 @@ from ..stages.transforms import FieldMapping, RecordTransform, apply_transform, 
 from .replay import read_lake, replay
 
 
+def _scratch(name: str) -> str:
+    """Fresh per-process scratch dir for a query's lake/export output.
+
+    Per-process (pid-suffixed) so two concurrent drivers — bench.py and
+    check_oracles.py running the same query — never share and corrupt one
+    lake mid-replay. ``GRAFT_FIXED_SCRATCH=1`` opts back into the stable
+    path for debugging a lake across runs.
+    """
+    if os.environ.get("GRAFT_FIXED_SCRATCH"):
+        root = f"/tmp/{name}_fixed"
+    else:
+        root = f"/tmp/graft_q_{os.getpid()}/{name}"
+    shutil.rmtree(root, ignore_errors=True)
+    return root
+
+
 # ---------------------------------------------------------------------------
 # CDC core
 # ---------------------------------------------------------------------------
@@ -40,8 +56,7 @@ def q_cdc_replay_lww(sf_dir: str):
     """Flagship: full replay through MergeApplier + commit-log lake
     (SURVEY §2.12 / §7.1). Events derived deterministically from documents."""
     events = events_from_documents(sf_dir)
-    lake = "/tmp/cdc_lake_fixed"
-    shutil.rmtree(lake, ignore_errors=True)
+    lake = _scratch("cdc_lake")
     replay(events, lake, num_buckets=32).materialize()  # consume lineage
     state = read_lake(lake)
 
@@ -144,8 +159,7 @@ def q_cdc_replay_windowed(sf_dir: str):
     windows over a fresh lake — final state must equal the single-shot
     replay (and its oracle)."""
     events = events_from_documents(sf_dir)
-    lake = "/tmp/cdc_lake_w_fixed"
-    shutil.rmtree(lake, ignore_errors=True)
+    lake = _scratch("cdc_lake_w")
     hi = int(events.max("lsn"))
     cuts = [hi // 3, (2 * hi) // 3, hi]
     lo = -1
@@ -161,8 +175,7 @@ def q_cdc_replay_compacted(sf_dir: str):
     from ..state.compaction import compact_lake
 
     events = events_from_documents(sf_dir)
-    lake = "/tmp/cdc_lake_c_fixed"
-    shutil.rmtree(lake, ignore_errors=True)
+    lake = _scratch("cdc_lake_c")
     replay(events, lake, num_buckets=32).materialize()
     compact_lake(lake)
     return _project_lake(read_lake(lake))
@@ -275,14 +288,65 @@ def q_lookup_datasource_required(sf_dir: str):
                              required=True, columns=["c_name"])
 
 
+def q_quick_merge_customers(sf_dir: str):
+    """Quick-merge with unique-key PK adoption (J5; reference
+    ``db_quick_merge_gaza.json`` shape, ``EtlDatabaseObject.java:619-633``):
+    destination keyed by its own id; incoming rows arrive in a DIFFERENT id
+    space and are matched to existing records by the natural unique key
+    (name), adopting the destination id on a hit; unmatched rows insert
+    under their own id."""
+    from .replay import quick_merge
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
+
+    def as_dst(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "id": t["c_custkey"], "name": t["c_name"],
+            "acctbal": pc.round(t["c_acctbal"], 2),
+            "lsn": pa.array(np.zeros(n, dtype=np.int64)),
+            "op": pa.array(["insert"] * n),
+        })
+
+    def as_src(t: pa.Table) -> pa.Table:
+        mod5 = pc.equal(pc.subtract(t["c_custkey"],
+                                    pc.multiply(pc.divide(t["c_custkey"], 5), 5)), 0)
+        upd = t.filter(mod5)
+        mod7 = pc.equal(pc.subtract(t["c_custkey"],
+                                    pc.multiply(pc.divide(t["c_custkey"], 7), 7)), 3)
+        new = t.filter(mod7)
+        return pa.table({
+            "id": pa.concat_arrays([
+                pc.add(upd["c_custkey"], 1_000_000).combine_chunks(),
+                pc.add(new["c_custkey"], 2_000_000).combine_chunks()]),
+            "name": pa.concat_arrays([
+                upd["c_name"].combine_chunks(),
+                pc.binary_join_element_wise(
+                    new["c_name"], pa.scalar("_new"), pa.scalar("")).combine_chunks()]),
+            "acctbal": pa.concat_arrays([
+                pc.round(pc.multiply(upd["c_acctbal"], 2), 2).combine_chunks(),
+                pc.round(pc.add(new["c_acctbal"], 10), 2).combine_chunks()]),
+            "lsn": pa.array(np.ones(len(upd) + len(new), dtype=np.int64)),
+            "op": pa.array(["update"] * len(upd) + ["insert"] * len(new)),
+        })
+
+    lake = _scratch("quick_merge")
+    dst = cust.map_batches(as_dst, batch_format="pyarrow")
+    src = cust.map_batches(as_src, batch_format="pyarrow")
+    quick_merge(dst, lake, key_cols=("id",), unique_keys=[["name"]],
+                num_buckets=16).materialize()
+    quick_merge(src, lake, key_cols=("id",), unique_keys=[["name"]],
+                num_buckets=16).materialize()
+    return read_lake(lake).select_columns(["id", "name", "acctbal"])
+
+
 def q_export_roundtrip(sf_dir: str):
     """File sink + load (S5/S6 + S2): customer → CSV shards → read back."""
     from .export import export_files, read_export
 
     cust = read_table(sf_dir, "customer",
                       columns=["c_custkey", "c_name", "c_mktsegment"])
-    out = "/tmp/export_csv_fixed"
-    shutil.rmtree(out, ignore_errors=True)
+    out = _scratch("export_csv")
     export_files(cust, out, fmt="csv")
     return read_export(out, fmt="csv")
 
@@ -738,6 +802,7 @@ QUERIES = {
     "new_and_changed": q_new_and_changed,
     "lookup_datasource": q_lookup_datasource,
     "lookup_datasource_required": q_lookup_datasource_required,
+    "quick_merge_customers": q_quick_merge_customers,
     "export_roundtrip": q_export_roundtrip,
     "surrogate_ids": q_surrogate_ids,
     "changed_records": q_changed_records,
@@ -824,6 +889,23 @@ SELECT event_type,
 FROM d
 WHERE created >= TIMESTAMP '2024-01-20' OR changed >= TIMESTAMP '2024-01-20'
 GROUP BY 1, 2
+""",
+    "quick_merge_customers": """
+WITH src AS (
+  SELECT c_custkey + 1000000 AS id, c_name AS name,
+         ROUND(c_acctbal * 2, 2) AS acctbal
+  FROM customer WHERE c_custkey % 5 = 0
+  UNION ALL
+  SELECT c_custkey + 2000000 AS id, c_name || '_new' AS name,
+         ROUND(c_acctbal + 10, 2) AS acctbal
+  FROM customer WHERE c_custkey % 7 = 3
+),
+dst AS (SELECT c_custkey AS id, c_name AS name, ROUND(c_acctbal, 2) AS acctbal
+        FROM customer)
+SELECT COALESCE(d.id, s.id) AS id,
+       COALESCE(s.name, d.name) AS name,
+       COALESCE(s.acctbal, d.acctbal) AS acctbal
+FROM dst d FULL OUTER JOIN src s ON s.name = d.name
 """,
     "lookup_datasource": """
 SELECT o.o_orderkey, o.o_custkey, c.c_name

@@ -113,6 +113,48 @@ def replay(
     return lineage
 
 
+def quick_merge(
+    src: rd.Dataset,
+    lake_root: str,
+    *,
+    key_cols: tuple[str, ...],
+    unique_keys: list[list[str]],
+    num_buckets: int = 64,
+    policy: ConflictPolicy | None = None,
+    concurrency: int | tuple[int, int] | None = None,
+) -> rd.Dataset:
+    """Quick-merge sync: upsert rows whose PK space differs from the
+    destination's, matching existing records by alternate unique key(s) and
+    adopting the matched row's PK (reference quick-merge operation —
+    ``dbquickmerge/controller/DBQuickMergeController.java`` shape configured
+    by ``db_quick_merge_gaza.json``; per-record contract
+    ``model/EtlDatabaseObject.java:619-633``).
+
+    Partitioning: buckets hash the FIRST unique-key group (not the PK) so an
+    incoming row co-locates with the state row it may adopt; every configured
+    unique-key group must be resolvable within that partitioning (groups over
+    other columns would need a central probe, which the reference gets for
+    free from its destination database). Returns the lineage Dataset.
+    """
+    if not unique_keys:
+        raise ValueError("quick_merge needs at least one unique-key group")
+    pol = policy or ConflictPolicy()
+    pol.unique_keys = [list(g) for g in unique_keys]
+    log = CommitLog(lake_root)
+    num_buckets = log.ensure_bucketing(num_buckets)
+    collapsed = src.map_batches(
+        PartialLww(key_cols=key_cols, num_buckets=num_buckets,
+                   bucket_cols=tuple(unique_keys[0])),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return collapsed.groupby(BUCKET_COL).map_groups(
+        MergeApplier,
+        fn_constructor_kwargs=dict(lake_root=lake_root, policy=pol,
+                                   key_cols=key_cols),
+        batch_format="pyarrow",
+        concurrency=concurrency or (1, 8),
+    )
+
+
 def read_lake(lake_root: str, include_deleted: bool = False) -> rd.Dataset:
     """Read the lake's current committed state (one snapshot file per bucket)."""
     log = CommitLog(lake_root)

@@ -144,10 +144,16 @@ class PartialLww:
     """
 
     def __init__(self, key_cols=("repo", "path"), lsn_col: str = "lsn",
-                 num_buckets: int | None = None):
+                 num_buckets: int | None = None,
+                 bucket_cols: tuple[str, ...] | None = None):
+        # bucket_cols: partition by these columns instead of key_cols —
+        # needed when the merge must co-locate rows by an ALTERNATE unique
+        # key (quick-merge PK adoption, ConflictPolicy.unique_keys) rather
+        # than by the collapse key. Same hash as add_bucket / dict_bucket.
         self.key_cols = tuple(key_cols)
         self.lsn_col = lsn_col
         self.num_buckets = num_buckets
+        self.bucket_cols = tuple(bucket_cols) if bucket_cols else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
@@ -163,9 +169,15 @@ class PartialLww:
             batch, self.key_cols, self.lsn_col)
         out = _with_counts(batch, winner_rows, counts)
         if self.num_buckets is not None:
-            bucket_u = dict_bucket(dictionary, self.num_buckets)
-            bucket = bucket_u[codes[winner_rows]]
-            out = out.append_column(BUCKET_COL, pa.array(bucket, pa.int64()))
+            if self.bucket_cols is not None:
+                from ..functions.hashing import key_hash
+                b = (key_hash(out, self.bucket_cols)
+                     % np.uint64(self.num_buckets)).astype(np.int64)
+                out = out.append_column(BUCKET_COL, pa.array(b, pa.int64()))
+            else:
+                bucket_u = dict_bucket(dictionary, self.num_buckets)
+                bucket = bucket_u[codes[winner_rows]]
+                out = out.append_column(BUCKET_COL, pa.array(bucket, pa.int64()))
         return out
 
 

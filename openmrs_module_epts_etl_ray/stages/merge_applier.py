@@ -46,6 +46,13 @@ class ConflictPolicy:
     mode: str = "lww_lsn"  # lww_lsn | keep_existing | update_existing | winning_fields
     # incoming wins iff ALL (field, value) pairs of ANY group match the incoming row
     winning_field_groups: list[list[tuple[str, object]]] = field(default_factory=list)
+    # alternate unique-key groups probed IN ORDER when the PK probe misses
+    # (reference ``model/EtlDatabaseObject.java:619-633`` /
+    # ``model/pojo/generic/DatabaseObjectDAO.java:179-225``: find the existing
+    # destination record by any configured unique key when the PK is not
+    # transformable, then merge onto it — the quick-merge use case). On a hit
+    # the incoming row ADOPTS the existing row's PK columns.
+    unique_keys: list[list[str]] = field(default_factory=list)
 
     def incoming_wins(self, incoming: pd.DataFrame, existing_lsn: pd.Series) -> np.ndarray:
         """Vectorized winner decision for rows that HAVE an existing match."""
@@ -115,19 +122,69 @@ def merge_bucket_state(
     probe = sdf[key_cols + ["lsn"]].rename(columns={"lsn": "_existing_lsn"})
     probe["_existing_lsn"] = probe["_existing_lsn"].astype("Int64")
     merged = wdf.merge(probe, on=key_cols, how="left")
+
+    # unique-key fallback probe (reference EtlDatabaseObject.java:619-633):
+    # rows the PK probe missed are re-probed against state by each configured
+    # alternate unique key, in order; a hit adopts the existing row's PK so
+    # the update lands on the existing record instead of inserting a twin.
+    # Partitioning contract: callers must hash-bucket by the unique key (see
+    # pipelines.replay.quick_merge) so probe and state co-locate.
+    for uk in policy.unique_keys:
+        uk = [c for c in uk]
+        if any(c not in merged.columns for c in uk) or any(c not in sdf.columns for c in uk):
+            continue
+        miss = merged["_existing_lsn"].isna().to_numpy()
+        valid = merged[uk].notna().all(axis=1).to_numpy()  # null uk never matches
+        rows = np.flatnonzero(miss & valid)
+        if rows.size == 0:
+            continue
+        uprobe = sdf[uk + key_cols + ["lsn"]].rename(
+            columns={"lsn": "_uk_lsn", **{k: f"_uk_{k}" for k in key_cols}})
+        uprobe = uprobe.drop_duplicates(subset=uk, keep="first")
+        uprobe["_uk_lsn"] = uprobe["_uk_lsn"].astype("Int64")
+        sub = merged.iloc[rows][uk].merge(uprobe, on=uk, how="left")
+        hit = np.flatnonzero(sub["_uk_lsn"].notna().to_numpy())
+        if hit.size == 0:
+            continue
+        hit_rows = rows[hit]
+        merged.iloc[hit_rows, merged.columns.get_loc("_existing_lsn")] = \
+            sub.iloc[hit]["_uk_lsn"].to_numpy()
+        for k in key_cols:
+            merged.iloc[hit_rows, merged.columns.get_loc(k)] = \
+                sub.iloc[hit][f"_uk_{k}"].to_numpy()
+
     has_existing = merged["_existing_lsn"].notna().to_numpy()
     wins = np.ones(len(merged), dtype=bool)
     if has_existing.any():
         sub = merged[has_existing]
         wins_sub = policy.incoming_wins(sub, sub["_existing_lsn"])
         wins[np.flatnonzero(has_existing)] = wins_sub
-    applied = merged[wins].drop(columns=["_existing_lsn"])
+    merged["_had_existing"] = has_existing
+    applied = merged[wins]
+    lost_to_sibling = 0
+    if policy.unique_keys:
+        # PK adoption (and uk-constrained inserts) can leave two incoming
+        # rows on one final key — enforce the unique constraints the way the
+        # destination DB would: highest LSN survives per PK and per uk group
+        before = len(applied)
+        applied = applied.sort_values("lsn", kind="stable") \
+                         .drop_duplicates(subset=key_cols, keep="last")
+        for uk in policy.unique_keys:
+            uk = [c for c in uk]
+            if all(c in applied.columns for c in uk):
+                keyed = applied[applied[uk].notna().all(axis=1)]
+                nullk = applied[~applied[uk].notna().all(axis=1)]
+                keyed = keyed.drop_duplicates(subset=uk, keep="last")
+                applied = pd.concat([keyed, nullk])
+        lost_to_sibling = before - len(applied)
+    applied = applied.drop(columns=["_existing_lsn", "_had_existing"])
     del_applied = applied[DELETED_COL].to_numpy(dtype=bool)
+    had = merged.loc[applied.index, "_had_existing"].to_numpy(dtype=bool)
 
     stats = {
-        "inserted": int((~has_existing[wins] & ~del_applied).sum()),
-        "updated": int((has_existing[wins] & ~del_applied).sum()),
-        "kept_existing": int((~wins).sum()),
+        "inserted": int((~had & ~del_applied).sum()),
+        "updated": int((had & ~del_applied).sum()),
+        "kept_existing": int((~wins).sum()) + lost_to_sibling,
         "tombstones": int(del_applied.sum()),
     }
 
