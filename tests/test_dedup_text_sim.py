@@ -148,3 +148,56 @@ def test_multimodal_plumbing():
 def test_multimodal_real_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.DecodeStage(fake=False)
+
+
+def test_verify_jaccard_shuffle_matches_broadcast():
+    texts = []
+    base = "one two three four five six seven eight nine ten " * 6
+    for i in range(40):
+        if i % 4 == 0:
+            texts.append(base.replace("five", f"v{i}", 1))
+        else:
+            texts.append(f"unique document number {i} " * 12)
+    ds = docs_ds(texts)
+    cand = dedup.minhash_lsh_candidates(ds, num_perm=64, num_bands=16)
+    a = dedup.verify_jaccard(cand, ds, threshold=0.5,
+                             strategy="broadcast").to_pandas()
+    b = dedup.verify_jaccard(cand, ds, threshold=0.5,
+                             strategy="shuffle").to_pandas()
+    key = ["id_a", "id_b"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b[a.columns].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert len(a) > 0
+
+
+def test_connected_components_join_matches_broadcast_and_driver():
+    edges = pd.DataFrame({
+        "id_a": [1, 2, 5, 9, 20, 21, 30],
+        "id_b": [2, 3, 6, 10, 21, 22, 31],
+    })
+    ds = rd.from_pandas(edges)
+    want = dedup._connected_components_driver(ds).sort_values("doc_id") \
+        .reset_index(drop=True)
+    for lookup in ("broadcast", "join"):
+        got = dedup.connected_components_distributed(ds, lookup=lookup) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got.astype("int64"), want.astype("int64"), check_dtype=False)
+
+
+def test_connected_components_auto_dispatches_to_distributed():
+    edges = pd.DataFrame({"id_a": [1, 2], "id_b": [2, 3]})
+    out = dedup.connected_components(rd.from_pandas(edges), driver_threshold=1)
+    got = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got["canonical_id"].tolist() == [1, 1, 1]
+
+
+def test_minhash_signature_batch_matches_single():
+    mh = dedup.MinHasher(num_perm=32, k=3)
+    texts = ["a b c d e f", "x", "", "a b", "w1 w2 w3 w4 w5 " * 3]
+    batch = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = mh(batch)
+    for i, t in enumerate(texts):
+        np.testing.assert_array_equal(np.asarray(out["sig"][i]),
+                                      mh.signature(t))
