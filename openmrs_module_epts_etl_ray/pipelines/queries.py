@@ -393,33 +393,104 @@ def q_pricing_summary(sf_dir: str):
 
 
 def q_revenue_by_nation(sf_dir: str):
-    """Multi-join rollup (J1): lineitem ⋈ orders (shuffle join) with
-    customer→nation broadcast lookup, pre-aggregated per batch."""
+    """Multi-join rollup (J1): lineitem pre-aggregated PER ORDERKEY inside
+    each batch BEFORE the shuffle join (the exchange then moves order-level
+    partials, not raw lineitems), then orders ⋈ partials, then a
+    customer→nation attach — broadcast sorted-array probe when the customer
+    key set fits a task heap, shuffle join above ``joins.BROADCAST_THRESHOLD``."""
     import ray
     from ray.data.aggregate import Sum
 
-    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
-    nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
-    c2n = dict(zip(cust.c_custkey, cust.c_nationkey.map(
-        dict(zip(nation.n_nationkey, nation.n_name)))))
-    ref = ray.put(c2n)
+    nation = read_table(sf_dir, "nation",
+                        columns=["n_nationkey", "n_name"]).to_pandas()  # 25 rows
+    names = np.empty(int(nation.n_nationkey.max()) + 1, dtype=object)
+    names[nation.n_nationkey.to_numpy()] = nation.n_name.to_numpy()
+    names_ref = ray.put(names)
 
-    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     li = read_table(sf_dir, "lineitem",
                     columns=["l_orderkey", "l_extendedprice", "l_discount"])
-    joined = joins.inner_join(li, orders, ["l_orderkey"],
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df["rev"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        return df.groupby("l_orderkey", as_index=False).agg(rev=("rev", "sum"))
+
+    li_agg = li.map_batches(li_partial, batch_format="pandas")
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey"]).materialize()
+    cust_ds = read_table(sf_dir, "customer",
+                         columns=["c_custkey", "c_nationkey"]).materialize()
+
+    def sorted_arrays(ds, kcol, vcol):
+        ks, vs = [], []
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            ks.append(b[kcol].to_numpy())
+            vs.append(b[vcol].to_numpy())
+        keys = np.concatenate(ks)
+        vals = np.concatenate(vs)
+        order = np.argsort(keys)
+        return keys[order], vals[order]
+
+    if orders.count() <= joins.BROADCAST_THRESHOLD:
+        # both dimension sides fit a task heap: ONE broadcast probe stage,
+        # zero shuffle joins — order-level partials map straight to nation
+        o_ref = ray.put(sorted_arrays(orders, "o_orderkey", "o_custkey"))
+        c_ref = ray.put(sorted_arrays(cust_ds, "c_custkey", "c_nationkey"))
+
+        class RollupBroadcast:
+            def __init__(self):
+                self.ok, self.oc = ray.get(o_ref)
+                self.ck, self.cn = ray.get(c_ref)
+                self.names = ray.get(names_ref)
+
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                cust = self.oc[np.searchsorted(self.ok, df["l_orderkey"].to_numpy())]
+                nk = self.cn[np.searchsorted(self.ck, cust)]
+                df["n_name"] = self.names[nk]
+                return df.groupby("n_name", as_index=False).agg(rev=("rev", "sum"))
+
+        partials = li_agg.map_batches(RollupBroadcast, batch_format="pandas",
+                                      concurrency=(1, 8))
+        agg = partials.groupby("n_name").aggregate(Sum("rev", alias_name="revenue"))
+        return agg.map_batches(
+            lambda t: pa.table({"n_name": t["n_name"],
+                                "revenue": pc.round(t["revenue"], 2)}),
+            batch_format="pyarrow")
+
+    joined = joins.inner_join(li_agg, orders, ["l_orderkey"],
                               right_on=("o_orderkey",), num_partitions=16)
 
-    class RollupByNation:
-        def __init__(self):
-            self.c2n = ray.get(ref)
+    if cust_ds.count() <= joins.BROADCAST_THRESHOLD:
+        # broadcast the (sorted custkey, nationkey) arrays — assembled from
+        # the distributed scan, probed with vectorized searchsorted
+        cust_ref = ray.put(sorted_arrays(cust_ds, "c_custkey", "c_nationkey"))
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            df["n_name"] = df["o_custkey"].map(self.c2n)
-            df["rev"] = df["l_extendedprice"] * (1 - df["l_discount"])
-            return df.groupby("n_name", as_index=False).agg(rev=("rev", "sum"))
+        class RollupByNation:
+            def __init__(self):
+                self.keys, self.vals = ray.get(cust_ref)
+                self.names = ray.get(names_ref)
 
-    partials = joined.map_batches(RollupByNation, batch_format="pandas", concurrency=(1, 8))
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                nk = self.vals[np.searchsorted(self.keys, df["o_custkey"].to_numpy())]
+                df["n_name"] = self.names[nk]
+                return df.groupby("n_name", as_index=False).agg(rev=("rev", "sum"))
+
+        partials = joined.map_batches(RollupByNation, batch_format="pandas",
+                                      concurrency=(1, 8))
+    else:
+        with_cust = joins.inner_join(joined, cust_ds, ["o_custkey"],
+                                     right_on=("c_custkey",), num_partitions=16)
+
+        class RollupBig:
+            def __init__(self):
+                self.names = ray.get(names_ref)
+
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                df["n_name"] = self.names[df["c_nationkey"].to_numpy()]
+                return df.groupby("n_name", as_index=False).agg(rev=("rev", "sum"))
+
+        partials = with_cust.map_batches(RollupBig, batch_format="pandas",
+                                         concurrency=(1, 8))
+
     agg = partials.groupby("n_name").aggregate(Sum("rev", alias_name="revenue"))
     return agg.map_batches(
         lambda t: pa.table({"n_name": t["n_name"], "revenue": pc.round(t["revenue"], 2)}),
