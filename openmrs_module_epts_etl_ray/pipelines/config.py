@@ -74,6 +74,53 @@ class _ConditionFilter:
         return self.con.sql(f"SELECT * FROM b WHERE {self.cond}").arrow()
 
 
+class QueryDataSourceStage:
+    """J3 — ``@field``-parameterized query datasource
+    (``conf/QueryDataSourceConfig.java:339-350``): the reference runs the
+    configured SQL once PER RECORD with ``@field`` placeholders bound from
+    the main object. Compiled Ray-native as an actor-pool stage holding a
+    DuckDB connection with the source tables as parquet views; each batch
+    executes ONE correlated LATERAL join (``@field`` rewritten to ``m.field``)
+    — vectorized by DuckDB's join engine, no per-row Python, no per-row SQL.
+
+    Partitioning note: every actor re-opens the datasource parquet (a
+    broadcast-read pattern) — right for lookup tables that fit node storage;
+    a datasource at fact-table scale should be a TABLE datasource instead
+    (``stages.lookup.datasource_lookup`` → shuffle join).
+    """
+
+    def __init__(self, sf_dir: str, query: str, required: bool = False):
+        import glob
+        import re
+
+        import duckdb
+
+        self.con = duckdb.connect()
+        for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+            name = os.path.splitext(os.path.basename(p))[0]
+            self.con.sql(
+                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+        self.sql = re.sub(r"@(\w+)", r"m.\1", query)
+        self.join = "JOIN" if required else "LEFT JOIN"
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        self.con.register("m", t)
+        return self.con.sql(
+            f"SELECT m.*, ds.* FROM m {self.join} LATERAL ({self.sql}) ds ON TRUE"
+        ).arrow()
+
+
+def _resolve_callable(spec: str):
+    """'pkg.module:attr' → callable (the finalizer / processor analogue of
+    the reference's ``*FullClassName`` reflection hooks)."""
+    import importlib
+
+    mod, _, attr = spec.partition(":")
+    if not attr:
+        mod, _, attr = spec.rpartition(".")
+    return getattr(importlib.import_module(mod), attr)
+
+
 def _compile_mapping(entries: list[dict]) -> RecordTransform:
     mappings = []
     for e in entries:
@@ -87,32 +134,72 @@ def _compile_mapping(entries: list[dict]) -> RecordTransform:
     return RecordTransform(mappings=mappings)
 
 
-def run_config(cfg: dict | str) -> dict[str, str]:
+def _run_item(item: dict, outputs: dict[str, str]) -> None:
+    """One etlConfiguration item (srcConf → dstConf list), then its nested
+    ``child`` item(s) — the reference's chained operation controllers
+    (``conf/EtlOperationConfig.java:490-499``: children start after the
+    parent operation completes)."""
+    from .export import export_files
+
+    src = item["srcConf"]
+    ds = read_table(src["sfDir"], src["tableName"],
+                    columns=src.get("columns"))
+    cond = src.get("extraConditionForExtract")
+    if cond:
+        ds = ds.map_batches(_ConditionFilter,
+                            fn_constructor_kwargs=dict(cond=cond),
+                            batch_format="pyarrow", concurrency=(1, 8))
+    for qds in src.get("extraQueryDataSource", []):
+        ds = ds.map_batches(
+            QueryDataSourceStage,
+            fn_constructor_kwargs=dict(sf_dir=src["sfDir"],
+                                       query=qds["query"],
+                                       required=bool(qds.get("required", False))),
+            batch_format="pyarrow", concurrency=(1, 8))
+    for dst in item["dstConf"]:
+        out = apply_transform(ds, _compile_mapping(dst["mapping"]))
+        out_dir = dst.get("outDir") or os.path.join(
+            "/tmp", "etl_out", dst["tableName"])
+        export_files(out, out_dir, fmt=dst.get("dstType", "parquet"))
+        outputs[dst["tableName"]] = out_dir
+    child = item.get("child")
+    for c in ([child] if isinstance(child, dict) else (child or [])):
+        _run_item(c, outputs)
+
+
+def run_config(cfg: dict | str, _seen: frozenset = frozenset()) -> dict[str, str]:
     """Run a process config; returns {dst tableName: output dir}. The write
     is partitioned parquet/csv/json via the export sinks (resumable layout).
+
+    Process-level surface beyond the item list (reference §2.10):
+
+    - ``childConfigFilePath`` — after this config finishes, load and run
+      that config too (``controller/ProcessStarter.java:133-172``: the child
+      process starts when the parent controller reports finished); chains
+      recursively, cycles rejected.
+    - ``finalizer`` — ``"module:callable"`` invoked with the outputs dict
+      once this config's own items are done, BEFORE the child config starts
+      (``controller/ProcessController.java:629-649`` onFinish ordering).
     """
+    path = None
     if isinstance(cfg, str):
-        with open(cfg) as fh:
+        path = os.path.abspath(cfg)
+        if path in _seen:
+            raise ValueError(f"childConfigFilePath cycle at {path}")
+        with open(path) as fh:
             cfg = json.load(fh)
     if cfg.get("processType", "etl") != "etl":
         raise ValueError(f"unsupported processType {cfg.get('processType')!r}")
 
-    from .export import export_files
-
     outputs: dict[str, str] = {}
     for item in cfg["etlConfiguration"]:
-        src = item["srcConf"]
-        ds = read_table(src["sfDir"], src["tableName"],
-                        columns=src.get("columns"))
-        cond = src.get("extraConditionForExtract")
-        if cond:
-            ds = ds.map_batches(_ConditionFilter,
-                                fn_constructor_kwargs=dict(cond=cond),
-                                batch_format="pyarrow", concurrency=(1, 8))
-        for dst in item["dstConf"]:
-            out = apply_transform(ds, _compile_mapping(dst["mapping"]))
-            out_dir = dst.get("outDir") or os.path.join(
-                "/tmp", "etl_out", dst["tableName"])
-            export_files(out, out_dir, fmt=dst.get("dstType", "parquet"))
-            outputs[dst["tableName"]] = out_dir
+        _run_item(item, outputs)
+
+    if cfg.get("finalizer"):
+        _resolve_callable(cfg["finalizer"])(outputs)
+
+    child_path = cfg.get("childConfigFilePath")
+    if child_path:
+        outputs.update(run_config(
+            child_path, _seen | ({path} if path else frozenset())))
     return outputs

@@ -288,6 +288,24 @@ def q_lookup_datasource_required(sf_dir: str):
                              required=True, columns=["c_name"])
 
 
+def q_lookup_query_datasource(sf_dir: str):
+    """@field-parameterized QUERY datasource (J3,
+    ``conf/QueryDataSourceConfig.java:339-350``): per customer, the related
+    record loaded by the configured SQL — here the customer's best order
+    (max totalprice, orderkey tie-break) — compiled to one vectorized
+    DuckDB lateral join per batch (pipelines/config.py)."""
+    from .config import QueryDataSourceStage
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    q = ("SELECT o_orderkey AS best_order_id, o_totalprice AS best_total "
+         "FROM orders WHERE o_custkey = @c_custkey "
+         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 1")
+    return cust.map_batches(
+        QueryDataSourceStage,
+        fn_constructor_kwargs=dict(sf_dir=sf_dir, query=q, required=False),
+        batch_format="pyarrow", concurrency=(1, 8))
+
+
 def q_quick_merge_customers(sf_dir: str):
     """Quick-merge with unique-key PK adoption (J5; reference
     ``db_quick_merge_gaza.json`` shape, ``EtlDatabaseObject.java:619-633``):
@@ -873,6 +891,7 @@ QUERIES = {
     "new_and_changed": q_new_and_changed,
     "lookup_datasource": q_lookup_datasource,
     "lookup_datasource_required": q_lookup_datasource_required,
+    "lookup_query_datasource": q_lookup_query_datasource,
     "quick_merge_customers": q_quick_merge_customers,
     "export_roundtrip": q_export_roundtrip,
     "surrogate_ids": q_surrogate_ids,
@@ -960,6 +979,14 @@ SELECT event_type,
 FROM d
 WHERE created >= TIMESTAMP '2024-01-20' OR changed >= TIMESTAMP '2024-01-20'
 GROUP BY 1, 2
+""",
+    "lookup_query_datasource": """
+SELECT c.c_custkey, c.c_name, b.best_order_id, b.best_total
+FROM customer c LEFT JOIN (
+  SELECT o_custkey, o_orderkey AS best_order_id, o_totalprice AS best_total,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) b ON b.o_custkey = c.c_custkey AND b.rn = 1
 """,
     "quick_merge_customers": """
 WITH src AS (

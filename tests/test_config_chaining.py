@@ -1,0 +1,116 @@
+"""Process chaining + finalizer + @field query datasource (§2.10 / J3) —
+the config-runner parity surface: childConfigFilePath chaining
+(controller/ProcessStarter.java:133-172), nested child items
+(conf/EtlOperationConfig.java:490-499), finalizer hook
+(controller/ProcessController.java:629-649), parameterized query
+datasources (conf/QueryDataSourceConfig.java:339-350)."""
+import json
+
+import duckdb
+import pytest
+
+from openmrs_module_epts_etl_ray.pipelines.config import run_config
+
+SF = "/root/testdata/sf0.001"
+
+def record_finalizer(outputs):
+    # write a marker next to the first output dir (importlib may load this
+    # module as a separate instance, so in-memory state can't be asserted)
+    import os
+    first = next(iter(outputs.values()))
+    with open(os.path.join(os.path.dirname(first), "_finalized.json"), "w") as fh:
+        json.dump(outputs, fh)
+
+
+def _item(table, out_dir, mapping, **src_extra):
+    return {
+        "srcConf": {"tableName": table, "sfDir": SF, **src_extra},
+        "dstConf": [{"tableName": f"{table}_out", "mapping": mapping,
+                     "dstType": "parquet", "outDir": str(out_dir)}],
+    }
+
+
+def test_child_config_chaining_and_finalizer(ray_session, tmp_path):
+    child_cfg = {
+        "processType": "etl",
+        "etlConfiguration": [
+            _item("nation", tmp_path / "nation",
+                  [{"srcField": "n_nationkey", "dstField": "nation_id"},
+                   {"srcField": "n_name", "dstField": "name"}])],
+    }
+    child_path = tmp_path / "child.json"
+    child_path.write_text(json.dumps(child_cfg))
+
+    parent_cfg = {
+        "processType": "etl",
+        "etlConfiguration": [
+            _item("region", tmp_path / "region",
+                  [{"srcField": "r_regionkey", "dstField": "region_id"}])],
+        "finalizer": "tests.test_config_chaining:record_finalizer",
+        "childConfigFilePath": str(child_path),
+    }
+    outs = run_config(parent_cfg)
+    # both processes ran, child after parent
+    assert set(outs) == {"region_out", "nation_out"}
+    # finalizer saw ONLY the parent's outputs (onFinish runs before chaining)
+    marker = json.loads((tmp_path / "_finalized.json").read_text())
+    assert marker == {"region_out": str(tmp_path / "region")}
+    con = duckdb.connect()
+    n = con.sql(f"SELECT count(*) FROM read_parquet('{tmp_path}/nation/*.parquet')").fetchone()[0]
+    assert n == 25
+
+
+def test_child_config_cycle_rejected(ray_session, tmp_path):
+    p = tmp_path / "self.json"
+    cfg = {"processType": "etl", "etlConfiguration": [],
+           "childConfigFilePath": str(p)}
+    p.write_text(json.dumps(cfg))
+    with pytest.raises(ValueError, match="cycle"):
+        run_config(str(p))
+
+
+def test_nested_child_item_runs_after_parent(ray_session, tmp_path):
+    cfg = {
+        "processType": "etl",
+        "etlConfiguration": [{
+            **_item("region", tmp_path / "r",
+                    [{"srcField": "r_regionkey", "dstField": "region_id"}]),
+            "child": _item("nation", tmp_path / "n",
+                           [{"srcField": "n_nationkey", "dstField": "nation_id"}]),
+        }],
+    }
+    outs = run_config(cfg)
+    assert set(outs) == {"region_out", "nation_out"}
+
+
+def test_query_datasource_in_config(ray_session, tmp_path):
+    cfg = {
+        "processType": "etl",
+        "etlConfiguration": [
+            _item("customer", tmp_path / "c",
+                  [{"srcField": "c_custkey", "dstField": "customer_id"},
+                   {"srcField": "best_order_id", "dstField": "best_order_id"}],
+                  columns=["c_custkey", "c_name"],
+                  extraQueryDataSource=[{
+                      "name": "best_order",
+                      "query": ("SELECT o_orderkey AS best_order_id "
+                                "FROM orders WHERE o_custkey = @c_custkey "
+                                "ORDER BY o_totalprice DESC, o_orderkey LIMIT 1"),
+                  }])],
+    }
+    outs = run_config(cfg)
+    con = duckdb.connect()
+    got = con.sql(
+        f"SELECT customer_id, best_order_id FROM read_parquet('{tmp_path}/c/*.parquet') "
+        f"ORDER BY customer_id").df()
+    want = con.sql(f"""
+        SELECT c.c_custkey AS customer_id, b.best_order_id
+        FROM read_parquet('{SF}/customer.parquet') c LEFT JOIN (
+          SELECT o_custkey, o_orderkey AS best_order_id,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) rn
+          FROM read_parquet('{SF}/orders.parquet')) b
+          ON b.o_custkey = c.c_custkey AND b.rn = 1
+        ORDER BY customer_id""").df()
+    import pandas as pd
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
