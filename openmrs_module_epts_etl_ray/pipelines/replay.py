@@ -155,6 +155,115 @@ def quick_merge(
     )
 
 
+def retry_dead_letters(
+    lake_root: str,
+    dead_letter_dir: str,
+    *,
+    key_cols: tuple[str, ...] = ("repo", "path"),
+    num_buckets: int = 64,
+    policy: ConflictPolicy | None = None,
+    repair=None,
+    max_retries: int = 3,
+    concurrency: int | tuple[int, int] | None = None,
+) -> dict:
+    """Re-process dead-lettered rows into the lake — the reference's
+    skipped-record retry pass (``engine/Engine.java:367-406``:
+    re-run the task over the skipped set, then delete the skipped records).
+
+    Flow: read the error files → bump ``_retry_count`` → rows over
+    ``max_retries`` are parked terminally under ``<dir>/parked/`` → the rest
+    optionally pass a ``repair`` batch hook (Arrow table -> Arrow table;
+    the reference re-reads from a by-then-corrected source, a log-structured
+    engine must repair in flight) → re-validate (still-bad rows land back in
+    the dead-letter dir with their incremented count) → merge with ORIGINAL
+    LSNs under the per-key LWW guard, amending bucket snapshots without
+    moving watermarks (MergeApplier retry_mode). Consumed error files are
+    deleted afterwards. Returns a summary dict; idempotent under re-runs.
+    """
+    import glob
+    import hashlib as _hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ..functions.hashing import BUCKET_COL as _B
+    from ..stages.validate import REASON_COL, RETRY_COL, Validator
+
+    files = sorted(glob.glob(os.path.join(dead_letter_dir, "errors-*.parquet")))
+    if not files:
+        return {"candidates": 0, "parked": 0, "rows_applied": 0, "requeued": 0}
+    log = CommitLog(lake_root)
+    num_buckets = log.ensure_bucketing(num_buckets)
+
+    ds = rd.read_parquet(files)
+
+    def prep(t: pa.Table) -> pa.Table:
+        if REASON_COL in t.column_names:
+            t = t.drop_columns([REASON_COL])
+        if RETRY_COL in t.column_names:
+            rc = pc.add(pc.fill_null(t[RETRY_COL], 0), 1)
+            t = t.drop_columns([RETRY_COL])
+        else:
+            rc = pa.array(np.ones(len(t), dtype=np.int64))
+        return t.append_column(RETRY_COL, pc.cast(rc, pa.int64()))
+
+    ds = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    candidates = ds.count()
+
+    parked_parts = [b for b in ds.map_batches(
+        lambda t: t.filter(pc.greater(t[RETRY_COL], max_retries)),
+        batch_format="pyarrow").iter_batches(batch_format="pyarrow")]
+    parked_tbl = (pa.concat_tables(parked_parts, promote_options="default")
+                  if parked_parts else pa.table({}))
+    n_parked = len(parked_tbl)
+    if n_parked:
+        park_dir = os.path.join(dead_letter_dir, "parked")
+        os.makedirs(park_dir, exist_ok=True)
+        h = _hashlib.sha256()
+        for col in parked_tbl.column_names:
+            h.update(repr(parked_tbl[col].to_pylist()).encode())
+        # deterministic name => re-running the retry re-parks idempotently
+        path = os.path.join(park_dir, f"parked-{h.hexdigest()[:16]}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(parked_tbl, tmp)
+        os.replace(tmp, path)
+
+    retry = ds.map_batches(
+        lambda t: t.filter(pc.less_equal(t[RETRY_COL], max_retries)),
+        batch_format="pyarrow")
+    if repair is not None:
+        retry = retry.map_batches(repair, batch_format="pyarrow")
+    # re-validate: rows that are still malformed go back to the dead-letter
+    # dir carrying their incremented retry count
+    retry = retry.map_batches(
+        Validator(dead_letter_dir, key_cols=key_cols),
+        batch_format="pyarrow")
+    retry = retry.map_batches(
+        lambda t: t.drop_columns([RETRY_COL]) if RETRY_COL in t.column_names else t,
+        batch_format="pyarrow")
+
+    collapsed = retry.map_batches(
+        PartialLww(key_cols=key_cols, num_buckets=num_buckets),
+        batch_format="pyarrow", zero_copy_batch=True)
+    lineage = collapsed.groupby(_B).map_groups(
+        MergeApplier,
+        fn_constructor_kwargs=dict(lake_root=lake_root, policy=policy,
+                                   key_cols=key_cols, retry_mode=True),
+        batch_format="pyarrow",
+        concurrency=concurrency or (1, 8),
+    ).materialize()
+    applied = int(sum(r["rows_applied"] for r in lineage.take_all()))
+
+    requeued = len([f for f in glob.glob(
+        os.path.join(dead_letter_dir, "errors-*.parquet")) if f not in files])
+    # reference: deleteAllSkippedRecord after a successful reprocess pass
+    for f in files:
+        if os.path.exists(f):
+            os.unlink(f)
+    return {"candidates": candidates, "parked": n_parked,
+            "rows_applied": applied, "requeued": requeued}
+
+
 def read_lake(lake_root: str, include_deleted: bool = False) -> rd.Dataset:
     """Read the lake's current committed state (one snapshot file per bucket)."""
     log = CommitLog(lake_root)

@@ -213,11 +213,19 @@ class MergeApplier:
         policy: ConflictPolicy | None = None,
         key_cols: tuple[str, ...] = ("repo", "path"),
         hash_content: bool = True,
+        retry_mode: bool = False,
     ):
+        # retry_mode (dead-letter reprocessing, reference
+        # ``engine/Engine.java:367-406``): incoming rows keep their ORIGINAL
+        # LSNs, which sit below the bucket watermark — so the watermark
+        # filter is skipped (per-key LWW still guards against clobbering
+        # newer state) and the commit AMENDS the current snapshot in place
+        # instead of advancing the watermark.
         self.commit_log = CommitLog(lake_root)
         self.policy = policy or ConflictPolicy()
         self.key_cols = tuple(key_cols)
         self.hash_content = hash_content
+        self.retry_mode = retry_mode
 
     def __call__(self, group: pa.Table) -> pa.Table:
         if len(group) == 0:
@@ -233,17 +241,18 @@ class MergeApplier:
 
         # resume: drop events at or below the bucket's committed watermark
         ckpt = self.commit_log.committed_lsn_hi(bucket)
-        if ckpt >= 0:
-            events = events.filter(pa.compute.greater(events["lsn"], ckpt))
-        if len(events) == 0 or lsn_hi <= ckpt:
-            state = self.commit_log.read_state(bucket)
-            return lineage_row(
-                partition_id=bucket, lsn_lo=lsn_lo, lsn_hi=lsn_hi,
-                events_seen=events_seen, rows_applied=0, inserted=0, updated=0,
-                kept_existing=0, tombstones=0,
-                state_rows=len(state),
-                state_sha=self._fingerprint(state), committed=False,
-            )
+        if not self.retry_mode:
+            if ckpt >= 0:
+                events = events.filter(pa.compute.greater(events["lsn"], ckpt))
+            if len(events) == 0 or lsn_hi <= ckpt:
+                state = self.commit_log.read_state(bucket)
+                return lineage_row(
+                    partition_id=bucket, lsn_lo=lsn_lo, lsn_hi=lsn_hi,
+                    events_seen=events_seen, rows_applied=0, inserted=0, updated=0,
+                    kept_existing=0, tombstones=0,
+                    state_rows=len(state),
+                    state_sha=self._fingerprint(state), committed=False,
+                )
 
         winners = _lww_with_counts(events, self.key_cols, "lsn")
         if N_EVENTS_COL in winners.column_names:
@@ -252,7 +261,12 @@ class MergeApplier:
             winners = add_content_sha(winners)
         state = self.commit_log.read_state(bucket)
         new_state, stats = merge_bucket_state(state, winners, self.policy, self.key_cols)
-        committed = self.commit_log.commit_state(bucket, lsn_hi, new_state, meta=stats)
+        if self.retry_mode:
+            committed = self.commit_log.commit_state(
+                bucket, ckpt if ckpt >= 0 else -1, new_state, meta=stats,
+                replace=True)
+        else:
+            committed = self.commit_log.commit_state(bucket, lsn_hi, new_state, meta=stats)
         return lineage_row(
             partition_id=bucket, lsn_lo=lsn_lo, lsn_hi=lsn_hi,
             events_seen=events_seen,

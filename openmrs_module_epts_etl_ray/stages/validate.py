@@ -24,6 +24,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 REASON_COL = "_reason"
+RETRY_COL = "_retry_count"
 
 
 def _reasons(t: pa.Table, key_cols: tuple[str, ...]) -> pa.Array:

@@ -157,17 +157,33 @@ class CommitLog:
         return int(num_buckets)
 
     # -- write side ----------------------------------------------------
-    def commit_state(self, bucket: int, lsn_hi: int, state: pa.Table, meta: dict | None = None) -> bool:
+    def commit_state(self, bucket: int, lsn_hi: int, state: pa.Table, meta: dict | None = None,
+                     replace: bool = False) -> bool:
         """Atomically persist a bucket snapshot. Returns False if this
-        (bucket, lsn_hi) was already committed (idempotent replay)."""
+        (bucket, lsn_hi) was already committed (idempotent replay).
+
+        ``replace=True`` re-points an EXISTING commit at a new snapshot
+        (atomic json swap) without moving the watermark — the dead-letter
+        retry path applies repaired rows whose original LSNs sit below the
+        bucket watermark, so their merge must amend the current snapshot
+        in place rather than claim a new LSN range (which would mark
+        not-yet-replayed log positions as applied)."""
         log_dir = self._bucket_log_dir(bucket)
         data_dir = self._bucket_data_dir(bucket)
         os.makedirs(log_dir, exist_ok=True)
         os.makedirs(data_dir, exist_ok=True)
         commit_path = os.path.join(log_dir, f"commit-{lsn_hi}.json")
-        if os.path.exists(commit_path):
+        if os.path.exists(commit_path) and not replace:
             return False
         fname = f"state-{lsn_hi}.parquet"
+        if replace:
+            # distinct snapshot name per amendment: the superseded file
+            # stays until compaction GC (readers holding the old manifest
+            # never see a half-written file)
+            rev = 1
+            while os.path.exists(os.path.join(data_dir, fname)):
+                fname = f"state-{lsn_hi}-r{rev}.parquet"
+                rev += 1
         fd, tmp = tempfile.mkstemp(dir=data_dir, suffix=".tmp")
         os.close(fd)
         try:
