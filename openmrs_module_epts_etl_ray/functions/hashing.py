@@ -95,10 +95,29 @@ def sha256_hex(column: pa.ChunkedArray | pa.Array) -> pa.Array:
 
     Matches DuckDB's ``sha256()`` so oracle SQL can verify the per-row
     content invariant from BASELINE.json's input_hint.
-    """
+
+    Hashes the Arrow string buffer DIRECTLY through offset slices — no
+    ``to_pylist`` round trip (decode to str + re-encode doubled the cost of
+    the flagship replay's content-sha stage; the bytes are already UTF-8 in
+    the Arrow buffer)."""
     arr = column.combine_chunks() if isinstance(column, pa.ChunkedArray) else column
-    py = arr.to_pylist()
-    out = [None if v is None else hashlib.sha256(v.encode("utf-8")).hexdigest() for v in py]
+    if len(arr) == 0:
+        return pa.array([], type=pa.string())
+    if not (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
+        arr = pc.cast(arr, pa.string())
+    validity, offsets_buf, data_buf = arr.buffers()
+    odtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    # buffers are for the WHOLE array incl. arr.offset (sliced arrays)
+    off = np.frombuffer(offsets_buf, dtype=odtype,
+                        count=len(arr) + 1 + arr.offset)[arr.offset:].tolist()
+    data = memoryview(data_buf)
+    sha = hashlib.sha256
+    if arr.null_count == 0:
+        out = [sha(data[off[i]:off[i + 1]]).hexdigest() for i in range(len(arr))]
+    else:
+        valid = arr.is_valid().to_numpy(zero_copy_only=False).tolist()
+        out = [sha(data[off[i]:off[i + 1]]).hexdigest() if valid[i] else None
+               for i in range(len(arr))]
     return pa.array(out, type=pa.string())
 
 

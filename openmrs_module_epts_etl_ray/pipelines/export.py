@@ -19,15 +19,35 @@ import pyarrow as pa
 import ray.data as rd
 
 
-def export_files(ds: rd.Dataset, out_dir: str, fmt: str = "json") -> pa.Table:
+def _marker_path(out_dir: str) -> str:
+    # sibling file, NOT inside the dir: Ray's readers parse every file in
+    # the directory regardless of extension or dot-prefix
+    return out_dir.rstrip("/") + ".export-manifest.json"
+
+
+def export_files(ds: rd.Dataset, out_dir: str, fmt: str = "json",
+                 overwrite: bool = False) -> pa.Table:
     """Export a Dataset to JSON-lines / CSV / parquet files; returns the
     manifest (file, bytes). The destination directory is REPLACED — Ray's
     write sinks append UUID-named files, so an untouched re-run would
     silently double the data; whole-directory replace is what makes the
-    export resumable per destination."""
+    export resumable per destination.
+
+    Guard: a NON-EMPTY directory that was not produced by a previous export
+    (no sibling ``<out_dir>.export-manifest.json`` marker) is refused unless
+    ``overwrite=True`` — a mistyped dstConf.outDir pointing at unrelated
+    data must not silently delete it."""
+    import json
     import shutil
 
-    if os.path.isdir(out_dir):
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
+        if not overwrite and not os.path.exists(_marker_path(out_dir)):
+            raise ValueError(
+                f"refusing to replace non-empty directory {out_dir!r}: it has "
+                f"no export marker, so it was not produced by a previous "
+                f"export — pass overwrite=True to force")
+        shutil.rmtree(out_dir)
+    elif os.path.isdir(out_dir):
         shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     if fmt == "json":
@@ -43,16 +63,20 @@ def export_files(ds: rd.Dataset, out_dir: str, fmt: str = "json") -> pa.Table:
         p = os.path.join(out_dir, f)
         if os.path.isfile(p):
             rows.append({"file": f, "bytes": os.path.getsize(p)})
+    with open(_marker_path(out_dir), "w") as fh:
+        json.dump({"fmt": fmt, "files": rows}, fh)
     return pa.Table.from_pylist(rows)
 
 
 def read_export(out_dir: str, fmt: str = "json") -> rd.Dataset:
     """Read an export back (the LOAD side, reference S2:
     ``load/processor/DataLoadProcessor.java:29-48``)."""
+    # explicit extension filter: the export marker (and any sidecar) must
+    # never be parsed as data
     if fmt == "json":
-        return rd.read_json(out_dir)
+        return rd.read_json(out_dir, file_extensions=["json"])
     if fmt == "csv":
-        return rd.read_csv(out_dir)
+        return rd.read_csv(out_dir, file_extensions=["csv"])
     if fmt == "parquet":
-        return rd.read_parquet(out_dir)
+        return rd.read_parquet(out_dir, file_extensions=["parquet"])
     raise ValueError(f"fmt={fmt!r}")

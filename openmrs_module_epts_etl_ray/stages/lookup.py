@@ -34,9 +34,30 @@ def datasource_lookup(
     """Attach lookup columns to each src row by ``join_fields``
     [(src_field, lookup_field), ...]. ``required=True`` drops unmatched rows
     (the reference's required-datasource semi-join), else nulls backfill.
-    """
-    lk = lookup.to_pandas()
+
+    Physical strategy: broadcast probe below ``joins.BROADCAST_THRESHOLD``
+    lookup rows, hash-shuffle join above it (a lookup side at fact-table
+    scale must never be driver-collected)."""
+    from .joins import BROADCAST_THRESHOLD, inner_join, left_join
+
     l_keys = [lf for _, lf in join_fields]
+    s_keys_ = [sf for sf, _ in join_fields]
+    lookup = lookup.materialize()
+    if lookup.count() > BROADCAST_THRESHOLD:
+        cols = (l_keys + [c for c in columns if c not in l_keys]
+                if columns is not None else None)
+        rhs = lookup.select_columns(cols) if cols else lookup
+        if l_keys == s_keys_:
+            join = inner_join if required else left_join
+            return join(ds, rhs, s_keys_)
+        join = inner_join if required else left_join
+        out = join(ds, rhs, s_keys_, right_on=tuple(l_keys))
+        drop = [lf for lf in l_keys if lf not in s_keys_]
+        return out.map_batches(
+            lambda t: t.drop_columns([c for c in drop if c in t.column_names]),
+            batch_format="pyarrow")
+
+    lk = lookup.to_pandas()
     if columns is not None:
         lk = lk[l_keys + [c for c in columns if c not in l_keys]]
     # one row per key (the reference takes the first matching row); null
@@ -79,6 +100,37 @@ def remap_fk(
         raise ValueError(f"on_missing={on_missing!r}")
     import pandas as pd
 
+    from .joins import BROADCAST_THRESHOLD
+
+    def apply_mapped(df: pd.DataFrame, mapped: pd.Series) -> pd.DataFrame:
+        # nullable Int64 keeps an integer FK exact: a plain .map miss
+        # introduces NaN and silently coerces int64 -> float64, losing
+        # exactness above 2^53 and changing the output dtype
+        if pd.api.types.is_integer_dtype(df[fk_col].dtype):
+            mapped = mapped.astype("Int64")
+        hit = mapped.notna() | df[fk_col].isna()
+        if on_missing == "drop":
+            df = df[hit]
+            mapped = mapped[hit]
+        elif on_missing == "keep":
+            mapped = mapped.where(mapped.notna(), df[fk_col])
+        return df.assign(**{fk_col: mapped})
+
+    mapping = mapping.materialize()
+    if mapping.count() > BROADCAST_THRESHOLD:
+        # shuffle path: mapping at fact-table scale is never driver-collected
+        from .joins import left_join
+
+        rhs = mapping.select_columns([old_col, new_col])
+        joined = left_join(ds, rhs, [fk_col], right_on=(old_col,))
+
+        def fold(df: pd.DataFrame) -> pd.DataFrame:
+            out = apply_mapped(df, df[new_col])
+            return out.drop(columns=[c for c in (old_col, new_col)
+                                     if c in out.columns])
+
+        return joined.map_batches(fold, batch_format="pandas")
+
     mp = mapping.to_pandas()[[old_col, new_col]].dropna(subset=[old_col])
     mp = mp.drop_duplicates(subset=[old_col], keep="first")
     lut = dict(zip(mp[old_col], mp[new_col]))
@@ -89,14 +141,6 @@ def remap_fk(
             self.lut = ray.get(ref)
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            mapped = df[fk_col].map(self.lut)
-            hit = mapped.notna() | df[fk_col].isna()
-            if on_missing == "drop":
-                df = df[hit]
-                mapped = mapped[hit]
-            elif on_missing == "keep":
-                mapped = mapped.where(mapped.notna(), df[fk_col])
-            df = df.assign(**{fk_col: mapped})
-            return df
+            return apply_mapped(df, df[fk_col].map(self.lut))
 
     return ds.map_batches(Remap, batch_format="pandas", concurrency=(1, 8))

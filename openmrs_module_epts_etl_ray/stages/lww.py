@@ -52,6 +52,20 @@ def _op_rank(batch: pa.Table) -> np.ndarray | None:
     return lut[enc.indices.to_numpy().astype(np.int64, copy=False)]
 
 
+def _payload_hash(batch: pa.Table, key_cols, lsn_col: str) -> np.ndarray | None:
+    """Per-row uint64 hash of the payload columns (everything except key /
+    lsn / op / bookkeeping) — the deterministic tie-break for pathological
+    same-(key, lsn, op) rows with divergent content."""
+    from pandas.util import hash_pandas_object
+
+    skip = set(key_cols) | {lsn_col, "op", N_EVENTS_COL, BUCKET_COL}
+    cols = [c for c in batch.column_names if c not in skip]
+    if not cols:
+        return None
+    return hash_pandas_object(batch.select(cols).to_pandas(),
+                              index=False).to_numpy()
+
+
 def lww_select(
     batch: pa.Table,
     key_cols: tuple[str, ...],
@@ -86,10 +100,30 @@ def lww_select(
         else:
             comp |= rel
         order = np.argsort(comp, kind="stable")
+        scomp = comp[order]
+        if n > 1 and np.any(scomp[1:] == scomp[:-1]):
+            # same-(key, lsn, op) rows present: fold a payload hash in as
+            # the lowest-priority tie-break so the winner is a pure function
+            # of the ROW SET, not of block layout (divergent-content ties
+            # are malformed input with an undefined winner — route them via
+            # replay(dead_letter_dir=...) — but the pick must still be
+            # deterministic across partitionings). Cost is paid only when a
+            # duplicate composite actually exists (at-least-once replays).
+            th = _payload_hash(batch, key_cols, lsn_col)
+            if th is not None:
+                order = np.lexsort((th, comp))
         sc = codes[order]
     else:  # astronomically wide LSN span: fall back to multi-key lexsort
         keys = (lsn, codes) if rank is None else (rank, lsn, codes)
         order = np.lexsort(keys)
+        dup = (codes[order][1:] == codes[order][:-1]) \
+            & (lsn[order][1:] == lsn[order][:-1])
+        if rank is not None:
+            dup &= (rank[order][1:] == rank[order][:-1])
+        if dup.any():
+            th = _payload_hash(batch, key_cols, lsn_col)
+            if th is not None:
+                order = np.lexsort((th,) + keys)
         sc = codes[order]
     is_last = np.empty(n, dtype=bool)
     is_last[-1] = True

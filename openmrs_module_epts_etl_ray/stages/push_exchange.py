@@ -138,25 +138,30 @@ class BucketRouter:
         # the slice fingerprint must distinguish every legitimately distinct
         # slice: per-row key SipHash (same-transaction rows share an LSN
         # across many keys), op rank (non-identical same-(key,lsn) pairs),
-        # _n_events and content length (at-least-once duplicate blocks) —
-        # a false dedup now needs agreement on the full 128-bit digest
+        # _n_events and a per-row content SipHash (at-least-once duplicate
+        # blocks; hashing only content LENGTH let equal-length divergent
+        # content dedup as a retry) — a false dedup now needs agreement on
+        # the full 128-bit digest including content bytes
         kh = key_hash(tbl, self.key_cols) if all(
             c in tbl.column_names for c in self.key_cols) else None
-        import pyarrow.compute as _pc
+
+        from pandas.util import hash_array as _hash_array
 
         from .lww import N_EVENTS_COL, _op_rank
         rank = _op_rank(tbl)
         nev = (tbl[N_EVENTS_COL].to_numpy()
                if N_EVENTS_COL in tbl.column_names else None)
-        clen = (_pc.fill_null(_pc.binary_length(tbl["content"]), -1).to_numpy()
-                if "content" in tbl.column_names else None)
+        ch = (_hash_array(
+                tbl["content"].to_numpy(zero_copy_only=False).astype(object, copy=False),
+                categorize=False)
+              if "content" in tbl.column_names else None)
         refs = []
         for i in range(len(bounds) - 1):
             lo, hi = int(bounds[i]), int(bounds[i + 1])
             sl = tbl.slice(lo, hi - lo)
             if lsn is not None:
                 h = hashlib.blake2b(lsn[lo:hi].tobytes(), digest_size=16)
-                for arr in (kh, rank, nev, clen):
+                for arr in (kh, rank, nev, ch):
                     if arr is not None:
                         h.update(arr[lo:hi].tobytes())
                 fp = h.hexdigest()

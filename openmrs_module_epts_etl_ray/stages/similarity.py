@@ -111,31 +111,49 @@ def ivf_topk(
     C = _normalize(centroids)
     Q = _normalize(np.asarray(queries, dtype=np.float64))
     probed = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]          # cells per query
-    probed_cells = set(probed.ravel().tolist())
     cref = ray.put(centroids)
 
-    class CellFilterScore(_BatchTopK):
+    class CellFilterScore:
+        """Fully vectorized probe filter: cell assignment via the matmul
+        distance form (||c||² − 2v·c), probe admissibility via a
+        (query, cell) boolean membership matrix indexed per batch — no
+        per-row Python (the r1 version paid an O(q) ``list.index`` per
+        emitted row)."""
+
         def __init__(self, queries_ref, query_ids, k, vec_col, id_col):
-            super().__init__(queries_ref, query_ids, k, vec_col, id_col)
+            self.Q = _normalize(ray.get(queries_ref))
+            self.query_ids = np.asarray(query_ids)
+            self.k = k
+            self.vec_col = vec_col
+            self.id_col = id_col
             self.C = ray.get(cref)
-            self.probed = probed
-            self.probed_cells = probed_cells
+            self.c2 = (self.C ** 2).sum(1)
+            M = np.zeros((len(self.query_ids), n_cells), dtype=bool)
+            M[np.arange(len(self.query_ids))[:, None], probed] = True
+            self.M = M
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             V = _to_matrix(batch[self.vec_col].to_numpy())
-            cell = ((V[:, None, :] - self.C[None, :, :]) ** 2).sum(-1).argmin(1)
-            keep = np.isin(cell, list(self.probed_cells))
+            ids = batch[self.id_col].to_numpy()
+            cell = (self.c2[None, :] - 2.0 * (V @ self.C.T)).argmin(1)
+            allowed = self.M[:, cell]                       # (q, n)
+            keep = allowed.any(axis=0)
             if not keep.any():
                 return pd.DataFrame({"query_id": [], self.id_col: [], "cosine": []})
-            sub = batch[keep].reset_index(drop=True)
-            out = super().__call__(sub)
-            # drop scores for queries that did not probe the vector's cell
-            cell_of = dict(zip(sub[self.id_col], cell[keep]))
-            probe_ok = [
-                cell_of[i] in self.probed[list(self.query_ids).index(q)]
-                for q, i in zip(out["query_id"], out[self.id_col])
-            ]
-            return out[np.asarray(probe_ok)]
+            Vn = _normalize(V[keep])
+            ids = ids[keep]
+            allowed = allowed[:, keep]
+            S = np.where(allowed, self.Q @ Vn.T, -np.inf)   # (q, n)
+            k = min(self.k, S.shape[1])
+            idx = np.stack([np.lexsort((ids, -S[qi]))[:k]
+                            for qi in range(S.shape[0])])
+            cos = np.take_along_axis(S, idx, axis=1).ravel()
+            ok = np.isfinite(cos)
+            return pd.DataFrame({
+                "query_id": np.repeat(self.query_ids, k)[ok],
+                self.id_col: ids[idx].ravel()[ok],
+                "cosine": cos[ok],
+            })
 
     qref_ids = list(query_ids)
     scored = ds.map_batches(
