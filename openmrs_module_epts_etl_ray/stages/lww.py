@@ -52,18 +52,39 @@ def _op_rank(batch: pa.Table) -> np.ndarray | None:
     return lut[enc.indices.to_numpy().astype(np.int64, copy=False)]
 
 
-def _payload_hash(batch: pa.Table, key_cols, lsn_col: str) -> np.ndarray | None:
+def _payload_hash(batch: pa.Table, key_cols, lsn_col: str,
+                  rows: np.ndarray | None = None) -> np.ndarray | None:
     """Per-row uint64 hash of the payload columns (everything except key /
-    lsn / op / bookkeeping) — the deterministic tie-break for pathological
-    same-(key, lsn, op) rows with divergent content."""
+    lsn / op / bookkeeping) — the deterministic tie-break for same-(key,
+    lsn, op) rows. ``rows`` restricts hashing to those row indices: ordinary
+    at-least-once duplicate rates make ties common, and hashing the WHOLE
+    batch's content per block would dominate the replay (measured 2x)."""
     from pandas.util import hash_pandas_object
 
     skip = set(key_cols) | {lsn_col, "op", N_EVENTS_COL, BUCKET_COL}
     cols = [c for c in batch.column_names if c not in skip]
     if not cols:
         return None
-    return hash_pandas_object(batch.select(cols).to_pandas(),
-                              index=False).to_numpy()
+    sel = batch.select(cols)
+    if rows is not None:
+        sel = sel.take(pa.array(rows))
+    return hash_pandas_object(sel.to_pandas(), index=False).to_numpy()
+
+
+def _tie_break_order(order: np.ndarray, scomp_key: np.ndarray, eq: np.ndarray,
+                     batch: pa.Table, key_cols, lsn_col: str) -> np.ndarray:
+    """Reorder rows WITHIN tied composite runs by payload hash (stable
+    everywhere else). ``eq[i]`` marks scomp_key[i+1] == scomp_key[i]."""
+    run_member = np.r_[False, eq] | np.r_[eq, False]
+    pos = np.flatnonzero(run_member)
+    rows = order[pos]
+    th = _payload_hash(batch, key_cols, lsn_col, rows=rows)
+    if th is None:
+        return order
+    sub = np.lexsort((th, scomp_key[pos]))
+    order = order.copy()
+    order[pos] = rows[sub]
+    return order
 
 
 def lww_select(
@@ -101,29 +122,30 @@ def lww_select(
             comp |= rel
         order = np.argsort(comp, kind="stable")
         scomp = comp[order]
-        if n > 1 and np.any(scomp[1:] == scomp[:-1]):
+        eq = scomp[1:] == scomp[:-1] if n > 1 else np.zeros(0, dtype=bool)
+        if eq.any():
             # same-(key, lsn, op) rows present: fold a payload hash in as
             # the lowest-priority tie-break so the winner is a pure function
             # of the ROW SET, not of block layout (divergent-content ties
             # are malformed input with an undefined winner — route them via
             # replay(dead_letter_dir=...) — but the pick must still be
-            # deterministic across partitionings). Cost is paid only when a
-            # duplicate composite actually exists (at-least-once replays).
-            th = _payload_hash(batch, key_cols, lsn_col)
-            if th is not None:
-                order = np.lexsort((th, comp))
+            # deterministic across partitionings). Only the TIED rows are
+            # hashed; ordinary at-least-once dup rates make ties common.
+            order = _tie_break_order(order, scomp, eq, batch, key_cols, lsn_col)
         sc = codes[order]
     else:  # astronomically wide LSN span: fall back to multi-key lexsort
         keys = (lsn, codes) if rank is None else (rank, lsn, codes)
         order = np.lexsort(keys)
-        dup = (codes[order][1:] == codes[order][:-1]) \
+        eq = (codes[order][1:] == codes[order][:-1]) \
             & (lsn[order][1:] == lsn[order][:-1])
         if rank is not None:
-            dup &= (rank[order][1:] == rank[order][:-1])
-        if dup.any():
-            th = _payload_hash(batch, key_cols, lsn_col)
-            if th is not None:
-                order = np.lexsort((th,) + keys)
+            eq &= (rank[order][1:] == rank[order][:-1])
+        if eq.any():
+            # composite surrogate for run identity in sorted space: the
+            # lexsort keys are equal exactly where eq marks; use the sorted
+            # position's run id (cumsum of boundaries) as the group key
+            run_id = np.r_[0, np.cumsum(~eq)].astype(np.int64)
+            order = _tie_break_order(order, run_id, eq, batch, key_cols, lsn_col)
         sc = codes[order]
     is_last = np.empty(n, dtype=bool)
     is_last[-1] = True
