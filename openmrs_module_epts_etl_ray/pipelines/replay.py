@@ -39,6 +39,7 @@ def replay(
     batch_size: int | None = None,
     engine: str = "push",
     dead_letter_dir: str | None = None,
+    layout: str = "snapshot",
 ) -> rd.Dataset:
     """Replay a change-event Dataset into the lake; returns the lineage Dataset.
 
@@ -100,13 +101,14 @@ def replay(
         # the ingest acks when num_cpus == physical cores)
         lineage_table = push_exchange_merge(
             collapsed, lake_root, policy=policy, key_cols=key_cols,
-            num_actors=max(1, pool // 4),
+            num_actors=max(1, pool // 4), layout=layout,
         )
         return rd.from_arrow(lineage_table)
 
     lineage = collapsed.groupby(BUCKET_COL).map_groups(
         MergeApplier,
-        fn_constructor_kwargs=dict(lake_root=lake_root, policy=policy, key_cols=key_cols),
+        fn_constructor_kwargs=dict(lake_root=lake_root, policy=policy,
+                                   key_cols=key_cols, layout=layout),
         batch_format="pyarrow",
         concurrency=concurrency or (1, 8),
     )
@@ -265,16 +267,33 @@ def retry_dead_letters(
 
 
 def read_lake(lake_root: str, include_deleted: bool = False) -> rd.Dataset:
-    """Read the lake's current committed state (one snapshot file per bucket)."""
+    """Read the lake's current committed state. Snapshot layout: one parquet
+    file per bucket straight into ``read_parquet``. Delta layout: one
+    reconstruction task per bucket (CommitLog.read_state) — still parallel,
+    still bounded by bucket size."""
     log = CommitLog(lake_root)
-    files = []
+    files, delta_buckets = [], []
     for bucket in sorted(log.checkpoint()):
         cur = log.current(bucket)
-        if cur is not None:
+        if cur is None:
+            continue
+        if cur.get("kind", "snapshot") == "snapshot":
             files.append(os.path.join(log.data_dir, f"bucket={bucket}", cur["file"]))
-    if not files:
+        else:
+            delta_buckets.append(bucket)
+    if not files and not delta_buckets:
         return rd.from_arrow(pa.table({}))
-    ds = rd.read_parquet(files)
+    if delta_buckets:
+        import ray
+
+        @ray.remote(num_cpus=1)
+        def recon(b: int) -> pa.Table:
+            return CommitLog(lake_root).read_state(b)
+
+        parts = rd.from_arrow_refs([recon.remote(b) for b in delta_buckets])
+        ds = parts if not files else rd.read_parquet(files).union(parts)
+    else:
+        ds = rd.read_parquet(files)
 
     def clean(t: pa.Table) -> pa.Table:
         # drop the hive-inferred `bucket` dir column; filter tombstones

@@ -81,12 +81,15 @@ def merge_bucket_state(
     winners: pa.Table,
     policy: ConflictPolicy,
     key_cols: tuple[str, ...] = ("repo", "path"),
-) -> tuple[pa.Table, dict]:
+    return_applied: bool = False,
+):
     """Merge LWW-reduced incoming winners into a bucket's state table.
 
     ``state`` rows carry payload columns + ``lsn`` + ``_deleted``; ``winners``
     carry payload + ``lsn`` + ``op`` (one row per key). Returns the new state
-    and conflict statistics. Vectorized pandas; bucket-sized inputs only.
+    and conflict statistics (plus, with ``return_applied=True``, the applied
+    rows alone — the delta a delta-layout commit persists). Vectorized
+    pandas; bucket-sized inputs only.
     """
     key_cols = list(key_cols)
     wdf = winners.to_pandas()
@@ -102,6 +105,8 @@ def merge_bucket_state(
             "tombstones": int(is_delete.sum()),
         }
         new_state = pa.Table.from_pandas(wdf, preserve_index=False)
+        if return_applied:
+            return new_state, stats, new_state
         return new_state, stats
 
     sdf = state.to_pandas()
@@ -195,6 +200,10 @@ def merge_bucket_state(
     out = pd.concat([survivors, applied], ignore_index=True)
 
     new_state, = unify_and_backfill([pa.Table.from_pandas(out, preserve_index=False)])
+    if return_applied:
+        applied_tbl, = unify_and_backfill(
+            [pa.Table.from_pandas(applied, preserve_index=False)])
+        return new_state, stats, applied_tbl
     return new_state, stats
 
 
@@ -214,6 +223,8 @@ class MergeApplier:
         key_cols: tuple[str, ...] = ("repo", "path"),
         hash_content: bool = True,
         retry_mode: bool = False,
+        layout: str = "snapshot",
+        snapshot_every: int = 8,
     ):
         # retry_mode (dead-letter reprocessing, reference
         # ``engine/Engine.java:367-406``): incoming rows keep their ORIGINAL
@@ -221,11 +232,22 @@ class MergeApplier:
         # filter is skipped (per-key LWW still guards against clobbering
         # newer state) and the commit AMENDS the current snapshot in place
         # instead of advancing the watermark.
+        #
+        # layout="delta": each commit persists only the rows it APPLIED
+        # (tombstones included) plus a full snapshot every snapshot_every
+        # commits — cuts full-snapshot write amplification at 10^10 events;
+        # the read path reconstructs snapshot+deltas (CommitLog.read_state)
+        # and compaction re-materializes a full snapshot. Default stays
+        # "snapshot": O(bucket) reads with zero reconstruction.
+        if layout not in ("snapshot", "delta"):
+            raise ValueError(f"layout={layout!r}")
         self.commit_log = CommitLog(lake_root)
         self.policy = policy or ConflictPolicy()
         self.key_cols = tuple(key_cols)
         self.hash_content = hash_content
         self.retry_mode = retry_mode
+        self.layout = layout
+        self.snapshot_every = snapshot_every
 
     def __call__(self, group: pa.Table) -> pa.Table:
         if len(group) == 0:
@@ -260,11 +282,26 @@ class MergeApplier:
         if self.hash_content and "content" in winners.column_names:
             winners = add_content_sha(winners)
         state = self.commit_log.read_state(bucket)
-        new_state, stats = merge_bucket_state(state, winners, self.policy, self.key_cols)
+        new_state, stats, applied = merge_bucket_state(
+            state, winners, self.policy, self.key_cols, return_applied=True)
         if self.retry_mode:
+            # an amendment is always a FULL snapshot (even in delta layout):
+            # it replaces the current commit, so reconstruction restarts here
             committed = self.commit_log.commit_state(
                 bucket, ckpt if ckpt >= 0 else -1, new_state, meta=stats,
                 replace=True)
+        elif self.layout == "delta" and len(state) > 0:
+            cur = self.commit_log.current(bucket)
+            since = (cur or {}).get("deltas_since_snapshot", 0)
+            if since + 1 >= self.snapshot_every:
+                committed = self.commit_log.commit_state(
+                    bucket, lsn_hi, new_state,
+                    meta=dict(stats, deltas_since_snapshot=0))
+            else:
+                committed = self.commit_log.commit_state(
+                    bucket, lsn_hi, applied, kind="delta",
+                    meta=dict(stats, deltas_since_snapshot=since + 1,
+                              key_cols=list(self.key_cols)))
         else:
             committed = self.commit_log.commit_state(bucket, lsn_hi, new_state, meta=stats)
         return lineage_row(

@@ -47,9 +47,10 @@ class MergeActor:
 
     def __init__(self, lake_root: str, policy: ConflictPolicy | None,
                  key_cols: tuple[str, ...], hash_content: bool = True,
-                 combine_threshold: int = COMBINE_THRESHOLD):
+                 combine_threshold: int = COMBINE_THRESHOLD,
+                 layout: str = "snapshot"):
         self.applier = MergeApplier(lake_root, policy=policy, key_cols=key_cols,
-                                    hash_content=hash_content)
+                                    hash_content=hash_content, layout=layout)
         self.key_cols = tuple(key_cols)
         self.combine_threshold = combine_threshold
         self.parts: dict[int, list[pa.Table]] = {}
@@ -181,12 +182,13 @@ def push_exchange_merge(
     num_actors: int = 8,
     actor_num_cpus: float = 1.0,
     hash_content: bool = True,
+    layout: str = "snapshot",
 ) -> pa.Table:
     """Drive the push exchange over a collapsed (bucketized) Dataset; returns
     the lineage table. Eager: consumes the Dataset, then flushes the actors."""
     actors = [
         MergeActor.options(num_cpus=actor_num_cpus, max_restarts=0).remote(
-            lake_root, policy, key_cols, hash_content)
+            lake_root, policy, key_cols, hash_content, COMBINE_THRESHOLD, layout)
         for _ in range(num_actors)
     ]
     try:

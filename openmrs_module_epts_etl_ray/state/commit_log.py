@@ -127,10 +127,41 @@ class CommitLog:
         return min(ck.values())
 
     def read_state(self, bucket: int, schema: pa.Schema | None = None) -> pa.Table:
+        """Current bucket state. Snapshot layout: one file read. Delta layout
+        (``commit_state(kind="delta")``): reconstruct — latest full snapshot,
+        then upsert each subsequent delta's rows by the commit's key_cols in
+        LSN order (a delta holds exactly the rows that commit applied,
+        tombstones included)."""
         cur = self.current(bucket)
         if cur is None:
             return pa.table({}) if schema is None else schema.empty_table()
-        return pq.read_table(os.path.join(self._bucket_data_dir(bucket), cur["file"]))
+        data_dir = self._bucket_data_dir(bucket)
+        if cur.get("kind", "snapshot") == "snapshot":
+            return pq.read_table(os.path.join(data_dir, cur["file"]))
+        commits = self.commits(bucket)
+        base = None
+        for i in range(len(commits) - 1, -1, -1):
+            if commits[i].get("kind", "snapshot") == "snapshot":
+                base = i
+                break
+        state = (pq.read_table(os.path.join(data_dir, commits[base]["file"]))
+                 if base is not None else None)
+        for c in commits[(base + 1) if base is not None else 0:]:
+            delta = pq.read_table(os.path.join(data_dir, c["file"]))
+            if state is None or len(state) == 0:
+                state = delta
+                continue
+            from ..stages.schema_evolution import unify_and_backfill
+            state, delta = unify_and_backfill([state, delta])
+            import pandas as pd
+            keys = list(c["key_cols"])
+            sdf, ddf = state.to_pandas(), delta.to_pandas()
+            mask = ~pd.MultiIndex.from_frame(sdf[keys]).isin(
+                pd.MultiIndex.from_frame(ddf[keys]))
+            out = pd.concat([sdf[mask], ddf], ignore_index=True)
+            state = pa.Table.from_pandas(out, preserve_index=False)
+        return state if state is not None else (
+            pa.table({}) if schema is None else schema.empty_table())
 
     def ensure_bucketing(self, num_buckets: int) -> int:
         """Pin the lake's bucket count on first use and return the effective
@@ -158,7 +189,7 @@ class CommitLog:
 
     # -- write side ----------------------------------------------------
     def commit_state(self, bucket: int, lsn_hi: int, state: pa.Table, meta: dict | None = None,
-                     replace: bool = False) -> bool:
+                     replace: bool = False, kind: str = "snapshot") -> bool:
         """Atomically persist a bucket snapshot. Returns False if this
         (bucket, lsn_hi) was already committed (idempotent replay).
 
@@ -175,14 +206,15 @@ class CommitLog:
         commit_path = os.path.join(log_dir, f"commit-{lsn_hi}.json")
         if os.path.exists(commit_path) and not replace:
             return False
-        fname = f"state-{lsn_hi}.parquet"
+        prefix = "delta" if kind == "delta" else "state"
+        fname = f"{prefix}-{lsn_hi}.parquet"
         if replace:
             # distinct snapshot name per amendment: the superseded file
             # stays until compaction GC (readers holding the old manifest
             # never see a half-written file)
             rev = 1
             while os.path.exists(os.path.join(data_dir, fname)):
-                fname = f"state-{lsn_hi}-r{rev}.parquet"
+                fname = f"{prefix}-{lsn_hi}-r{rev}.parquet"
                 rev += 1
         fd, tmp = tempfile.mkstemp(dir=data_dir, suffix=".tmp")
         os.close(fd)
@@ -192,7 +224,8 @@ class CommitLog:
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)
-        entry = {"bucket": bucket, "lsn_hi": lsn_hi, "file": fname, "rows": len(state)}
+        entry = {"bucket": bucket, "lsn_hi": lsn_hi, "file": fname, "rows": len(state),
+                 "kind": kind}
         if meta:
             entry.update(meta)
         fd, tmp = tempfile.mkstemp(dir=log_dir, suffix=".tmp")

@@ -41,6 +41,15 @@ def _compact_bucket(lake_root: str, bucket: int, watermark: int | None) -> dict:
     log_dir = log._bucket_log_dir(bucket)
 
     dropped = 0
+    if cur.get("kind", "snapshot") == "delta":
+        # delta layout: re-materialize the reconstruction chain as ONE full
+        # snapshot (amend the current commit), then the chain files GC below
+        state = log.read_state(bucket)
+        log.commit_state(bucket, cur["lsn_hi"], state,
+                         meta={"compacted": True, "deltas_since_snapshot": 0},
+                         replace=True)
+        commits = log.commits(bucket)
+        cur = commits[-1]
     state = pq.read_table(os.path.join(data_dir, cur["file"]))
     if watermark is not None and DELETED_COL in state.column_names and len(state):
         dead = pc.and_(pc.equal(state[DELETED_COL], True),
