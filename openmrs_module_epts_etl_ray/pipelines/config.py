@@ -157,10 +157,20 @@ def _run_item(item: dict, outputs: dict[str, str]) -> None:
                                        required=bool(qds.get("required", False))),
             batch_format="pyarrow", concurrency=(1, 8))
     for dst in item["dstConf"]:
+        if dst["tableName"] in outputs:
+            # D3 — duplicate destination items are a config error (two items
+            # would silently race on one output directory)
+            raise ValueError(
+                f"duplicate dstConf tableName {dst['tableName']!r} in config")
         out = apply_transform(ds, _compile_mapping(dst["mapping"]))
         out_dir = dst.get("outDir") or os.path.join(
             "/tmp", "etl_out", dst["tableName"])
-        export_files(out, out_dir, fmt=dst.get("dstType", "parquet"))
+        fmt = dst.get("dstType", "parquet")
+        if fmt == "dump":
+            from .export import export_dump
+            export_dump(out, out_dir, dst["tableName"])
+        else:
+            export_files(out, out_dir, fmt=fmt)
         outputs[dst["tableName"]] = out_dir
     child = item.get("child")
     for c in ([child] if isinstance(child, dict) else (child or [])):

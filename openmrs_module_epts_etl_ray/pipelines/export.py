@@ -68,6 +68,88 @@ def export_files(ds: rd.Dataset, out_dir: str, fmt: str = "json",
     return pa.Table.from_pylist(rows)
 
 
+def _sql_literal(v) -> str:
+    import datetime
+
+    import numpy as np
+
+    if v is None or (isinstance(v, float) and v != v):
+        return "NULL"
+    if isinstance(v, (bool, np.bool_)):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (float, np.floating)):
+        return repr(float(v))
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return f"TIMESTAMP '{v}'"
+    if isinstance(v, bytes):
+        return "X'" + v.hex() + "'"
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+class _DumpWriter:
+    """Per-block SQL-dump writer (S6 dstType=dump — reference
+    ``conf/interfaces/TableConfiguration.java:2218-2236`` multi-row
+    ``INSERT INTO t (...) VALUES (...),(...)``). Deterministic
+    content-hashed file names + tmp-then-rename make retried tasks
+    idempotent. Row-wise literal rendering is inherent to the format — this
+    sink exists to feed a SQL database, not the hot path."""
+
+    def __init__(self, out_dir: str, table_name: str):
+        self.out_dir = out_dir
+        self.table_name = table_name
+        os.makedirs(out_dir, exist_ok=True)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import hashlib
+
+        if len(t) == 0:
+            return pa.table({"file": pa.array([], pa.string()),
+                             "rows": pa.array([], pa.int64())})
+        cols = ", ".join(t.column_names)
+        rows = t.to_pylist()
+        values = ",\n".join(
+            "(" + ", ".join(_sql_literal(r[c]) for c in t.column_names) + ")"
+            for r in rows)
+        sql = f"INSERT INTO {self.table_name} ({cols}) VALUES\n{values};\n"
+        fname = f"dump-{hashlib.sha256(sql.encode()).hexdigest()[:16]}.sql"
+        path = os.path.join(self.out_dir, fname)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(sql)
+        os.replace(tmp, path)
+        return pa.table({"file": [fname], "rows": [len(t)]})
+
+
+def export_dump(ds: rd.Dataset, out_dir: str, table_name: str,
+                overwrite: bool = False) -> pa.Table:
+    """SQL-dump sink (S6): one ``INSERT INTO <table> VALUES ...`` file per
+    block. Same overwrite guard + manifest contract as :func:`export_files`."""
+    import json
+    import shutil
+
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
+        if not overwrite and not os.path.exists(_marker_path(out_dir)):
+            raise ValueError(
+                f"refusing to replace non-empty directory {out_dir!r}: it has "
+                f"no export marker — pass overwrite=True to force")
+        shutil.rmtree(out_dir)
+    manifest = ds.map_batches(
+        _DumpWriter, fn_constructor_kwargs=dict(out_dir=out_dir,
+                                                table_name=table_name),
+        batch_format="pyarrow", concurrency=(1, 8)).to_pandas()
+    rows = []
+    for f in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, f)
+        if os.path.isfile(p):
+            rows.append({"file": f, "bytes": os.path.getsize(p)})
+    with open(_marker_path(out_dir), "w") as fh:
+        json.dump({"fmt": "dump", "table": table_name, "files": rows}, fh)
+    del manifest
+    return pa.Table.from_pylist(rows)
+
+
 def read_export(out_dir: str, fmt: str = "json") -> rd.Dataset:
     """Read an export back (the LOAD side, reference S2:
     ``load/processor/DataLoadProcessor.java:29-48``)."""

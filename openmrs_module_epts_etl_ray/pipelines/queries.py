@@ -288,6 +288,45 @@ def q_lookup_datasource_required(sf_dir: str):
                              required=True, columns=["c_name"])
 
 
+def q_id_collision_repoint(sf_dir: str):
+    """Metadata id-collision resolution (D2,
+    ``AbstractDatabaseObject.java:343-429``): incoming rows contesting an
+    existing id (different entity) push the existing row to a fresh id
+    (max+rank); same-uuid rows under a new id drop the old row. The remap
+    for child re-pointing is exercised in tests; this query checks the
+    merged table."""
+    from ..stages.id_collision import resolve_id_collisions
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    existing = cust.map_batches(
+        lambda t: pa.table({"id": t["c_custkey"], "uuid": t["c_name"]}),
+        batch_format="pyarrow")
+
+    def as_incoming(t: pa.Table) -> pa.Table:
+        m7 = pc.equal(pc.subtract(t["c_custkey"],
+                                  pc.multiply(pc.divide(t["c_custkey"], 7), 7)), 0)
+        idc = t.filter(m7)          # id collision, different entity
+        m11 = pc.and_(
+            pc.equal(pc.subtract(t["c_custkey"],
+                                 pc.multiply(pc.divide(t["c_custkey"], 11), 11)), 0),
+            pc.invert(m7))
+        uc = t.filter(m11)          # uuid collision, new id space
+        return pa.table({
+            "id": pa.concat_arrays([
+                idc["c_custkey"].combine_chunks(),
+                pc.add(uc["c_custkey"], 3_000_000).combine_chunks()]),
+            "uuid": pa.concat_arrays([
+                pc.binary_join_element_wise(
+                    idc["c_name"], pa.scalar("_inc"), pa.scalar("")).combine_chunks(),
+                uc["c_name"].combine_chunks()]),
+        })
+
+    incoming = cust.map_batches(as_incoming, batch_format="pyarrow")
+    merged, _remap = resolve_id_collisions(existing, incoming,
+                                           id_col="id", uuid_col="uuid")
+    return merged
+
+
 def q_lookup_query_datasource(sf_dir: str):
     """@field-parameterized QUERY datasource (J3,
     ``conf/QueryDataSourceConfig.java:339-350``): per customer, the related
@@ -892,6 +931,7 @@ QUERIES = {
     "lookup_datasource": q_lookup_datasource,
     "lookup_datasource_required": q_lookup_datasource_required,
     "lookup_query_datasource": q_lookup_query_datasource,
+    "id_collision_repoint": q_id_collision_repoint,
     "quick_merge_customers": q_quick_merge_customers,
     "export_roundtrip": q_export_roundtrip,
     "surrogate_ids": q_surrogate_ids,
@@ -979,6 +1019,18 @@ SELECT event_type,
 FROM d
 WHERE created >= TIMESTAMP '2024-01-20' OR changed >= TIMESTAMP '2024-01-20'
 GROUP BY 1, 2
+""",
+    "id_collision_repoint": """
+WITH ex AS (SELECT c_custkey AS id, c_name AS uuid FROM customer),
+mx AS (SELECT MAX(id) AS m FROM ex),
+idc AS (SELECT id, uuid, row_number() OVER (ORDER BY id) AS rn
+        FROM ex WHERE id % 7 = 0),
+keep AS (SELECT id, uuid FROM ex WHERE id % 7 <> 0 AND id % 11 <> 0)
+SELECT id, uuid FROM keep
+UNION ALL SELECT (SELECT m FROM mx) + rn AS id, uuid FROM idc
+UNION ALL SELECT id, uuid || '_inc' AS uuid FROM ex WHERE id % 7 = 0
+UNION ALL SELECT id + 3000000 AS id, uuid FROM ex
+          WHERE id % 11 = 0 AND id % 7 <> 0
 """,
     "lookup_query_datasource": """
 SELECT c.c_custkey, c.c_name, b.best_order_id, b.best_total
