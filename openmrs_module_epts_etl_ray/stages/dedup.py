@@ -241,15 +241,18 @@ def minhash_lsh_candidates(
     ``max_bucket=None`` via the underlying ``_bucket_pairs`` when full
     recall matters more than the quadratic guard.
     """
+    # plain INSTANCES, not actor classes: construction is cheap (seeded rng
+    # param gen), so the task-pool form lets Ray fuse Read -> MinHasher ->
+    # BandExploder -> coarse-bucket into one task chain — measured ~1s of
+    # per-stage actor-pool startup saved at sf0.1
     sigs = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(num_perm=num_perm, k=k, seed=seed,
-                                   text_col=text_col, id_col=id_col),
-        batch_format="pandas", concurrency=(1, 8),
+        MinHasher(num_perm=num_perm, k=k, seed=seed,
+                  text_col=text_col, id_col=id_col),
+        batch_format="pandas",
     )
     exploded = sigs.map_batches(
-        _BandExploder, fn_constructor_kwargs=dict(num_bands=num_bands, id_col=id_col),
-        batch_format="pandas", concurrency=(1, 8),
+        _BandExploder(num_bands=num_bands, id_col=id_col),
+        batch_format="pandas",
     )
 
     def pair_fn(sub: pd.DataFrame | None) -> pd.DataFrame:
@@ -474,8 +477,9 @@ def simhash_candidates(ds: rd.Dataset, *, text_col="text", id_col="doc_id",
     """Near-dup pairs with simhash Hamming distance <= max_hamming. The 4x16
     bit chunk banding guarantees recall only for hamming <= 3 (pigeonhole);
     higher thresholds are best-effort within colliding chunks."""
-    hashed = ds.map_batches(SimHasher, fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
-                            batch_format="pandas", concurrency=(1, 8))
+    # instance form => task-pool fusion with the read (cheap constructor)
+    hashed = ds.map_batches(SimHasher(text_col=text_col, id_col=id_col),
+                            batch_format="pandas")
 
     def pair_fn(sub: pd.DataFrame | None) -> pd.DataFrame:
         if sub is None:
@@ -527,10 +531,10 @@ def embedding_near_dups(
     planes_ref = ray.put(planes)
 
     class Bucketize:
-        def __init__(self):
-            self.planes = ray.get(planes_ref)
-
+        # instance form (task pool, fuses with the read): the plane matrix
+        # fetch is a zero-copy shared-memory ray.get per task
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            self.planes = ray.get(planes_ref)
             V = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
             signs = (V @ self.planes.T) > 0          # (n, n_planes)
             rows = []
@@ -557,7 +561,7 @@ def embedding_near_dups(
         return pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep],
                              "cosine": S[ia, ib][keep]})
 
-    bucketed = ds.map_batches(Bucketize, batch_format="pandas", concurrency=(1, 8))
+    bucketed = ds.map_batches(Bucketize(), batch_format="pandas")
     cand = _bucket_pairs(bucketed, ["band", "code"], id_col, pair_fn,
                          max_bucket=max_bucket)
     return _distinct_pairs(cand)

@@ -64,12 +64,13 @@ def brute_force_topk(
     """Global top-k by cosine per query. Deterministic tie-break: higher
     cosine first, then smaller id."""
     qref = ray.put(np.asarray(queries, dtype=np.float64))
+    # instance form (task pool, fuses with the read): the broadcast query
+    # matrix is resolved once at driver-side construction and rides in the
+    # (small) pickled instance
     scored = ds.map_batches(
-        _BatchTopK,
-        fn_constructor_kwargs=dict(queries_ref=qref, query_ids=query_ids, k=k,
-                                   vec_col=vec_col, id_col=id_col),
+        _BatchTopK(queries_ref=qref, query_ids=query_ids, k=k,
+                   vec_col=vec_col, id_col=id_col),
         batch_format="pandas",
-        concurrency=(1, 8),
     )
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
@@ -156,12 +157,12 @@ def ivf_topk(
             })
 
     qref_ids = list(query_ids)
+    # instance form (task pool, fuses with the read); centroids + membership
+    # matrix are small and ride in the pickled instance
     scored = ds.map_batches(
-        CellFilterScore,
-        fn_constructor_kwargs=dict(queries_ref=ray.put(Q), query_ids=qref_ids, k=k,
-                                   vec_col=vec_col, id_col=id_col),
+        CellFilterScore(queries_ref=ray.put(Q), query_ids=qref_ids, k=k,
+                        vec_col=vec_col, id_col=id_col),
         batch_format="pandas",
-        concurrency=(1, 8),
     )
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:

@@ -1,4 +1,9 @@
-"""Text-analysis stages over a documents table (actor-pool map_batches)."""
+"""Text-analysis stages over a documents table.
+
+Stages are plain callable INSTANCES (task pool): construction is free (the
+regexes/profiles compile once per worker at module import), so the task form
+fuses with the upstream read instead of paying actor-pool startup per stage.
+"""
 from __future__ import annotations
 
 import pandas as pd
@@ -52,12 +57,12 @@ class Fingerprint:
 
 
 def text_stats(ds: rd.Dataset, **kw) -> rd.Dataset:
-    return ds.map_batches(TextStats, batch_format="pandas", concurrency=(1, 8), **kw)
+    return ds.map_batches(TextStats(), batch_format="pandas", **kw)
 
 
 def lang_id(ds: rd.Dataset, **kw) -> rd.Dataset:
-    return ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 8), **kw)
+    return ds.map_batches(LangId(), batch_format="pandas", **kw)
 
 
 def fingerprint(ds: rd.Dataset, **kw) -> rd.Dataset:
-    return ds.map_batches(Fingerprint, batch_format="pandas", concurrency=(1, 8), **kw)
+    return ds.map_batches(Fingerprint(), batch_format="pandas", **kw)
