@@ -494,19 +494,18 @@ def q_revenue_by_nation(sf_dir: str):
         c_ref = ray.put(sorted_arrays(cust_ds, "c_custkey", "c_nationkey"))
 
         class RollupBroadcast:
-            def __init__(self):
-                self.ok, self.oc = ray.get(o_ref)
-                self.ck, self.cn = ray.get(c_ref)
-                self.names = ray.get(names_ref)
-
+            # instance form: fuses with the read; numpy fetches are
+            # zero-copy from the object store per task
             def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-                cust = self.oc[np.searchsorted(self.ok, df["l_orderkey"].to_numpy())]
-                nk = self.cn[np.searchsorted(self.ck, cust)]
-                df["n_name"] = self.names[nk]
+                ok, oc = ray.get(o_ref)
+                ck, cn = ray.get(c_ref)
+                names = ray.get(names_ref)
+                cust = oc[np.searchsorted(ok, df["l_orderkey"].to_numpy())]
+                nk = cn[np.searchsorted(ck, cust)]
+                df["n_name"] = names[nk]
                 return df.groupby("n_name", as_index=False).agg(rev=("rev", "sum"))
 
-        partials = li_agg.map_batches(RollupBroadcast, batch_format="pandas",
-                                      concurrency=(1, 8))
+        partials = li_agg.map_batches(RollupBroadcast(), batch_format="pandas")
         agg = partials.groupby("n_name").aggregate(Sum("rev", alias_name="revenue"))
         return agg.map_batches(
             lambda t: pa.table({"n_name": t["n_name"],
@@ -522,31 +521,25 @@ def q_revenue_by_nation(sf_dir: str):
         cust_ref = ray.put(sorted_arrays(cust_ds, "c_custkey", "c_nationkey"))
 
         class RollupByNation:
-            def __init__(self):
-                self.keys, self.vals = ray.get(cust_ref)
-                self.names = ray.get(names_ref)
-
             def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-                nk = self.vals[np.searchsorted(self.keys, df["o_custkey"].to_numpy())]
-                df["n_name"] = self.names[nk]
+                keys, vals = ray.get(cust_ref)
+                names = ray.get(names_ref)
+                nk = vals[np.searchsorted(keys, df["o_custkey"].to_numpy())]
+                df["n_name"] = names[nk]
                 return df.groupby("n_name", as_index=False).agg(rev=("rev", "sum"))
 
-        partials = joined.map_batches(RollupByNation, batch_format="pandas",
-                                      concurrency=(1, 8))
+        partials = joined.map_batches(RollupByNation(), batch_format="pandas")
     else:
         with_cust = joins.inner_join(joined, cust_ds, ["o_custkey"],
                                      right_on=("c_custkey",), num_partitions=16)
 
         class RollupBig:
-            def __init__(self):
-                self.names = ray.get(names_ref)
-
             def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-                df["n_name"] = self.names[df["c_nationkey"].to_numpy()]
+                names = ray.get(names_ref)
+                df["n_name"] = names[df["c_nationkey"].to_numpy()]
                 return df.groupby("n_name", as_index=False).agg(rev=("rev", "sum"))
 
-        partials = with_cust.map_batches(RollupBig, batch_format="pandas",
-                                         concurrency=(1, 8))
+        partials = with_cust.map_batches(RollupBig(), batch_format="pandas")
 
     agg = partials.groupby("n_name").aggregate(Sum("rev", alias_name="revenue"))
     return agg.map_batches(

@@ -49,12 +49,12 @@ def resolve_inconsistencies(
     ref = ray.put(pa.array(uniq))
 
     class Resolver:
-        def __init__(self):
-            self.keys = ray.get(ref)
-
+        # plain instance (task pool, fuses with the read); the Arrow key-set
+        # fetch is zero-copy per task
         def __call__(self, t: pa.Table) -> pa.Table:
+            keys = ray.get(ref)
             fk = t[fk_col]
-            ok = pc.or_kleene(pc.is_in(fk, value_set=self.keys), pc.is_null(fk))
+            ok = pc.or_kleene(pc.is_in(fk, value_set=keys), pc.is_null(fk))
             ok = pc.fill_null(ok, False)
             bad = pc.invert(ok)
             if on_missing == "drop":
@@ -83,4 +83,4 @@ def resolve_inconsistencies(
             t = t.set_column(t.schema.get_field_index(fk_col), fk_col, fixed)
             return t.append_column(report_col, pc.fill_null(bad, False))
 
-    return ds.map_batches(Resolver, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(Resolver(), batch_format="pyarrow")

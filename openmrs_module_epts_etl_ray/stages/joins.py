@@ -39,30 +39,33 @@ def _key_array(t: pa.Table, keys: list[str]) -> pa.Array | pa.ChunkedArray:
 
 
 def _broadcast_key_set(ds: rd.Dataset, keys: list[str]):
-    """Collect the distinct key set of a (small) dataset and ray.put it once.
+    """Collect the distinct key set of a (small) dataset as an ARROW array
+    and ray.put it once — Arrow arrays come back zero-copy from the object
+    store, so every task's fetch is a shared-memory map, not a deserialize.
     Null keys are EXCLUDED — SQL EXISTS/NOT EXISTS never matches on null."""
     vals = set()
     for batch in ds.select_columns(keys).iter_batches(batch_format="pyarrow"):
         vals.update(v for v in pc.cast(_key_array(batch, keys), pa.string()).to_pylist()
                     if v is not None)
-    return ray.put(vals)
+    return ray.put(pa.array(sorted(vals), type=pa.string()))
 
 
 class _MembershipFilter:
-    """Actor-pool batch filter probing a broadcast key set (built once per actor)."""
+    """Batch filter probing a broadcast key set. Used as a plain INSTANCE
+    (task pool — fuses with the upstream read); the probe array ray.get is
+    zero-copy per task."""
 
     def __init__(self, key_set_ref, keys: list[str], keep_members: bool):
-        # materialize the probe set ONCE per actor as an Arrow array so the
-        # per-batch probe is a vectorized pc.is_in, not a Python loop
-        self.value_set = pa.array(list(ray.get(key_set_ref)), type=pa.string())
+        self.key_set_ref = key_set_ref
         self.keys = keys
         self.keep = keep_members
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        value_set = ray.get(self.key_set_ref)
         arr = pc.cast(_key_array(batch, self.keys), pa.string())
         # SQL semantics: a null key is never a member (EXISTS false,
         # NOT EXISTS true) — matching the shuffled left_semi/left_anti path
-        member = pc.and_(pc.fill_null(pc.is_in(arr, value_set=self.value_set), False),
+        member = pc.and_(pc.fill_null(pc.is_in(arr, value_set=value_set), False),
                          pc.is_valid(arr))
         mask = member if self.keep else pc.invert(member)
         return batch.filter(mask)
@@ -94,10 +97,9 @@ def _membership_join(left, right, keys, *, keep_members, num_partitions, broadca
     if broadcast:
         ref = _broadcast_key_set(right, keys)
         return left.map_batches(
-            _MembershipFilter,
-            fn_constructor_kwargs=dict(key_set_ref=ref, keys=keys, keep_members=keep_members),
+            _MembershipFilter(key_set_ref=ref, keys=keys,
+                              keep_members=keep_members),
             batch_format="pyarrow",
-            concurrency=(1, 8),
         )
     join_type = "left_semi" if keep_members else "left_anti"
     return left.join(right.select_columns(keys), join_type=join_type,

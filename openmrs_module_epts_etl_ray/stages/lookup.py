@@ -67,18 +67,18 @@ def datasource_lookup(
     s_keys = [sf for sf, _ in join_fields]
 
     class Probe:
-        def __init__(self):
-            self.lk = ray.get(ref)
-
+        # plain instance (task pool, fuses with the read); the broadcast
+        # lookup frame is fetched from the object store per task
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            lk = ray.get(ref)
             merged = df.merge(
-                self.lk, how="inner" if required else "left",
+                lk, how="inner" if required else "left",
                 left_on=s_keys, right_on=l_keys, suffixes=("", "_lk"),
             )
             drop = [lf for lf in l_keys if lf not in df.columns and lf not in s_keys]
             return merged.drop(columns=drop, errors="ignore")
 
-    return ds.map_batches(Probe, batch_format="pandas", concurrency=(1, 8))
+    return ds.map_batches(Probe(), batch_format="pandas")
 
 
 def remap_fk(
@@ -137,10 +137,8 @@ def remap_fk(
     ref = ray.put(lut)
 
     class Remap:
-        def __init__(self):
-            self.lut = ray.get(ref)
-
+        # plain instance (task pool, fuses with the read)
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            return apply_mapped(df, df[fk_col].map(self.lut))
+            return apply_mapped(df, df[fk_col].map(ray.get(ref)))
 
-    return ds.map_batches(Remap, batch_format="pandas", concurrency=(1, 8))
+    return ds.map_batches(Remap(), batch_format="pandas")
