@@ -124,6 +124,7 @@ def quick_merge(
     num_buckets: int = 64,
     policy: ConflictPolicy | None = None,
     concurrency: int | tuple[int, int] | None = None,
+    engine: str = "sort",
 ) -> rd.Dataset:
     """Quick-merge sync: upsert rows whose PK space differs from the
     destination's, matching existing records by alternate unique key(s) and
@@ -148,6 +149,18 @@ def quick_merge(
         PartialLww(key_cols=key_cols, num_buckets=num_buckets,
                    bucket_cols=tuple(unique_keys[0])),
         batch_format="pyarrow", zero_copy_batch=True)
+    if engine == "push":
+        import ray
+
+        from ..stages.push_exchange import push_exchange_merge
+
+        pool = (concurrency[1] if isinstance(concurrency, tuple)
+                else int(concurrency) if concurrency
+                else int(ray.cluster_resources().get("CPU", 8)))
+        lineage_table = push_exchange_merge(
+            collapsed, lake_root, policy=pol, key_cols=key_cols,
+            num_actors=max(1, pool // 4))
+        return rd.from_arrow(lineage_table)
     return collapsed.groupby(BUCKET_COL).map_groups(
         MergeApplier,
         fn_constructor_kwargs=dict(lake_root=lake_root, policy=pol,

@@ -98,10 +98,27 @@ def merge_bucket_state(
     wdf[DELETED_COL] = is_delete
 
     if len(state) == 0:
+        lost = 0
+        if policy.unique_keys:
+            # the destination's unique constraints bind on bootstrap too:
+            # two fresh inserts sharing a unique key collapse to the
+            # highest-LSN one (a DB would reject the second insert and the
+            # reference would merge onto the first)
+            before = len(wdf)
+            wdf = wdf.sort_values("lsn", kind="stable")
+            for uk in policy.unique_keys:
+                uk = [c for c in uk]
+                if all(c in wdf.columns for c in uk):
+                    keyed = wdf[wdf[uk].notna().all(axis=1)]
+                    nullk = wdf[~wdf[uk].notna().all(axis=1)]
+                    keyed = keyed.drop_duplicates(subset=uk, keep="last")
+                    wdf = pd.concat([keyed, nullk])
+            lost = before - len(wdf)
+            is_delete = wdf[DELETED_COL].to_numpy()
         stats = {
             "inserted": int((~is_delete).sum()),
             "updated": 0,
-            "kept_existing": 0,
+            "kept_existing": lost,
             "tombstones": int(is_delete.sum()),
         }
         new_state = pa.Table.from_pandas(wdf, preserve_index=False)

@@ -149,3 +149,39 @@ def test_quick_merge_pipeline_end_to_end(ray_session, tmp_path):
     assert (final.loc[upd_ids, "val"] == 7.0).all()   # updated under DST ids
     assert not final.index.isin(upd_ids + 10_000).any()  # src ids not adopted
     assert (final.loc[np.arange(n, n + 50), "val"] == 9.0).all()
+
+
+def test_quick_merge_push_engine_matches_sort(ray_session, tmp_path):
+    import ray.data as rd
+
+    from openmrs_module_epts_etl_ray.pipelines.replay import quick_merge, read_lake
+
+    n = 300
+    dst = pa.table({
+        "id": pa.array(np.arange(n), pa.int64()),
+        "name": [f"u-{i:04d}" for i in range(n)],
+        "val": pa.array(np.arange(n, dtype=np.float64)),
+        "lsn": pa.array(np.zeros(n, dtype=np.int64)),
+        "op": ["insert"] * n,
+    })
+    upd = np.arange(0, n, 4)
+    src = pa.table({
+        "id": pa.array(upd + 50_000, pa.int64()),
+        "name": [f"u-{i:04d}" for i in upd],
+        "val": pa.array(np.full(len(upd), -1.0)),
+        "lsn": pa.array(np.ones(len(upd), dtype=np.int64)),
+        "op": ["update"] * len(upd),
+    })
+    finals = {}
+    for engine in ("sort", "push"):
+        lake = str(tmp_path / f"lake_{engine}")
+        quick_merge(rd.from_arrow(dst), lake, key_cols=("id",),
+                    unique_keys=[["name"]], num_buckets=8,
+                    engine=engine).materialize()
+        quick_merge(rd.from_arrow(src), lake, key_cols=("id",),
+                    unique_keys=[["name"]], num_buckets=8,
+                    engine=engine).materialize()
+        df = read_lake(lake).to_pandas().sort_values("id").reset_index(drop=True)
+        finals[engine] = df
+    assert finals["sort"].equals(finals["push"])
+    assert (finals["push"].set_index("id").loc[upd, "val"] == -1.0).all()
