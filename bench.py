@@ -40,6 +40,9 @@ BENCH_QUERIES = [
     "customers_without_orders", "reconcile_orders", "gap_detect",
     "dedup_exact", "token_stats", "ann_topk", "minhash_near_dups",
     "inconsistency_solver", "lookup_datasource", "simhash_near_dups",
+    "quick_merge_customers", "asof_last_purchase",
+    "range_join_clicks_after_signup", "windowed_aggregate",
+    "embedding_near_dups", "lookup_query_datasource",
 ]
 
 

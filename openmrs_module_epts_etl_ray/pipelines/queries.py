@@ -858,7 +858,16 @@ def q_range_join_clicks_after_signup(sf_dir: str):
             batch_format="pyarrow")
     pairs = range_join(signups, clicks, by="user_id", on="ts",
                        lo_offset="0s", hi_offset="7D")
-    return pairs.groupby("signup_id").aggregate(Count(alias_name="n_clicks"))
+
+    # per-block rollup is FINAL with no extra shuffle: range_join cogroups
+    # by user, so every signup's matches live in exactly one output block
+    # (batch_size=None = whole block; a Ray groupby here costs a full
+    # sort exchange just to count 1-bucket-local rows)
+    def cnt(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("signup_id", as_index=False).size()
+        return out.rename(columns={"size": "n_clicks"})
+
+    return pairs.map_batches(cnt, batch_format="pandas", batch_size=None)
 
 
 def q_windowed_aggregate(sf_dir: str):

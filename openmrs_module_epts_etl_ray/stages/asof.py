@@ -12,6 +12,7 @@ time range if one entity's history alone exceeds a task's memory).
 """
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
@@ -19,6 +20,16 @@ import ray.data as rd
 from ..functions.hashing import BUCKET_COL, add_bucket
 
 _SIDE = "_side"
+
+
+def _default_buckets() -> int:
+    """Cogroup parallelism derived from the cluster (a fixed small count
+    serializes the per-bucket merges on a big box)."""
+    try:
+        import ray
+        return max(16, int(ray.cluster_resources().get("CPU", 16)))
+    except Exception:
+        return 16
 
 
 def _pd_dtypes(schema) -> dict:
@@ -54,7 +65,7 @@ def asof_join(
     on: str,
     right_cols: list[str],
     suffix: str = "_right",
-    num_buckets: int = 16,
+    num_buckets: int | None = None,
     right_order: list[str] | None = None,
 ) -> rd.Dataset:
     """Left as-of join (backward): latest right row with ``right[on] <=
@@ -65,6 +76,9 @@ def asof_join(
     wins, matching a SQL ``ORDER BY on DESC, right_order DESC ... rn = 1``
     restatement). Without it, equal-timestamp winners depend on block layout.
     """
+
+    if num_buckets is None:
+        num_buckets = _default_buckets()
 
     def tag(side):
         def fn(t: pa.Table) -> pa.Table:
@@ -119,7 +133,7 @@ def range_join(
     on: str,
     lo_offset,
     hi_offset,
-    num_buckets: int = 16,
+    num_buckets: int | None = None,
 ) -> rd.Dataset:
     """Interval join: pair each left row with every right row of the same
     ``by`` key whose ``on`` lies in ``[left.on + lo_offset, left.on +
@@ -132,6 +146,9 @@ def range_join(
     upstream (add a coarse time-bucket to ``by``) so a pair's candidates
     co-locate without the full key history joining against itself.
     """
+    if num_buckets is None:
+        num_buckets = _default_buckets()
+
     def tag(side):
         def fn(t: pa.Table) -> pa.Table:
             t = t.append_column(_SIDE, pa.array([side] * len(t)))
@@ -149,11 +166,56 @@ def range_join(
     lo = pd.Timedelta(lo_offset) if isinstance(lo_offset, str) else lo_offset
     hi = pd.Timedelta(hi_offset) if isinstance(hi_offset, str) else hi_offset
 
+    def emit(l: pd.DataFrame, r: pd.DataFrame, li: np.ndarray, ri: np.ndarray) -> pd.DataFrame:
+        out = l.iloc[li].reset_index(drop=True)
+        for c in rt_cols:
+            if c == by:
+                continue
+            name = f"{c}_right" if c in left_cols else c
+            out[name] = r[c].to_numpy()[ri]
+        return out
+
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g[_SIDE] == "l"].reindex(columns=left_cols).astype(left_dtypes)
         r = g[g[_SIDE] == "r"].reindex(columns=rt_cols).astype(right_dtypes)
         if len(l) == 0 or len(r) == 0:
             return l.iloc[0:0].merge(r.iloc[0:0], on=by, suffixes=("", "_right"))
+        # fast path: pack (key-code, time) into ONE int64 and emit only the
+        # matching pairs via two searchsorteds per left row — the naive
+        # merge-then-filter materializes the FULL per-key cross product
+        # first (quadratic in a key's timeline, measured 6s vs <1s at sf0.1)
+        if np.issubdtype(l[on].dtype, np.datetime64):
+            lt = l[on].to_numpy().astype("datetime64[us]").astype(np.int64)
+            rt = r[on].to_numpy().astype("datetime64[us]").astype(np.int64)
+            lo_i = lt + int(pd.Timedelta(lo).value // 1000)
+            hi_i = lt + int(pd.Timedelta(hi).value // 1000)
+        else:  # numeric axis: offsets are plain numbers
+            lt = l[on].to_numpy().astype(np.int64)
+            rt = r[on].to_numpy().astype(np.int64)
+            lo_i = lt + int(lo)
+            hi_i = lt + int(hi)
+        codes, _ = pd.factorize(pd.concat([l[by], r[by]], ignore_index=True),
+                                sort=False)
+        lc = codes[: len(l)].astype(np.int64)
+        rc = codes[len(l):].astype(np.int64)
+        base = int(min(rt.min(), lo_i.min()))
+        top = int(max(rt.max(), hi_i.max()))
+        span = np.int64(top - base + 2)
+        n_codes = int(codes.max()) + 1
+        if n_codes * int(span) < (1 << 62):
+            order = np.lexsort((rt, rc))
+            rs, cs = rt[order], rc[order]
+            comp_r = cs * span + (rs - base)
+            starts = np.searchsorted(comp_r, lc * span + (lo_i - base), "left")
+            ends = np.searchsorted(comp_r, lc * span + (hi_i - base), "right")
+            cnt = ends - starts
+            total = int(cnt.sum())
+            li = np.repeat(np.arange(len(l)), cnt)
+            offs = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+            ri = np.repeat(starts, cnt) + (np.arange(total) - np.repeat(offs, cnt))
+            return emit(l, r.iloc[order].reset_index(drop=True), li, ri)
+        # overflow fallback (astronomical key-count x time-span): the exact
+        # merge-then-filter
         m = l.merge(r, on=by, suffixes=("", "_right"))
         t0 = m[on]
         t1 = m[f"{on}_right"]
