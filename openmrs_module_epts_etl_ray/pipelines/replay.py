@@ -268,6 +268,15 @@ def retry_dead_letters(
         concurrency=concurrency or (1, 8),
     ).materialize()
     applied = int(sum(r["rows_applied"] for r in lineage.take_all()))
+    # audit trail for the retry pass (reference: operation-history stage
+    # tables record reprocessing runs too); run id derives from the consumed
+    # file set so a re-run overwrites its own record idempotently
+    run_id = "retry-" + _hashlib.sha256(
+        "\n".join(os.path.basename(f) for f in files).encode()).hexdigest()[:12]
+    import shutil
+    shutil.rmtree(os.path.join(lake_root, "_lineage", f"run={run_id}"),
+                  ignore_errors=True)  # same file set re-run replaces its record
+    write_lineage(lineage, lake_root, run_id)
 
     requeued = len([f for f in glob.glob(
         os.path.join(dead_letter_dir, "errors-*.parquet")) if f not in files])
