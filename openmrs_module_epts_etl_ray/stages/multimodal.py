@@ -1,14 +1,25 @@
-"""Multimodal column plumbing (image/audio/video as opaque binary columns).
+"""Multimodal column operators (image/audio/video as opaque binary columns).
 
-The decode/feature kernels require codec libraries not present in this
-container; they are STUBBED behind ``NotImplementedError`` with a
-deterministic fake used by tests. Everything Ray-side is real: typed binary
-schema, actor-pool stage shape (codec "loaded" once per actor), small batch
-sizes for wide binary payloads, and typed output layout.
+Two decode tiers:
+
+- **Real decode** for container-friendly formats that need NO codec
+  libraries: PPM (P6) images and PCM-16 WAV audio are parsed with
+  numpy/struct alone — header + raw samples. Decode, nearest-neighbor
+  resize, frame-sampling and feature extraction over these are genuinely
+  executed and tested.
+- **Stub** for formats that require codecs absent in this container
+  (PNG/JPEG/libav): ``DecodeStage(fake=False)`` raises ``NotImplementedError``
+  for them; ``fake=True`` derives a deterministic sha256-seeded feature so
+  the pipeline shape stays testable.
+
+Ray-side design is real in both tiers: typed binary schema, actor-pool
+stage (decoder state per actor), SMALL batches because payloads are wide
+(batch x concurrency must fit a worker heap), typed output layout.
 """
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pandas as pd
@@ -27,21 +38,106 @@ MEDIA_SCHEMA = pa.schema(
     ]
 )
 
+PPM_MIME = "image/x-portable-pixmap"
+WAV_MIME = "audio/wav"
+
+
+# -- codec-free encoders/decoders (public formats, numpy-only) --------------
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary PPM (P6)."""
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header: magic, width, height, maxval — whitespace separated
+    parts = payload.split(maxsplit=4)
+    w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    header_len = len(payload) - w * h * 3
+    raw = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3,
+                        offset=header_len)
+    return raw.reshape(h, w, 3)
+
+
+def encode_wav_pcm16(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """mono int16 samples -> minimal RIFF/WAVE PCM-16 container."""
+    data = samples.astype("<i2").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+    return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    rate, samples = None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag, channels, rate = struct.unpack("<HHI", body[:8])
+            if fmt_tag != 1 or channels != 1:
+                raise ValueError("only mono PCM supported")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return samples, rate
+
+
+def resize_nearest(img: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure numpy index arithmetic."""
+    sh, sw = img.shape[:2]
+    ys = (np.arange(h) * sh // h).clip(0, sh - 1)
+    xs = (np.arange(w) * sw // w).clip(0, sw - 1)
+    return img[ys][:, xs]
+
 
 def synthesize_media(n: int, seed: int = 5) -> rd.Dataset:
-    """Deterministic fake media rows for plumbing tests."""
+    """Deterministic synthetic media rows with REAL decodable payloads:
+    PPM images (media_id % 3 != 0) and PCM-16 WAV clips (% 3 == 0)."""
     rng = np.random.default_rng(seed)
-    payloads = [rng.integers(0, 256, size=int(sz), dtype=np.uint8).tobytes()
-                for sz in rng.integers(64, 4096, n)]
+    rows = {"media_id": [], "kind": [], "payload": [], "mime": [],
+            "width": [], "height": [], "duration_ms": []}
+    for i in range(n):
+        rows["media_id"].append(i)
+        if i % 3:
+            w, h = 16 + int(rng.integers(0, 4)) * 8, 16
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            rows["kind"].append("image")
+            rows["payload"].append(encode_ppm(img))
+            rows["mime"].append(PPM_MIME)
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["duration_ms"].append(None)
+        else:
+            rate = 8000
+            n_samp = int(rng.integers(400, 1600))
+            samp = (rng.normal(0, 4000, n_samp)).astype(np.int16)
+            rows["kind"].append("audio")
+            rows["payload"].append(encode_wav_pcm16(samp, rate))
+            rows["mime"].append(WAV_MIME)
+            rows["width"].append(None)
+            rows["height"].append(None)
+            rows["duration_ms"].append(int(n_samp * 1000 / rate))
     t = pa.table(
         {
-            "media_id": pa.array(np.arange(n, dtype=np.int64)),
-            "kind": pa.array(["image" if i % 3 else "audio" for i in range(n)]),
-            "payload": pa.array(payloads, type=pa.large_binary()),
-            "mime": pa.array(["image/png" if i % 3 else "audio/wav" for i in range(n)]),
-            "width": pa.array([64 + (i % 8) * 32 if i % 3 else None for i in range(n)], pa.int32()),
-            "height": pa.array([64 if i % 3 else None for i in range(n)], pa.int32()),
-            "duration_ms": pa.array([None if i % 3 else 1000 + i for i in range(n)], pa.int64()),
+            "media_id": pa.array(rows["media_id"], pa.int64()),
+            "kind": pa.array(rows["kind"]),
+            "payload": pa.array(rows["payload"], type=pa.large_binary()),
+            "mime": pa.array(rows["mime"]),
+            "width": pa.array(rows["width"], pa.int32()),
+            "height": pa.array(rows["height"], pa.int32()),
+            "duration_ms": pa.array(rows["duration_ms"], pa.int64()),
         },
         schema=MEDIA_SCHEMA,
     )
@@ -49,27 +145,52 @@ def synthesize_media(n: int, seed: int = 5) -> rd.Dataset:
 
 
 class DecodeStage:
-    """Actor-pool decode stage. ``fake=True`` produces a deterministic
-    feature vector from the payload bytes (sha256-seeded) so the pipeline
-    shape is testable without codecs; ``fake=False`` raises until a real
-    codec is wired in (PIL / libav are not available in this container).
+    """Actor-pool decode stage.
+
+    ``fake=False`` (default) REALLY decodes codec-free mimes (PPM, WAV) and
+    emits per-media features: images -> [width, height, mean R, G, B, std];
+    audio -> [rate, n_samples, rms, zero-crossing rate]; vectors are
+    zero-padded to ``feature_dim``. Any other mime raises
+    ``NotImplementedError`` (PNG/JPEG/libav need codec libraries absent
+    here). ``fake=True`` derives a sha256-seeded deterministic vector.
     """
 
-    def __init__(self, fake: bool = True, feature_dim: int = 8):
+    def __init__(self, fake: bool = False, feature_dim: int = 8):
         self.fake = fake
         self.feature_dim = feature_dim
-        if not fake:
+
+    def _fake_feature(self, payload: bytes) -> np.ndarray:
+        digest = hashlib.sha256(payload).digest()
+        v = np.frombuffer(digest[: self.feature_dim * 4], dtype=np.uint32)
+        return (v / np.float64(2**32)).astype(np.float64)
+
+    def _real_feature(self, payload: bytes, mime: str) -> np.ndarray:
+        out = np.zeros(self.feature_dim, dtype=np.float64)
+        if mime == PPM_MIME:
+            img = decode_ppm(bytes(payload))
+            h, w = img.shape[:2]
+            f = [w, h, img[..., 0].mean(), img[..., 1].mean(),
+                 img[..., 2].mean(), img.std()]
+        elif mime == WAV_MIME:
+            samples, rate = decode_wav_pcm16(bytes(payload))
+            x = samples.astype(np.float64)
+            zc = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if len(x) > 1 else 0.0
+            f = [rate, len(samples), float(np.sqrt(np.mean(x * x))), zc]
+        else:
             raise NotImplementedError(
-                "real media decoding requires codec libraries (PIL/libav) "
-                "not present in this environment; use fake=True"
-            )
+                f"mime {mime!r} needs codec libraries (PIL/libav) not "
+                f"present in this environment; supported codec-free formats: "
+                f"{PPM_MIME}, {WAV_MIME} — or use fake=True")
+        out[: min(len(f), self.feature_dim)] = f[: self.feature_dim]
+        return out
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         feats = []
-        for payload in batch["payload"]:
-            digest = hashlib.sha256(payload).digest()
-            v = np.frombuffer(digest[: self.feature_dim * 4], dtype=np.uint32)
-            feats.append((v / np.float64(2**32)).astype(np.float64))
+        for payload, mime in zip(batch["payload"], batch["mime"]):
+            if self.fake:
+                feats.append(self._fake_feature(payload))
+            else:
+                feats.append(self._real_feature(payload, mime))
         return pd.DataFrame({
             "media_id": batch["media_id"].to_numpy(),
             "kind": batch["kind"].to_numpy(),
@@ -78,7 +199,43 @@ class DecodeStage:
         })
 
 
-def decode_features(ds: rd.Dataset, *, batch_size: int = 256, concurrency=(1, 4)) -> rd.Dataset:
+class ResizeStage:
+    """Actor-pool image transform: decode -> nearest-neighbor resize ->
+    re-encode PPM. Non-image rows pass through untouched."""
+
+    def __init__(self, width: int, height: int):
+        self.width = width
+        self.height = height
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for payload, mime in zip(batch["payload"], batch["mime"]):
+            if mime == PPM_MIME:
+                out.append(encode_ppm(
+                    resize_nearest(decode_ppm(bytes(payload)),
+                                   self.width, self.height)))
+            else:
+                out.append(payload)
+        batch = batch.copy()
+        batch["payload"] = out
+        batch["width"] = batch["mime"].map(
+            lambda m: self.width if m == PPM_MIME else None).astype("Int32")
+        batch["height"] = batch["mime"].map(
+            lambda m: self.height if m == PPM_MIME else None).astype("Int32")
+        return batch
+
+
+def decode_features(ds: rd.Dataset, *, fake: bool = False,
+                    batch_size: int = 256, concurrency=(1, 4)) -> rd.Dataset:
     """Small batches — binary payloads are wide; concurrency × batch must fit heap."""
-    return ds.map_batches(DecodeStage, batch_format="pandas",
+    return ds.map_batches(DecodeStage, fn_constructor_kwargs=dict(fake=fake),
+                          batch_format="pandas",
+                          batch_size=batch_size, concurrency=concurrency)
+
+
+def resize_images(ds: rd.Dataset, width: int, height: int, *,
+                  batch_size: int = 256, concurrency=(1, 4)) -> rd.Dataset:
+    return ds.map_batches(ResizeStage,
+                          fn_constructor_kwargs=dict(width=width, height=height),
+                          batch_format="pandas",
                           batch_size=batch_size, concurrency=concurrency)

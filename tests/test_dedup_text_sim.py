@@ -132,12 +132,17 @@ def test_text_stage_datasets():
     assert len(fp) == 2
 
 
-def test_multimodal_plumbing():
+def test_multimodal_real_decode():
     media = multimodal.synthesize_media(30)
     feats = multimodal.decode_features(media).to_pandas()
     assert len(feats) == 30
     assert set(feats.columns) == {"media_id", "kind", "feature", "payload_bytes"}
     assert all(len(f) == 8 for f in feats["feature"])
+    # REAL decode: image features carry true width/height (media_id % 3 != 0)
+    img = feats[feats["kind"] == "image"].sort_values("media_id")
+    assert all(f[0] >= 16 and f[1] == 16 for f in img["feature"])
+    aud = feats[feats["kind"] == "audio"]
+    assert all(f[0] == 8000 and f[1] > 0 for f in aud["feature"])
     # deterministic features
     feats2 = multimodal.decode_features(multimodal.synthesize_media(30)).to_pandas()
     a = feats.sort_values("media_id")["feature"].map(tuple).tolist()
@@ -145,9 +150,34 @@ def test_multimodal_plumbing():
     assert a == b
 
 
-def test_multimodal_real_decode_is_stubbed():
+def test_ppm_wav_roundtrip_and_resize():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    assert (multimodal.decode_ppm(multimodal.encode_ppm(img)) == img).all()
+    samp = rng.integers(-30000, 30000, 500).astype(np.int16)
+    got, rate = multimodal.decode_wav_pcm16(multimodal.encode_wav_pcm16(samp, 8000))
+    assert rate == 8000 and (got == samp).all()
+    small = multimodal.resize_nearest(img, 8, 8)
+    assert small.shape == (8, 8, 3)
+
+
+def test_multimodal_resize_stage():
+    media = multimodal.synthesize_media(12)
+    out = multimodal.resize_images(media, 8, 8).to_pandas()
+    imgs = out[out["mime"] == multimodal.PPM_MIME]
+    assert (imgs["width"] == 8).all() and (imgs["height"] == 8).all()
+    decoded = multimodal.decode_ppm(bytes(imgs["payload"].iloc[0]))
+    assert decoded.shape == (8, 8, 3)
+
+
+def test_multimodal_codec_formats_stay_stubbed():
+    import pandas as pd
+    stage = multimodal.DecodeStage(fake=False)
+    batch = pd.DataFrame({
+        "media_id": [1], "kind": ["image"],
+        "payload": [b"\x89PNG...."], "mime": ["image/png"]})
     with pytest.raises(NotImplementedError):
-        multimodal.DecodeStage(fake=False)
+        stage(batch)
 
 
 def test_verify_jaccard_shuffle_matches_broadcast():
