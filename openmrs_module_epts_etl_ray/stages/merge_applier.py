@@ -299,15 +299,22 @@ class MergeApplier:
         if self.hash_content and "content" in winners.column_names:
             winners = add_content_sha(winners)
         state = self.commit_log.read_state(bucket)
-        new_state, stats, applied = merge_bucket_state(
-            state, winners, self.policy, self.key_cols, return_applied=True)
+        want_delta = (self.layout == "delta" and not self.retry_mode
+                      and len(state) > 0)
+        if want_delta:
+            new_state, stats, applied = merge_bucket_state(
+                state, winners, self.policy, self.key_cols, return_applied=True)
+        else:  # snapshot layout skips materializing the applied-rows table
+            new_state, stats = merge_bucket_state(
+                state, winners, self.policy, self.key_cols)
+            applied = None
         if self.retry_mode:
             # an amendment is always a FULL snapshot (even in delta layout):
             # it replaces the current commit, so reconstruction restarts here
             committed = self.commit_log.commit_state(
                 bucket, ckpt if ckpt >= 0 else -1, new_state, meta=stats,
                 replace=True)
-        elif self.layout == "delta" and len(state) > 0:
+        elif want_delta:
             cur = self.commit_log.current(bucket)
             since = (cur or {}).get("deltas_since_snapshot", 0)
             if since + 1 >= self.snapshot_every:

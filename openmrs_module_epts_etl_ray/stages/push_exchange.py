@@ -139,32 +139,40 @@ class BucketRouter:
         # the slice fingerprint must distinguish every legitimately distinct
         # slice: per-row key SipHash (same-transaction rows share an LSN
         # across many keys), op rank (non-identical same-(key,lsn) pairs),
-        # _n_events and a per-row content SipHash (at-least-once duplicate
-        # blocks; hashing only content LENGTH let equal-length divergent
-        # content dedup as a retry) — a false dedup now needs agreement on
-        # the full 128-bit digest including content bytes
+        # _n_events, and the slice's raw content BYTES (at-least-once
+        # duplicate blocks; hashing only content length let equal-length
+        # divergent content dedup as a retry). Content bytes are folded in
+        # straight from the Arrow offsets+data buffers per slice — a
+        # per-row Python-object hash here halved the 128M-event stress
+        # throughput (measured 15.2 -> 7.0M ev/s)
         kh = key_hash(tbl, self.key_cols) if all(
             c in tbl.column_names for c in self.key_cols) else None
-
-        from pandas.util import hash_array as _hash_array
 
         from .lww import N_EVENTS_COL, _op_rank
         rank = _op_rank(tbl)
         nev = (tbl[N_EVENTS_COL].to_numpy()
                if N_EVENTS_COL in tbl.column_names else None)
-        ch = (_hash_array(
-                tbl["content"].to_numpy(zero_copy_only=False).astype(object, copy=False),
-                categorize=False)
-              if "content" in tbl.column_names else None)
+        has_content = "content" in tbl.column_names
         refs = []
         for i in range(len(bounds) - 1):
             lo, hi = int(bounds[i]), int(bounds[i + 1])
             sl = tbl.slice(lo, hi - lo)
             if lsn is not None:
                 h = hashlib.blake2b(lsn[lo:hi].tobytes(), digest_size=16)
-                for arr in (kh, rank, nev, ch):
+                for arr in (kh, rank, nev):
                     if arr is not None:
                         h.update(arr[lo:hi].tobytes())
+                if has_content:
+                    col = sl["content"].combine_chunks()
+                    bufs = col.buffers()
+                    if bufs[1] is not None and bufs[2] is not None:
+                        odt = (np.int64 if pa.types.is_large_string(col.type)
+                               else np.int32)
+                        off = np.frombuffer(
+                            bufs[1], dtype=odt,
+                            count=len(col) + 1 + col.offset)[col.offset:]
+                        h.update(off.tobytes())
+                        h.update(memoryview(bufs[2])[int(off[0]):int(off[-1])])
                 fp = h.hexdigest()
             else:
                 fp = None
