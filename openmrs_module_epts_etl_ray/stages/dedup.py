@@ -15,7 +15,6 @@ groupbys on hash/band columns (bounded-size values, never raw text).
 """
 from __future__ import annotations
 
-import hashlib
 from itertools import chain
 
 import numpy as np
@@ -352,28 +351,41 @@ def verify_jaccard(
 # ---------------------------------------------------------------------------
 
 class SimHasher:
+    """Batch-vectorized 64-bit SimHash: ONE ``hash_array`` SipHash pass over
+    every word of the batch, bit expansion via ``np.unpackbits`` on the raw
+    hash bytes, per-doc majority vote via segmented ``np.add.reduceat``, and
+    ``np.packbits`` back to uint64 — no per-word Python hashing (the old
+    per-word ``hashlib.blake2b`` loop mirrored the MinHash hot spot)."""
+
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col = text_col
         self.id_col = id_col
 
+    def simhash64(self, text: str) -> np.uint64:
+        """Single-doc form (tests); the batch path is __call__."""
+        return self._batch_simhash([(text or "")])[0]
+
     @staticmethod
-    def simhash64(text: str) -> np.uint64:
-        words = (text or "").split()
-        if not words:
-            return np.uint64(0)
-        hv = np.fromiter(
-            (int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
-             for w in words), dtype=np.uint64, count=len(words))
-        bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
-        votes = (2 * bits - 1).sum(axis=0)
-        out = np.uint64(0)
-        for i in np.flatnonzero(votes > 0):
-            out |= np.uint64(1) << np.uint64(i)
-        return out
+    def _batch_simhash(texts) -> np.ndarray:
+        splits = [t.split() for t in texts]
+        lens = np.fromiter((len(s) for s in splits), np.int64, count=len(splits))
+        flat = list(chain.from_iterable(splits))
+        sh = np.zeros(len(splits), dtype=np.uint64)
+        if not flat:
+            return sh
+        wh = hash_array(np.array(flat, dtype=object), categorize=False)
+        bits = np.unpackbits(wh.view(np.uint8).reshape(len(wh), 8), axis=1)
+        starts = np.r_[0, np.cumsum(lens)]
+        nz = lens > 0
+        seg = starts[:-1][nz]
+        ones = np.add.reduceat(bits.astype(np.int64), seg, axis=0)
+        majority = (2 * ones) > lens[nz][:, None]       # votes > 0
+        packed = np.packbits(majority.astype(np.uint8), axis=1)
+        sh[nz] = packed.view(np.uint64).reshape(-1)
+        return sh
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sh = np.fromiter((self.simhash64(t) for t in batch[self.text_col].fillna("")),
-                         dtype=np.uint64, count=len(batch))
+        sh = self._batch_simhash(batch[self.text_col].fillna(""))
         # band the 64-bit hash into 4×16-bit chunks, EXPLODED to one row per
         # (doc, chunk): near-dups (hamming<=3) share at least one chunk by
         # pigeonhole, and a single groupby(band, code) finds all collisions
