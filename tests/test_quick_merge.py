@@ -185,3 +185,38 @@ def test_quick_merge_push_engine_matches_sort(ray_session, tmp_path):
         finals[engine] = df
     assert finals["sort"].equals(finals["push"])
     assert (finals["push"].set_index("id").loc[upd, "val"] == -1.0).all()
+
+
+def test_quick_merge_hot_unique_key_skew(ray_session, tmp_path):
+    """90% of incoming rows contest ONE unique key: they all co-locate in
+    that key's bucket and collapse to the single highest-LSN winner under
+    the destination's unique constraint."""
+    import ray.data as rd
+
+    from openmrs_module_epts_etl_ray.pipelines.replay import quick_merge, read_lake
+
+    lake = str(tmp_path / "lake")
+    dst = pa.table({
+        "id": pa.array([1], pa.int64()), "name": ["hot"],
+        "val": pa.array([0.0]),
+        "lsn": pa.array([0], pa.int64()), "op": ["insert"],
+    })
+    quick_merge(rd.from_arrow(dst), lake, key_cols=("id",),
+                unique_keys=[["name"]], num_buckets=8).materialize()
+    n = 20_000
+    hot = int(n * 0.9)
+    src = pa.table({
+        "id": pa.array(np.arange(n) + 1000, pa.int64()),
+        "name": ["hot"] * hot + [f"cold-{i}" for i in range(n - hot)],
+        "val": pa.array(np.arange(n, dtype=np.float64)),
+        "lsn": pa.array(np.arange(n, dtype=np.int64) + 1),
+        "op": ["update"] * n,
+    })
+    quick_merge(rd.from_arrow(src), lake, key_cols=("id",),
+                unique_keys=[["name"]], num_buckets=8).materialize()
+    final = read_lake(lake).to_pandas()
+    assert final["name"].is_unique
+    assert len(final) == 1 + (n - hot)
+    hot_row = final[final["name"] == "hot"].iloc[0]
+    # highest-LSN contender wins, landing on the dst PK
+    assert hot_row["id"] == 1 and hot_row["lsn"] == hot
