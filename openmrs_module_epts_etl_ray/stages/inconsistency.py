@@ -84,3 +84,60 @@ def resolve_inconsistencies(
             return t.append_column(report_col, pc.fill_null(bad, False))
 
     return ds.map_batches(Resolver(), batch_format="pyarrow")
+
+
+def resolve_with_default_parent(
+    ds: rd.Dataset,
+    parents: rd.Dataset,
+    fk_col: str,
+    parent_key_col: str,
+    *,
+    default_key,
+    default_row: dict | None = None,
+    audit_col: str = "used_default_parent",
+) -> tuple[rd.Dataset, rd.Dataset]:
+    """ST4 — default-parent cache with LAZY creation (reference
+    ``etl/model/LoadRecord.java:288-301``: a child whose parent is missing
+    gets the table's default object; ``generateAndSaveDefaultObject`` creates
+    it on FIRST use only).
+
+    Children with a missing parent are re-pointed at ``default_key`` and
+    marked in ``audit_col`` (the reference's ParentInfo memo — a later pass
+    can re-point them when the real parent arrives, via ``remap_fk`` over
+    rows where the audit flag is set). The default parent row is appended to
+    ``parents`` ONLY when some child actually needed it and it does not
+    already exist; payload fields come from ``default_row``, everything else
+    null-backfills against the parents schema.
+
+    Returns ``(children_fixed, parents_maybe_with_default)``.
+    """
+    uniq = [k for k in parents.unique(parent_key_col) if k is not None]
+    ref = ray.put(pa.array(uniq))
+
+    class Fix:
+        # plain instance (task pool); zero-copy key-set fetch per task
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = ray.get(ref)
+            fk = t[fk_col]
+            ok = pc.fill_null(
+                pc.or_kleene(pc.is_in(fk, value_set=keys), pc.is_null(fk)),
+                False)
+            bad = pc.invert(ok)
+            fixed = pc.if_else(bad, pa.scalar(default_key, type=fk.type), fk)
+            t = t.set_column(t.schema.get_field_index(fk_col), fk_col, fixed)
+            return t.append_column(audit_col, pc.fill_null(bad, False))
+
+    fixed = ds.map_batches(Fix(), batch_format="pyarrow").materialize()
+    n_used = fixed.map_batches(
+        lambda t: pa.table({"n": [pc.sum(pc.cast(t[audit_col], pa.int64())).as_py() or 0]}),
+        batch_format="pyarrow").sum("n")
+    if n_used and default_key not in set(uniq):
+        schema = pa.schema(zip(parents.schema().names, parents.schema().types))
+        payload = dict(default_row or {})
+        payload[parent_key_col] = default_key
+        cols = {}
+        for f in schema:
+            v = payload.get(f.name)
+            cols[f.name] = pa.array([v], type=f.type)
+        parents = parents.union(rd.from_arrow(pa.table(cols, schema=schema)))
+    return fixed, parents

@@ -324,3 +324,40 @@ def test_fk_remap_modes():
     dropped = remap_fk(rows, mapping, "fk", old_col="old", new_col="new",
                        on_missing="drop").to_pandas()
     assert sorted(dropped["id"]) == [1, 3]
+
+
+def test_default_parent_created_lazily(ray_session):
+    import ray.data as rd
+    from openmrs_module_epts_etl_ray.stages.inconsistency import (
+        resolve_with_default_parent,
+    )
+
+    parents = rd.from_arrow(pa.table({
+        "pk": pa.array([1, 2, 3], pa.int64()),
+        "name": ["a", "b", "c"]}))
+    kids = rd.from_arrow(pa.table({
+        "kid": pa.array([10, 11, 12], pa.int64()),
+        "fk": pa.array([1, 99, None], pa.int64())}))
+    fixed, parents2 = resolve_with_default_parent(
+        kids, parents, "fk", "pk", default_key=-1,
+        default_row={"name": "DEFAULT"})
+    got = fixed.to_pandas().sort_values("kid")
+    assert got["fk"].tolist()[:2] == [1, -1]       # missing -> default key
+    assert pd.isna(got["fk"].tolist()[2])          # null stays null (optional)
+    assert got["used_default_parent"].tolist() == [False, True, False]
+    p2 = parents2.to_pandas().sort_values("pk")
+    assert (-1 in p2["pk"].tolist()
+            and p2[p2["pk"] == -1]["name"].iloc[0] == "DEFAULT")
+
+    # laziness: no missing children -> parents untouched (no default row)
+    clean = rd.from_arrow(pa.table({
+        "kid": pa.array([20], pa.int64()), "fk": pa.array([2], pa.int64())}))
+    _, parents3 = resolve_with_default_parent(
+        clean, parents, "fk", "pk", default_key=-1)
+    assert sorted(parents3.to_pandas()["pk"].tolist()) == [1, 2, 3]
+
+    # idempotent: default already present -> not duplicated
+    fixed2, parents4 = resolve_with_default_parent(
+        kids, parents2, "fk", "pk", default_key=-1,
+        default_row={"name": "DEFAULT"})
+    assert sorted(parents4.to_pandas()["pk"].tolist()) == [-1, 1, 2, 3]
