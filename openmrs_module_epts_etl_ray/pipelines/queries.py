@@ -887,6 +887,37 @@ def q_windowed_aggregate(sf_dir: str):
         }), batch_format="pyarrow")
 
 
+def q_hopping_window(sf_dir: str):
+    """Hopping (sliding) 3-day windows advancing daily, per event_type —
+    every event lands in 3 overlapping windows (stages/windows.py)."""
+    from ..stages.windows import hopping_window_agg
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+    out = hopping_window_agg(ev, "ts", window="3D", hop="1D",
+                             key_cols=["event_type"], sum_cols=["value"])
+    # integer cents: parallel partial sums drift by ulps, and round(sum, 2)
+    # can land on different representable doubles per summation order;
+    # round(sum * 100) is order-stable
+    return out.map_batches(
+        lambda t: pa.table({
+            "window_start": pc.cast(t["window_start"], pa.timestamp("us")),
+            "event_type": t["event_type"],
+            "n": t["n"],
+            "sum_value_cents": pc.cast(
+                pc.round(pc.multiply(t["sum_value"], 100), 0), pa.int64()),
+        }), batch_format="pyarrow")
+
+
+def q_session_windows(sf_dir: str):
+    """Session windows (gap 2h) per user — the classic streaming
+    sessionization expressed batch-native via bucketed cogroup
+    (stages/windows.py::session_windows)."""
+    from ..stages.windows import session_windows
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    return session_windows(ev, "ts", "user_id", gap="2h")
+
+
 def q_near_dup_clusters(sf_dir: str):
     """MinHash pairs -> Jaccard verify -> connected components -> canonical
     doc per cluster (the full near-dedup pipeline a training corpus needs)."""
@@ -934,6 +965,8 @@ QUERIES = {
     "lookup_datasource_required": q_lookup_datasource_required,
     "lookup_query_datasource": q_lookup_query_datasource,
     "id_collision_repoint": q_id_collision_repoint,
+    "hopping_window": q_hopping_window,
+    "session_windows": q_session_windows,
     "quick_merge_customers": q_quick_merge_customers,
     "export_roundtrip": q_export_roundtrip,
     "surrogate_ids": q_surrogate_ids,
@@ -1091,6 +1124,33 @@ SELECT s.signup_id, CAST(COUNT(*) AS BIGINT) AS n_clicks
 FROM s JOIN c ON s.user_id = c.user_id
  AND c.ts >= s.ts AND c.ts <= s.ts + INTERVAL 7 DAY
 GROUP BY s.signup_id
+""",
+    "hopping_window": """
+WITH b AS (SELECT event_type, date_trunc('day', ts) AS d, value FROM events),
+x AS (
+  SELECT event_type, d AS ws, value FROM b
+  UNION ALL SELECT event_type, d - INTERVAL 1 DAY, value FROM b
+  UNION ALL SELECT event_type, d - INTERVAL 2 DAY, value FROM b)
+SELECT ws AS window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS sum_value_cents
+FROM x GROUP BY 1, 2
+""",
+    "session_windows": """
+WITH e AS (SELECT user_id, ts FROM events),
+s AS (SELECT user_id, ts,
+        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                > INTERVAL 2 HOUR
+             THEN 1 ELSE 0 END AS new_s
+      FROM e),
+g AS (SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM s)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM g GROUP BY user_id, session_id
 """,
     "windowed_aggregate": """
 SELECT date_trunc('day', ts) AS window_start, event_type,

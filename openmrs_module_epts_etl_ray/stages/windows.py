@@ -61,3 +61,113 @@ def tumbling_window_agg(
         return pa.table(cols)
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def hopping_window_agg(
+    ds: rd.Dataset,
+    ts_col: str,
+    *,
+    window: str = "3D",
+    hop: str = "1D",
+    key_cols: list[str] | None = None,
+    sum_cols: list[str] | None = None,
+    window_col: str = "window_start",
+) -> rd.Dataset:
+    """Hopping (sliding) windows: every row belongs to ``window/hop``
+    overlapping windows. Assignment is vectorized row replication inside
+    ``map_batches`` (np.repeat over the hop multiples) followed by the SAME
+    partial-agg + small-groupby shape as tumbling — the fan-out factor is
+    window/hop, paid on pre-aggregated partials, never on the exchange."""
+    key_cols = list(key_cols or [])
+    sum_cols = list(sum_cols or [])
+    w = pd.Timedelta(window)
+    h = pd.Timedelta(hop)
+    k = int(w / h)
+    if k * h != w:
+        raise ValueError("window must be an integer multiple of hop")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        base = df[ts_col].dt.floor(h)
+        n = len(df)
+        rep = df.iloc[np.repeat(np.arange(n), k)].reset_index(drop=True)
+        offs = np.tile(np.arange(k), n)
+        rep[window_col] = (base.to_numpy().repeat(k)
+                           - offs * h.to_timedelta64())
+        g = rep.groupby([window_col] + key_cols, as_index=False)
+        return g.agg(n=(ts_col, "size"),
+                     **{f"sum_{c}": (c, "sum") for c in sum_cols})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    from ray.data.aggregate import Sum
+
+    aggs = [Sum("n", alias_name="n")] + [
+        Sum(f"sum_{c}", alias_name=f"sum_{c}") for c in sum_cols]
+    out = partials.groupby([window_col] + key_cols).aggregate(*aggs)
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        cols = {window_col: t[window_col]}
+        for kc in key_cols:
+            cols[kc] = t[kc]
+        cols["n"] = pc.cast(t["n"], pa.int64())
+        for c in sum_cols:
+            cols[f"sum_{c}"] = t[f"sum_{c}"]
+        return pa.table(cols)
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def session_windows(
+    ds: rd.Dataset,
+    ts_col: str,
+    key_col: str,
+    *,
+    gap: str = "30min",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Session windows: per key, consecutive events closer than ``gap``
+    belong to one session. Bucketed cogroup by key (one shuffle, same
+    partitioning contract as the as-of join: a key's events co-locate);
+    inside a bucket the sessionization is fully vectorized — sort by
+    (key, ts), new-session flag where the gap exceeds, per-key cumsum
+    numbers sessions 1..n in ts order (matching the SQL lag + running-sum
+    restatement). Emits one row per session: key, session_id, start, end,
+    n_events."""
+    from ..functions.hashing import BUCKET_COL, add_bucket
+
+    if num_buckets is None:
+        try:
+            import ray
+            num_buckets = max(16, int(ray.cluster_resources().get("CPU", 16)))
+        except Exception:
+            num_buckets = 16
+    g = pd.Timedelta(gap)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return add_bucket(t, (key_col,), num_buckets)
+
+    def sessionize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col], kind="stable")
+        same_key = df[key_col].to_numpy()[1:] == df[key_col].to_numpy()[:-1]
+        dt = df[ts_col].diff().to_numpy()
+        new_s = np.ones(len(df), dtype=np.int64)
+        new_s[1:] = (~same_key) | (dt[1:] > g.to_timedelta64())
+        # per-key session number: global cumsum restarted per key via the
+        # first-row-of-key offset
+        sid_global = np.cumsum(new_s)
+        first_of_key = np.r_[True, ~same_key]
+        key_base = np.maximum.accumulate(
+            np.where(first_of_key, sid_global - 1, 0))
+        df = df.assign(_sid=sid_global - key_base)
+        out = df.groupby([key_col, "_sid"], as_index=False).agg(
+            session_start=(ts_col, "min"),
+            session_end=(ts_col, "max"),
+            n_events=(ts_col, "size"))
+        out["n_events"] = out["n_events"].astype("int64")
+        return out.rename(columns={"_sid": "session_id"})
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+              .repartition(num_buckets)
+              .groupby(BUCKET_COL)
+              .map_groups(sessionize, batch_format="pandas"))

@@ -361,3 +361,35 @@ def test_default_parent_created_lazily(ray_session):
         kids, parents2, "fk", "pk", default_key=-1,
         default_row={"name": "DEFAULT"})
     assert sorted(parents4.to_pandas()["pk"].tolist()) == [-1, 1, 2, 3]
+
+
+def test_hopping_window_fanout(ray_session):
+    import ray.data as rd
+    from openmrs_module_epts_etl_ray.stages.windows import hopping_window_agg
+
+    ts = pa.array([pd.Timestamp("2024-01-05 10:00")], pa.timestamp("us"))
+    ds = rd.from_arrow(pa.table({"ts": ts, "v": pa.array([2.0])}))
+    out = hopping_window_agg(ds, "ts", window="3D", hop="1D",
+                             sum_cols=["v"]).to_pandas()
+    # one event -> exactly window/hop = 3 overlapping windows
+    assert sorted(out["window_start"].astype(str)) == [
+        "2024-01-03", "2024-01-04", "2024-01-05"]
+    assert (out["n"] == 1).all() and (out["sum_v"] == 2.0).all()
+
+
+def test_session_windows_split_on_gap(ray_session):
+    import ray.data as rd
+    from openmrs_module_epts_etl_ray.stages.windows import session_windows
+
+    t0 = pd.Timestamp("2024-01-01 00:00")
+    rows = {
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        "ts": pa.array([t0, t0 + pd.Timedelta("10min"),
+                        t0 + pd.Timedelta("3h"), t0], pa.timestamp("us")),
+    }
+    out = session_windows(rd.from_arrow(pa.table(rows)), "ts", "user_id",
+                          gap="30min").to_pandas().sort_values(
+        ["user_id", "session_id"]).reset_index(drop=True)
+    # user 1: two sessions (2 events, then 1 after the 3h gap); user 2: one
+    assert list(zip(out["user_id"], out["session_id"], out["n_events"])) == [
+        (1, 1, 2), (1, 2, 1), (2, 1, 1)]
