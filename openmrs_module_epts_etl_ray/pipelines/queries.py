@@ -887,6 +887,35 @@ def q_windowed_aggregate(sf_dir: str):
         }), batch_format="pyarrow")
 
 
+def q_hash_split(sf_dir: str):
+    """Deterministic 90/5/5 train/val/test split by sha256(doc_id) prefix —
+    reproducible, coordination-free, portable (the oracle computes the
+    identical rule in SQL). stages/sampling.py."""
+    from ..stages.sampling import hash_split
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    return hash_split(docs, "doc_id")
+
+
+def q_deterministic_sample(sf_dir: str):
+    """~20% deterministic subsample of lineitem by sha256(l_orderkey,
+    l_linenumber) composite — same rows selected in every run and system
+    (stages/sampling.py::deterministic_sample)."""
+    from ..stages.sampling import deterministic_sample
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    keyed = li.map_batches(
+        lambda t: t.append_column("sample_key", pc.binary_join_element_wise(
+            pc.cast(t["l_orderkey"], pa.string()),
+            pc.cast(t["l_linenumber"], pa.string()),
+            pa.scalar("|", type=pa.string()))),
+        batch_format="pyarrow")
+    out = deterministic_sample(keyed, "sample_key", 0.2)
+    return out.map_batches(lambda t: t.drop_columns(["sample_key"]),
+                           batch_format="pyarrow")
+
+
 def q_hopping_window(sf_dir: str):
     """Hopping (sliding) 3-day windows advancing daily, per event_type —
     every event lands in 3 overlapping windows (stages/windows.py)."""
@@ -965,6 +994,8 @@ QUERIES = {
     "lookup_datasource_required": q_lookup_datasource_required,
     "lookup_query_datasource": q_lookup_query_datasource,
     "id_collision_repoint": q_id_collision_repoint,
+    "hash_split": q_hash_split,
+    "deterministic_sample": q_deterministic_sample,
     "hopping_window": q_hopping_window,
     "session_windows": q_session_windows,
     "quick_merge_customers": q_quick_merge_customers,
@@ -1124,6 +1155,21 @@ SELECT s.signup_id, CAST(COUNT(*) AS BIGINT) AS n_clicks
 FROM s JOIN c ON s.user_id = c.user_id
  AND c.ts >= s.ts AND c.ts <= s.ts + INTERVAL 7 DAY
 GROUP BY s.signup_id
+""",
+    "hash_split": """
+SELECT doc_id,
+       CASE WHEN substr(sha256(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+            THEN 'train'
+            WHEN substr(sha256(CAST(doc_id AS VARCHAR)), 1, 4) < 'f333'
+            THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+    "deterministic_sample": """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE substr(sha256(CAST(l_orderkey AS VARCHAR) || '|' ||
+                    CAST(l_linenumber AS VARCHAR)), 1, 4) < '3333'
 """,
     "hopping_window": """
 WITH b AS (SELECT event_type, date_trunc('day', ts) AS d, value FROM events),

@@ -1,0 +1,82 @@
+"""Deterministic hash sampling / dataset splits (training-data surface).
+
+A 100-TB corpus needs train/val/test assignment and subsampling that is
+(a) a pure function of a stable key — reproducible across runs, resilient
+to repartitioning, no coordination; (b) portable — the same rule must be
+computable by any other system touching the data. The rule here: the first
+4 hex chars of ``sha256(key)`` compared lexicographically against ratio
+thresholds — identical in DuckDB (``substr(sha256(x), 1, 4) < 'e666'``),
+Spark, or psql, so the oracle check is exact.
+
+No shuffle: assignment is a stateless vectorized ``map_batches``.
+"""
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..functions.hashing import sha256_hex
+
+_SPACE = 1 << 16  # 4 hex chars
+
+
+def _thresholds(splits: dict[str, float]) -> list[tuple[str, str]]:
+    """[(name, exclusive upper bound as 4-hex-char string)] — band i is
+    [prev_bound, bound_i); the LAST band's bound is irrelevant (catch-all),
+    which also sidesteps the 5-char '10000' lexicographic pitfall."""
+    if abs(sum(splits.values()) - 1.0) > 1e-9:
+        raise ValueError(f"split ratios must sum to 1, got {splits}")
+    out, acc = [], 0.0
+    for name, frac in splits.items():
+        acc += frac
+        out.append((name, format(min(int(acc * _SPACE), _SPACE - 1), "04x")))
+    return out
+
+
+def _prefix(t: pa.Table, key_col: str) -> pa.Array:
+    sha = sha256_hex(pc.cast(t[key_col], pa.string()))
+    return pc.utf8_slice_codeunits(sha, 0, 4)
+
+
+def hash_split(
+    ds: rd.Dataset,
+    key_col: str,
+    *,
+    splits: dict[str, float] | None = None,
+    out_col: str = "split",
+) -> rd.Dataset:
+    """Append a split label per row: sha256-prefix thresholding over
+    ``key_col``. Default 90/5/5 train/val/test."""
+    splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+    bounds = _thresholds(splits)
+
+    def assign(t: pa.Table) -> pa.Table:
+        p = _prefix(t, key_col)
+        last_name = bounds[-1][0]
+        label = pa.array([last_name] * len(t), pa.string())
+        # walk inner thresholds descending so smaller bands overwrite
+        for name, hi in reversed(bounds[:-1]):
+            label = pc.if_else(pc.less(p, hi), pa.scalar(name), label)
+        return t.append_column(out_col, label)
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def deterministic_sample(
+    ds: rd.Dataset,
+    key_col: str,
+    rate: float,
+) -> rd.Dataset:
+    """Keep ~``rate`` of rows, chosen by the same portable sha256-prefix
+    rule (a row is in the sample in EVERY run and on every system)."""
+    if not 0 < rate <= 1:
+        raise ValueError(f"rate must be in (0, 1], got {rate}")
+    if rate == 1:
+        return ds
+    hi = format(int(rate * _SPACE), "04x")
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(_prefix(t, key_col), hi))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -393,3 +393,30 @@ def test_session_windows_split_on_gap(ray_session):
     # user 1: two sessions (2 events, then 1 after the 3h gap); user 2: one
     assert list(zip(out["user_id"], out["session_id"], out["n_events"])) == [
         (1, 1, 2), (1, 2, 1), (2, 1, 1)]
+
+
+def test_hash_split_stable_and_proportional(ray_session):
+    import ray.data as rd
+    from openmrs_module_epts_etl_ray.stages.sampling import (
+        deterministic_sample, hash_split,
+    )
+
+    ds = rd.from_arrow(pa.table({"k": pa.array(range(20_000), pa.int64())}))
+    out = hash_split(ds, "k").to_pandas()
+    frac = out["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.9) < 0.02
+    assert abs(frac["val"] - 0.05) < 0.01
+    assert abs(frac["test"] - 0.05) < 0.01
+    # stability: same assignment on a re-run over a differently-blocked ds
+    out2 = hash_split(ds.repartition(7), "k").to_pandas()
+    m = out.set_index("k")["split"]
+    m2 = out2.set_index("k")["split"]
+    assert (m.sort_index() == m2.sort_index()).all()
+
+    samp = deterministic_sample(ds, "k", 0.25).to_pandas()
+    assert abs(len(samp) / 20_000 - 0.25) < 0.02
+    samp2 = deterministic_sample(ds.repartition(5), "k", 0.25).to_pandas()
+    assert sorted(samp["k"]) == sorted(samp2["k"])
+    # nested rates: a smaller sample is a subset of a larger one
+    small = deterministic_sample(ds, "k", 0.1).to_pandas()
+    assert set(small["k"]) <= set(samp["k"])
