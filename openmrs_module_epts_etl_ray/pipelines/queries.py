@@ -887,6 +887,16 @@ def q_windowed_aggregate(sf_dir: str):
         }), batch_format="pyarrow")
 
 
+def q_value_percentiles(sf_dir: str):
+    """Exact per-event_type value percentiles (p50/p90/p99) with a
+    self-defined discrete index rule stated identically in the oracle
+    (stages/windows.py::grouped_percentiles)."""
+    from ..stages.windows import grouped_percentiles
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_percentiles(ev, ["event_type"], "value")
+
+
 def q_hash_split(sf_dir: str):
     """Deterministic 90/5/5 train/val/test split by sha256(doc_id) prefix —
     reproducible, coordination-free, portable (the oracle computes the
@@ -994,6 +1004,7 @@ QUERIES = {
     "lookup_datasource_required": q_lookup_datasource_required,
     "lookup_query_datasource": q_lookup_query_datasource,
     "id_collision_repoint": q_id_collision_repoint,
+    "value_percentiles": q_value_percentiles,
     "hash_split": q_hash_split,
     "deterministic_sample": q_deterministic_sample,
     "hopping_window": q_hopping_window,
@@ -1155,6 +1166,18 @@ SELECT s.signup_id, CAST(COUNT(*) AS BIGINT) AS n_clicks
 FROM s JOIN c ON s.user_id = c.user_id
  AND c.ts >= s.ts AND c.ts <= s.ts + INTERVAL 7 DAY
 GROUP BY s.signup_id
+""",
+    "value_percentiles": """
+WITH s AS (
+  SELECT event_type,
+         array_agg(value ORDER BY value) AS vs,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type)
+SELECT event_type, n,
+       vs[CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1] AS p50,
+       vs[CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1] AS p90,
+       vs[CAST(floor(0.99 * (n - 1)) AS BIGINT) + 1] AS p99
+FROM s
 """,
     "hash_split": """
 SELECT doc_id,

@@ -171,3 +171,33 @@ def session_windows(
               .repartition(num_buckets)
               .groupby(BUCKET_COL)
               .map_groups(sessionize, batch_format="pandas"))
+
+
+def grouped_percentiles(
+    ds: rd.Dataset,
+    key_cols: list[str],
+    value_col: str,
+    *,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> rd.Dataset:
+    """Exact discrete per-group percentiles: element at index
+    ``floor(q * (n - 1))`` of the group's sorted values — a self-defined
+    rule stated identically in the oracle SQL (array_agg ORDER BY + index),
+    so results are byte-exact, not interpolation-dependent.
+
+    Partitioning contract: one group's values fit one task (true for
+    per-category/per-tenant rollups; a single group at fact scale needs the
+    sketch path — t-digest partials — which trades exactness for bounded
+    memory; this operator is the exact small-group form)."""
+    key_cols = list(key_cols)
+
+    def pct(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g[value_col].to_numpy())
+        n = len(v)
+        row = {k: [g[k].iloc[0]] for k in key_cols}
+        row["n"] = [np.int64(n)]
+        for q in quantiles:
+            row[f"p{int(q * 100)}"] = [v[int(np.floor(q * (n - 1)))]]
+        return pd.DataFrame(row)
+
+    return ds.groupby(key_cols).map_groups(pct, batch_format="pandas")
