@@ -897,6 +897,16 @@ def q_value_percentiles(sf_dir: str):
     return grouped_percentiles(ev, ["event_type"], "value")
 
 
+def q_value_percentiles_approx(sf_dir: str):
+    """Mergeable-sketch percentiles — the fact-scale path of
+    value_percentiles (approximate => rows-only; tolerance vs exact is
+    asserted in tests)."""
+    from ..stages.windows import grouped_percentiles_approx
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_percentiles_approx(ev, ["event_type"], "value")
+
+
 def q_hash_split(sf_dir: str):
     """Deterministic 90/5/5 train/val/test split by sha256(doc_id) prefix —
     reproducible, coordination-free, portable (the oracle computes the
@@ -1005,6 +1015,7 @@ QUERIES = {
     "lookup_query_datasource": q_lookup_query_datasource,
     "id_collision_repoint": q_id_collision_repoint,
     "value_percentiles": q_value_percentiles,
+    "value_percentiles_approx": q_value_percentiles_approx,
     "hash_split": q_hash_split,
     "deterministic_sample": q_deterministic_sample,
     "hopping_window": q_hopping_window,

@@ -201,3 +201,70 @@ def grouped_percentiles(
         return pd.DataFrame(row)
 
     return ds.groupby(key_cols).map_groups(pct, batch_format="pandas")
+
+
+def grouped_percentiles_approx(
+    ds: rd.Dataset,
+    key_cols: list[str],
+    value_col: str,
+    *,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    sketch_size: int = 1024,
+) -> rd.Dataset:
+    """Scale path of :func:`grouped_percentiles`: a MERGEABLE weighted
+    order-statistic sketch, so no group ever needs its raw values in one
+    task.
+
+    Per batch: each group's values are sorted and compressed to at most
+    ``sketch_size`` (value, weight) centroids at evenly spaced cumulative-
+    weight positions. Partials merge per group (concat + re-compress) in a
+    small groupby; the final quantile is the weighted order statistic of
+    the merged sketch. Error is bounded by the per-compression rank step
+    (~ total_weight / sketch_size per merge level — two levels here:
+    batch, then group). The exchange moves ONLY sketches: O(groups x
+    sketch_size), never raw values.
+    """
+    key_cols = list(key_cols)
+
+    def compress(vals: np.ndarray, wts: np.ndarray, k: int):
+        order = np.argsort(vals, kind="stable")
+        v, w = vals[order], wts[order]
+        if len(v) <= k:
+            return v, w
+        cw = np.cumsum(w)
+        total = cw[-1]
+        # k target cumulative-weight positions; sum weights between picks
+        targets = (np.arange(1, k + 1) * (total / k))
+        idx = np.searchsorted(cw, targets, side="left").clip(0, len(v) - 1)
+        idx = np.unique(idx)
+        out_v = v[idx]
+        bounds = np.r_[0, cw[idx]]
+        out_w = np.diff(bounds)
+        return out_v, out_w
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, g in df.groupby(key_cols, sort=False):
+            key = key if isinstance(key, tuple) else (key,)
+            vals = g[value_col].to_numpy(dtype=np.float64)
+            v, w = compress(vals, np.ones(len(vals)), sketch_size)
+            rows.append({**dict(zip(key_cols, key)),
+                         "_sv": v.tolist(), "_sw": w.tolist()})
+        return pd.DataFrame(rows)
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.concatenate([np.asarray(x, dtype=np.float64) for x in g["_sv"]])
+        w = np.concatenate([np.asarray(x, dtype=np.float64) for x in g["_sw"]])
+        v, w = compress(v, w, sketch_size)
+        cw = np.cumsum(w)
+        total = cw[-1]
+        row = {k: [g[k].iloc[0]] for k in key_cols}
+        row["n"] = [np.int64(round(total))]
+        for q in quantiles:
+            i = int(np.searchsorted(cw, q * total, side="left"))
+            row[f"p{int(q * 100)}"] = [v[min(i, len(v) - 1)]]
+        return pd.DataFrame(row)
+
+    return partials.groupby(key_cols).map_groups(merge, batch_format="pandas")

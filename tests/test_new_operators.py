@@ -1,5 +1,6 @@
 """Unit tests: idgen (ST2), inconsistency solver, datasource lookup (J2/J3),
 lake compaction, export sinks (S5/S6)."""
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -420,3 +421,24 @@ def test_hash_split_stable_and_proportional(ray_session):
     # nested rates: a smaller sample is a subset of a larger one
     small = deterministic_sample(ds, "k", 0.1).to_pandas()
     assert set(small["k"]) <= set(samp["k"])
+
+
+def test_approx_percentiles_close_to_exact(ray_session):
+    import ray.data as rd
+    from openmrs_module_epts_etl_ray.stages.windows import (
+        grouped_percentiles, grouped_percentiles_approx,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 200_000
+    t = pa.table({
+        "grp": pa.array(rng.integers(0, 3, n).astype("int64")),
+        "v": pa.array(rng.lognormal(0, 1.0, n)),
+    })
+    ds = rd.from_arrow(t).repartition(16)
+    exact = grouped_percentiles(ds, ["grp"], "v").to_pandas().set_index("grp")
+    approx = grouped_percentiles_approx(ds, ["grp"], "v").to_pandas().set_index("grp")
+    assert (exact["n"].sort_index() == approx["n"].sort_index()).all()
+    for q in ("p50", "p90", "p99"):
+        rel = (approx[q] - exact[q]).abs() / exact[q]
+        assert (rel < 0.05).all(), (q, rel.to_dict())
