@@ -177,6 +177,125 @@ def _run_item(item: dict, outputs: dict[str, str]) -> None:
         _run_item(c, outputs)
 
 
+def _run_quick_merge(cfg: dict, outputs: dict[str, str]) -> None:
+    """DB_QUICK_MERGE_* — srcConf rows upsert into a destination lake,
+    matched by the configured unique keys with PK adoption (the
+    ``db_quick_merge_gaza.json`` shape; ``pipelines.replay.quick_merge``).
+    Rows without an lsn/op column get lsn=0 / op='insert' defaults (a
+    one-shot table merge, not a log replay)."""
+    from .replay import quick_merge
+
+    for item in cfg["etlConfiguration"]:
+        src = item["srcConf"]
+        ds = read_table(src["sfDir"], src["tableName"],
+                        columns=src.get("columns"))
+
+        def defaults(t: pa.Table) -> pa.Table:
+            import numpy as np
+            if "lsn" not in t.column_names:
+                t = t.append_column("lsn", pa.array(
+                    np.full(len(t), int(src.get("lsn", 0)), dtype="int64")))
+            if "op" not in t.column_names:
+                t = t.append_column("op", pa.array(["insert"] * len(t)))
+            return t
+
+        ds = ds.map_batches(defaults, batch_format="pyarrow")
+        cond = src.get("extraConditionForExtract")
+        if cond:
+            ds = ds.map_batches(_ConditionFilter,
+                                fn_constructor_kwargs=dict(cond=cond),
+                                batch_format="pyarrow", concurrency=(1, 8))
+        dst = item["dstConf"][0]
+        lake = dst["lakeRoot"]
+        quick_merge(ds, lake,
+                    key_cols=tuple(dst["keyCols"]),
+                    unique_keys=[list(g) for g in dst["uniqueKeys"]],
+                    num_buckets=int(dst.get("numBuckets", 64))).materialize()
+        outputs[dst.get("tableName", src["tableName"])] = lake
+
+
+def _run_detect_gaps(cfg: dict, outputs: dict[str, str]) -> None:
+    """DETECT_GAPES_ON_DB_TABLES — gap runs of each table's id sequence
+    written as parquet (``stages.gap_detect``)."""
+    from ..stages.gap_detect import detect_gaps
+    from .export import export_files
+
+    for item in cfg["etlConfiguration"]:
+        src = item["srcConf"]
+        ds = read_table(src["sfDir"], src["tableName"])
+        cond = src.get("extraConditionForExtract")
+        if cond:
+            ds = ds.map_batches(_ConditionFilter,
+                                fn_constructor_kwargs=dict(cond=cond),
+                                batch_format="pyarrow", concurrency=(1, 8))
+        ds = ds.select_columns([src["idColumn"]])
+        gaps = detect_gaps(ds, src["idColumn"],
+                           range_size=int(src.get("rangeSize", 100_000)))
+        out_dir = src.get("outDir") or os.path.join(
+            "/tmp", "etl_out", f"gaps_{src['tableName']}")
+        export_files(gaps, out_dir, fmt="parquet")
+        outputs[src["tableName"]] = out_dir
+
+
+def _run_inconsistency_check(cfg: dict, outputs: dict[str, str]) -> None:
+    """DB_INCONSISTENCY_CHECK — FK repair against a parent table
+    (``stages.inconsistency.resolve_inconsistencies``)."""
+    from ..stages.inconsistency import resolve_inconsistencies
+    from .export import export_files
+
+    for item in cfg["etlConfiguration"]:
+        src = item["srcConf"]
+        ds = read_table(src["sfDir"], src["tableName"],
+                        columns=src.get("columns"))
+        parents = read_table(src["sfDir"], src["parentTable"],
+                             columns=[src["parentKeyColumn"]])
+        fixed = resolve_inconsistencies(
+            ds, parents, src["fkColumn"], src["parentKeyColumn"],
+            on_missing=src.get("onMissing", "drop"),
+            default_value=src.get("defaultValue"))
+        out_dir = src.get("outDir") or os.path.join(
+            "/tmp", "etl_out", f"check_{src['tableName']}")
+        export_files(fixed, out_dir, fmt="parquet")
+        outputs[src["tableName"]] = out_dir
+
+
+def _run_reconciliation(cfg: dict, outputs: dict[str, str]) -> None:
+    """DATA_RECONCILIATION / DETECT_MISSING_RECORDS — three-way diff of two
+    tables (``stages.detectors.reconcile``): missing / phantom / outdated."""
+    from ..stages.detectors import reconcile
+    from .export import export_files
+
+    for item in cfg["etlConfiguration"]:
+        src = item["srcConf"]
+        a = read_table(src["sfDir"], src["tableName"])
+        b = read_table(src["dstSfDir"] if "dstSfDir" in src else src["sfDir"],
+                       src["dstTableName"])
+        diff = reconcile(a, b, list(src["keyCols"]),
+                         list(src.get("compareCols", [])))
+        out_dir = src.get("outDir") or os.path.join(
+            "/tmp", "etl_out", f"reconcile_{src['tableName']}")
+        export_files(diff, out_dir, fmt="parquet")
+        outputs[src["tableName"]] = out_dir
+
+
+def _run_source_sync(cfg: dict, outputs: dict[str, str]) -> None:
+    """SOURCE_SYNC / DATABASE_MERGE_FROM_SOURCE_DB — replay a change-event
+    parquet log into a lake (the flagship CDC path)."""
+    from .replay import replay
+
+    for item in cfg["etlConfiguration"]:
+        src = item["srcConf"]
+        import ray.data as rd_
+
+        events = rd_.read_parquet(src["eventsPath"])
+        dst = item["dstConf"][0]
+        replay(events, dst["lakeRoot"],
+               num_buckets=int(dst.get("numBuckets", 64)),
+               key_cols=tuple(dst.get("keyCols", ("repo", "path"))),
+               layout=dst.get("layout", "snapshot")).materialize()
+        outputs[dst.get("tableName", "lake")] = dst["lakeRoot"]
+
+
 def run_config(cfg: dict | str, _seen: frozenset = frozenset()) -> dict[str, str]:
     """Run a process config; returns {dst tableName: output dir}. The write
     is partitioned parquet/csv/json via the export sinks (resumable layout).
@@ -198,12 +317,25 @@ def run_config(cfg: dict | str, _seen: frozenset = frozenset()) -> dict[str, str
             raise ValueError(f"childConfigFilePath cycle at {path}")
         with open(path) as fh:
             cfg = json.load(fh)
-    if cfg.get("processType", "etl") != "etl":
-        raise ValueError(f"unsupported processType {cfg.get('processType')!r}")
 
+    ptype = str(cfg.get("processType", "etl")).upper()
     outputs: dict[str, str] = {}
-    for item in cfg["etlConfiguration"]:
-        _run_item(item, outputs)
+    if ptype in ("ETL", "RE_ETL", "DB_EXTRACT", "DB_QUICK_EXPORT"):
+        for item in cfg["etlConfiguration"]:
+            _run_item(item, outputs)
+    elif ptype in ("DB_QUICK_MERGE_WITH_DATABASE_GENERATION",
+                   "DB_QUICK_MERGE_WITH_ENTITY_GENERATION", "DB_QUICK_MERGE"):
+        _run_quick_merge(cfg, outputs)
+    elif ptype == "DETECT_GAPES_ON_DB_TABLES":
+        _run_detect_gaps(cfg, outputs)
+    elif ptype == "DB_INCONSISTENCY_CHECK":
+        _run_inconsistency_check(cfg, outputs)
+    elif ptype in ("DATA_RECONCILIATION", "DETECT_MISSING_RECORDS"):
+        _run_reconciliation(cfg, outputs)
+    elif ptype in ("SOURCE_SYNC", "DATABASE_MERGE_FROM_SOURCE_DB"):
+        _run_source_sync(cfg, outputs)
+    else:
+        raise ValueError(f"unsupported processType {cfg.get('processType')!r}")
 
     if cfg.get("finalizer"):
         _resolve_callable(cfg["finalizer"])(outputs)

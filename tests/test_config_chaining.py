@@ -114,3 +114,84 @@ def test_query_datasource_in_config(ray_session, tmp_path):
         ORDER BY customer_id""").df()
     import pandas as pd
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_process_type_quick_merge(ray_session, tmp_path):
+    import duckdb as _dd
+
+    from openmrs_module_epts_etl_ray.pipelines.replay import read_lake
+
+    lake = str(tmp_path / "lake")
+    cfg = {
+        "processType": "DB_QUICK_MERGE_WITH_DATABASE_GENERATION",
+        "etlConfiguration": [{
+            "srcConf": {"tableName": "nation", "sfDir": SF,
+                        "columns": ["n_nationkey", "n_name"]},
+            "dstConf": [{"tableName": "nation_lake", "lakeRoot": lake,
+                         "keyCols": ["n_nationkey"],
+                         "uniqueKeys": [["n_name"]], "numBuckets": 4}],
+        }],
+    }
+    outs = run_config(cfg)
+    assert outs == {"nation_lake": lake}
+    got = read_lake(lake).to_pandas()
+    assert len(got) == 25 and got["n_name"].is_unique
+
+
+def test_process_type_detect_gaps(ray_session, tmp_path):
+    out = str(tmp_path / "gaps")
+    cfg = {
+        "processType": "DETECT_GAPES_ON_DB_TABLES",
+        "etlConfiguration": [{
+            "srcConf": {"tableName": "events", "sfDir": SF,
+                        "idColumn": "event_id",
+                        "extraConditionForExtract": "event_type <> 'click'",
+                        "outDir": out}}],
+    }
+    outs = run_config(cfg)
+    con = duckdb.connect()
+    got = con.sql(f"SELECT count(*) FROM read_parquet('{out}/*.parquet')").fetchone()[0]
+    want = con.sql(f"""
+        WITH ids AS (SELECT event_id FROM read_parquet('{SF}/events.parquet')
+                     WHERE event_type <> 'click'),
+        s AS (SELECT event_id, lead(event_id) OVER (ORDER BY event_id) AS nxt FROM ids)
+        SELECT count(*) FROM s WHERE nxt > event_id + 1""").fetchone()[0]
+    assert got == want and got > 0
+
+
+def test_process_type_inconsistency_check(ray_session, tmp_path):
+    out = str(tmp_path / "check")
+    cfg = {
+        "processType": "DB_INCONSISTENCY_CHECK",
+        "etlConfiguration": [{
+            "srcConf": {"tableName": "orders", "sfDir": SF,
+                        "columns": ["o_orderkey", "o_custkey"],
+                        "fkColumn": "o_custkey",
+                        "parentTable": "customer",
+                        "parentKeyColumn": "c_custkey",
+                        "onMissing": "null", "outDir": out}}],
+    }
+    run_config(cfg)
+    con = duckdb.connect()
+    n = con.sql(f"SELECT count(*) FROM read_parquet('{out}/*.parquet')").fetchone()[0]
+    want = con.sql(f"SELECT count(*) FROM read_parquet('{SF}/orders.parquet')").fetchone()[0]
+    assert n == want  # FK-consistent source: nothing repaired, nothing lost
+
+
+def test_process_type_reconciliation(ray_session, tmp_path):
+    out = str(tmp_path / "rec")
+    cfg = {
+        "processType": "DATA_RECONCILIATION",
+        "etlConfiguration": [{
+            "srcConf": {"tableName": "customer", "sfDir": SF,
+                        "dstTableName": "customer",
+                        "keyCols": ["c_custkey"],
+                        "compareCols": ["c_name"], "outDir": out}}],
+    }
+    run_config(cfg)
+    import glob
+    files = glob.glob(f"{out}/*.parquet")
+    con = duckdb.connect()
+    n = (con.sql(f"SELECT count(*) FROM read_parquet('{out}/*.parquet')").fetchone()[0]
+         if files else 0)
+    assert n == 0  # identical tables reconcile clean
