@@ -195,3 +195,35 @@ def test_process_type_reconciliation(ray_session, tmp_path):
     n = (con.sql(f"SELECT count(*) FROM read_parquet('{out}/*.parquet')").fetchone()[0]
          if files else 0)
     assert n == 0  # identical tables reconcile clean
+
+
+def test_process_type_source_sync(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from openmrs_module_epts_etl_ray.pipelines.replay import read_lake
+
+    events = pa.table({
+        "lsn": pa.array([1, 2, 3], "int64"),
+        "op": ["insert", "insert", "update"],
+        "repo": ["r", "r", "r"], "path": ["a", "b", "a"],
+        "commit": ["c1", "c2", "c3"],
+        "lang": ["py", "py", "py"],
+        "content": ["x", "y", "x2"],
+    })
+    evdir = tmp_path / "events"
+    evdir.mkdir()
+    pq.write_table(events, str(evdir / "part0.parquet"))
+    lake = str(tmp_path / "lake")
+    cfg = {
+        "processType": "SOURCE_SYNC",
+        "etlConfiguration": [{
+            "srcConf": {"eventsPath": str(evdir)},
+            "dstConf": [{"lakeRoot": lake, "numBuckets": 2,
+                         "keyCols": ["repo", "path"]}],
+        }],
+    }
+    outs = run_config(cfg)
+    got = read_lake(lake).to_pandas().set_index("path")
+    assert outs == {"lake": lake}
+    assert got.loc["a", "content"] == "x2" and got.loc["b", "content"] == "y"
