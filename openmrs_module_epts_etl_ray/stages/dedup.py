@@ -59,8 +59,11 @@ def exact_dedup(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") 
     n_coarse = 4 * _par()
 
     def add_coarse(df: pd.DataFrame) -> pd.DataFrame:
-        h = df["content_sha"].str.slice(0, 8).apply(int, base=16)
-        return df.assign(_coarse=(h % n_coarse).astype(np.int64))
+        # vectorized SipHash of the sha string (the old per-row int(x, 16)
+        # hex parse was a Python loop over every row)
+        from pandas.util import hash_pandas_object
+        h = hash_pandas_object(df["content_sha"], index=False).to_numpy()
+        return df.assign(_coarse=(h % np.uint64(n_coarse)).astype(np.int64))
 
     def min_per_sha(g: pd.DataFrame) -> pd.DataFrame:
         out = g.sort_values(id_col).drop_duplicates("content_sha", keep="first")
