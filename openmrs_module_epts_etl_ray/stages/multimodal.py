@@ -239,3 +239,78 @@ def resize_images(ds: rd.Dataset, width: int, height: int, *,
                           fn_constructor_kwargs=dict(width=width, height=height),
                           batch_format="pandas",
                           batch_size=batch_size, concurrency=concurrency)
+
+
+# -- codec-free "video": length-prefixed concatenated PPM frames ------------
+
+VIDEO_MIME = "video/x-ppm-frames"
+
+
+def encode_ppm_video(frames: list[np.ndarray]) -> bytes:
+    """Concatenated PPM frames with a count header — a minimal container
+    that needs no codec, so frame-sampling plumbing is REAL."""
+    parts = [b"PVF1\n%d\n" % len(frames)]
+    for f in frames:
+        p = encode_ppm(f)
+        parts.append(b"%d\n" % len(p))
+        parts.append(p)
+    return b"".join(parts)
+
+
+def decode_ppm_video(payload: bytes) -> list[np.ndarray]:
+    if not payload.startswith(b"PVF1\n"):
+        raise ValueError("not a PVF1 payload")
+    pos = payload.index(b"\n", 5)
+    n = int(payload[5:pos])
+    pos += 1
+    frames = []
+    for _ in range(n):
+        nl = payload.index(b"\n", pos)
+        size = int(payload[pos:nl])
+        pos = nl + 1
+        frames.append(decode_ppm(payload[pos:pos + size]))
+        pos += size
+    return frames
+
+
+class FrameSampleStage:
+    """Actor-pool video transform: decode the frame container, keep every
+    ``every``-th frame, emit ONE IMAGE ROW PER SAMPLED FRAME (media_id
+    becomes media_id * 10^6 + frame_index — flat_map-shaped output for
+    downstream image stages). Non-video rows pass through unchanged."""
+
+    def __init__(self, every: int = 2):
+        self.every = every
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for r in batch.itertuples():
+            if r.mime != VIDEO_MIME:
+                rows.append({
+                    "media_id": r.media_id, "kind": r.kind,
+                    "payload": r.payload, "mime": r.mime,
+                    "width": r.width, "height": r.height,
+                    "duration_ms": r.duration_ms})
+                continue
+            for i, frame in enumerate(decode_ppm_video(bytes(r.payload))):
+                if i % self.every:
+                    continue
+                h, w = frame.shape[:2]
+                rows.append({
+                    "media_id": r.media_id * 1_000_000 + i, "kind": "image",
+                    "payload": encode_ppm(frame), "mime": PPM_MIME,
+                    "width": w, "height": h, "duration_ms": None})
+        out = pd.DataFrame(rows)
+        for c in ("width", "height"):
+            out[c] = out[c].astype("Int32")
+        out["duration_ms"] = out["duration_ms"].astype("Int64")
+        return out
+
+
+def sample_frames(ds: rd.Dataset, every: int = 2, *,
+                  batch_size: int = 64, concurrency=(1, 4)) -> rd.Dataset:
+    """Video payloads are the widest rows — smallest batches of the family."""
+    return ds.map_batches(FrameSampleStage,
+                          fn_constructor_kwargs=dict(every=every),
+                          batch_format="pandas",
+                          batch_size=batch_size, concurrency=concurrency)

@@ -231,3 +231,32 @@ def test_minhash_signature_batch_matches_single():
     for i, t in enumerate(texts):
         np.testing.assert_array_equal(np.asarray(out["sig"][i]),
                                       mh.signature(t))
+
+
+def test_video_frame_sampling():
+    rng = np.random.default_rng(4)
+    frames = [rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+              for _ in range(6)]
+    payload = multimodal.encode_ppm_video(frames)
+    back = multimodal.decode_ppm_video(payload)
+    assert len(back) == 6 and all((a == b).all() for a, b in zip(frames, back))
+
+    media = rd.from_arrow(pa.table({
+        "media_id": pa.array([7], pa.int64()),
+        "kind": ["video"],
+        "payload": pa.array([payload], pa.large_binary()),
+        "mime": [multimodal.VIDEO_MIME],
+        "width": pa.array([8], pa.int32()),
+        "height": pa.array([8], pa.int32()),
+        "duration_ms": pa.array([240], pa.int64()),
+    }, schema=multimodal.MEDIA_SCHEMA))
+    out = multimodal.sample_frames(media, every=2).to_pandas()
+    assert len(out) == 3                         # frames 0, 2, 4
+    assert (out["kind"] == "image").all()
+    assert sorted(out["media_id"]) == [7_000_000, 7_000_002, 7_000_004]
+    # sampled frames decode back to the original pixels
+    got = multimodal.decode_ppm(bytes(out.sort_values("media_id")["payload"].iloc[1]))
+    assert (got == frames[2]).all()
+    # image feature extraction composes downstream
+    feats = multimodal.decode_features(out_ds := multimodal.sample_frames(media, every=2))
+    assert len(feats.to_pandas()) == 3
