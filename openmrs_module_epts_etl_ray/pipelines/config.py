@@ -46,7 +46,9 @@ from __future__ import annotations
 import json
 import os
 
+import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from ..sources.tables import read_table
@@ -130,8 +132,111 @@ def _compile_mapping(entries: list[dict]) -> RecordTransform:
             src_value=e.get("srcValue"),
             map_to_null=bool(e.get("mapToNullValue", False)),
             dtype=_TYPES.get(e.get("type")) if e.get("type") else None,
+            # per-field UDF by dotted path — the reference's per-mapping
+            # `transformer` class (FieldsMapping.java:66-84 loads the class
+            # by name and calls it per value; here it's one vectorized call
+            # per Arrow column)
+            transformer=(_resolve_callable(e["transformer"])
+                         if e.get("transformer") else None),
         ))
     return RecordTransform(mappings=mappings)
+
+
+def _compile_policy(dst: dict) -> "ConflictPolicy | None":
+    """``onConflict`` + ``winningRecordFieldsInfo`` → :class:`ConflictPolicy`
+    (reference ``conf/DstConf.java:66-86``: the destination declares how an
+    existing record is merged; ``model/EtlDatabaseObject.java:646-676`` the
+    winning-fields rule). ``winningRecordFieldsInfo`` accepts the reference's
+    list-of-groups of ``{fieldName, value}`` — a flat list is one group."""
+    from ..stages.merge_applier import ConflictPolicy
+
+    on_conflict = dst.get("onConflict")
+    wfi = dst.get("winningRecordFieldsInfo")
+    if not on_conflict and not wfi:
+        return None
+    groups: list[list[tuple[str, object]]] = []
+    if wfi:
+        if wfi and isinstance(wfi[0], dict):   # flat list = one group
+            wfi = [wfi]
+        for g in wfi:
+            groups.append([(f["fieldName"], f.get("value")) for f in g])
+    mode = {
+        "keepExisting": "keep_existing", "keep_existing": "keep_existing",
+        "updateExisting": "update_existing", "update_existing": "update_existing",
+        "winningFields": "winning_fields", "winning_fields": "winning_fields",
+        "lwwLsn": "lww_lsn", "lww_lsn": "lww_lsn",
+    }.get(on_conflict or ("winning_fields" if groups else "lww_lsn"))
+    if mode is None:
+        raise ValueError(f"unsupported onConflict {on_conflict!r}")
+    if mode == "winning_fields" and not groups:
+        raise ValueError("onConflict=winningFields needs winningRecordFieldsInfo")
+    return ConflictPolicy(mode=mode, winning_field_groups=groups)
+
+
+def _join_fields(spec: dict) -> list[tuple[str, str]]:
+    """``joinFields`` entries → [(src_field, aux_field)]. Accepts the
+    reference's ``srcField``/``dstField`` pair names (RefMapping shape) and a
+    bare string (same column name on both sides)."""
+    out = []
+    for f in spec.get("joinFields", []):
+        if isinstance(f, str):
+            out.append((f, f))
+        else:
+            s = f.get("srcField") or f.get("field")
+            out.append((s, f.get("dstField") or f.get("auxField") or s))
+    if not out:
+        raise ValueError(
+            f"datasource {spec.get('tableName')!r} needs joinFields")
+    return out
+
+
+def compile_extract(src: dict) -> rd.Dataset:
+    """Compile one ``srcConf`` to its extract Dataset — the reference's
+    search-params SELECT (``EtlDatabaseObjectSearchParams.java:44-91``):
+    base table + ``extraConditionForExtract`` + ``selfJoinTables`` +
+    ``extraTableDataSource`` + ``extraQueryDataSource``, in that order."""
+    ds = read_table(src["sfDir"], src["tableName"],
+                    columns=src.get("columns"))
+    cond = src.get("extraConditionForExtract")
+    if cond:
+        ds = ds.map_batches(_ConditionFilter,
+                            fn_constructor_kwargs=dict(cond=cond),
+                            batch_format="pyarrow", concurrency=(1, 8))
+    # selfJoinTables — aux tables joined INTO the extract, multiplicity
+    # preserved (the reference splices them into the SELECT:
+    # etl/model/EtlDatabaseObjectSearchParams.java:44-91, README:95-118)
+    for sj in src.get("selfJoinTables", []):
+        from ..stages.joins import inner_join, left_join
+
+        aux = read_table(src["sfDir"], sj["tableName"],
+                         columns=sj.get("columns"))
+        pairs = _join_fields(sj)
+        s_keys = [s for s, _ in pairs]
+        a_keys = [a for _, a in pairs]
+        join = left_join if str(sj.get("joinType", "inner")).lower() == "left" \
+            else inner_join
+        if s_keys == a_keys:
+            ds = join(ds, aux, s_keys)
+        else:
+            ds = join(ds, aux, s_keys, right_on=tuple(a_keys))
+    # extraTableDataSource — one-row-per-key lookup attach (J2,
+    # conf/SrcConf.java:22-28 / TableDataSourceConfig.java:110-118)
+    for tds in src.get("extraTableDataSource", []):
+        from ..stages.lookup import datasource_lookup
+
+        lk = read_table(src["sfDir"], tds["tableName"])
+        ds = datasource_lookup(
+            ds, lk, _join_fields(tds),
+            required=bool(tds.get("required", False)),
+            columns=tds.get("columns"))
+    for qds in src.get("extraQueryDataSource", []):
+        ds = ds.map_batches(
+            QueryDataSourceStage,
+            fn_constructor_kwargs=dict(sf_dir=src["sfDir"],
+                                       query=qds["query"],
+                                       required=bool(qds.get("required", False))),
+            batch_format="pyarrow", concurrency=(1, 8))
+    return ds
 
 
 def _run_item(item: dict, outputs: dict[str, str]) -> None:
@@ -141,21 +246,7 @@ def _run_item(item: dict, outputs: dict[str, str]) -> None:
     parent operation completes)."""
     from .export import export_files
 
-    src = item["srcConf"]
-    ds = read_table(src["sfDir"], src["tableName"],
-                    columns=src.get("columns"))
-    cond = src.get("extraConditionForExtract")
-    if cond:
-        ds = ds.map_batches(_ConditionFilter,
-                            fn_constructor_kwargs=dict(cond=cond),
-                            batch_format="pyarrow", concurrency=(1, 8))
-    for qds in src.get("extraQueryDataSource", []):
-        ds = ds.map_batches(
-            QueryDataSourceStage,
-            fn_constructor_kwargs=dict(sf_dir=src["sfDir"],
-                                       query=qds["query"],
-                                       required=bool(qds.get("required", False))),
-            batch_format="pyarrow", concurrency=(1, 8))
+    ds = compile_extract(item["srcConf"])
     for dst in item["dstConf"]:
         if dst["tableName"] in outputs:
             # D3 — duplicate destination items are a config error (two items
@@ -190,16 +281,7 @@ def _run_quick_merge(cfg: dict, outputs: dict[str, str]) -> None:
         ds = read_table(src["sfDir"], src["tableName"],
                         columns=src.get("columns"))
 
-        def defaults(t: pa.Table) -> pa.Table:
-            import numpy as np
-            if "lsn" not in t.column_names:
-                t = t.append_column("lsn", pa.array(
-                    np.full(len(t), int(src.get("lsn", 0)), dtype="int64")))
-            if "op" not in t.column_names:
-                t = t.append_column("op", pa.array(["insert"] * len(t)))
-            return t
-
-        ds = ds.map_batches(defaults, batch_format="pyarrow")
+        ds = _events_defaults(ds, lsn=int(src.get("lsn", 0)))
         cond = src.get("extraConditionForExtract")
         if cond:
             ds = ds.map_batches(_ConditionFilter,
@@ -210,8 +292,97 @@ def _run_quick_merge(cfg: dict, outputs: dict[str, str]) -> None:
         quick_merge(ds, lake,
                     key_cols=tuple(dst["keyCols"]),
                     unique_keys=[list(g) for g in dst["uniqueKeys"]],
+                    policy=_compile_policy(dst),
                     num_buckets=int(dst.get("numBuckets", 64))).materialize()
         outputs[dst.get("tableName", src["tableName"])] = lake
+
+
+def _events_defaults(ds: rd.Dataset, lsn: int = 0) -> rd.Dataset:
+    """Rows without lsn/op columns get lsn=<n> / op='insert' defaults (a
+    one-shot table merge, not a log replay)."""
+    def defaults(t: pa.Table) -> pa.Table:
+        import numpy as np
+        if "lsn" not in t.column_names:
+            t = t.append_column("lsn", pa.array(
+                np.full(len(t), int(lsn), dtype="int64")))
+        if "op" not in t.column_names:
+            t = t.append_column("op", pa.array(["insert"] * len(t)))
+        return t
+
+    return ds.map_batches(defaults, batch_format="pyarrow")
+
+
+def _run_load(cfg: dict, outputs: dict[str, str]) -> None:
+    """LOAD / DB_QUICK_LOAD — read an export directory (the files a source
+    site produced with dstType=json/csv) into the STAGE AREA as partitioned
+    parquet (reference ``load/processor/DataLoadProcessor.java:29-48``: JSON
+    files → syncImportInfo stage rows; transport is shared storage here, so
+    'load' = parse + stage, ready for DB_MERGE_FROM_JSON)."""
+    from .export import export_files, read_export
+
+    for item in cfg["etlConfiguration"]:
+        src = item["srcConf"]
+        ds = read_export(src["importDir"], fmt=src.get("format", "json"))
+        cond = src.get("extraConditionForExtract")
+        if cond:
+            ds = ds.map_batches(_ConditionFilter,
+                                fn_constructor_kwargs=dict(cond=cond),
+                                batch_format="pyarrow", concurrency=(1, 8))
+        dst = item["dstConf"][0]
+        stage_dir = dst["stageDir"]
+        export_files(ds, stage_dir, fmt="parquet")
+        outputs[dst.get("tableName", os.path.basename(stage_dir))] = stage_dir
+
+
+def _run_merge_from_json(cfg: dict, outputs: dict[str, str]) -> None:
+    """DB_MERGE_FROM_JSON — merge staged (or directly exported) records into
+    the destination lake by unique keys with conflict resolution (reference
+    ``merge/model/MergingRecord.java:44-117``). ``srcConf.stageDir`` points
+    at a LOAD output; ``srcConf.importDir`` merges an export dir directly
+    (skipping the explicit stage step)."""
+    from .export import read_export
+    from .replay import quick_merge
+
+    for item in cfg["etlConfiguration"]:
+        src = item["srcConf"]
+        if "stageDir" in src:
+            ds = rd.read_parquet(src["stageDir"],
+                                 file_extensions=["parquet"])
+        else:
+            ds = read_export(src["importDir"], fmt=src.get("format", "json"))
+        ds = _events_defaults(ds, lsn=int(src.get("lsn", 0)))
+        dst = item["dstConf"][0]
+        lake = dst["lakeRoot"]
+        quick_merge(ds, lake,
+                    key_cols=tuple(dst["keyCols"]),
+                    unique_keys=[list(g) for g in dst["uniqueKeys"]],
+                    policy=_compile_policy(dst),
+                    num_buckets=int(dst.get("numBuckets", 64))).materialize()
+        outputs[dst.get("tableName", "lake")] = lake
+
+
+def _run_resolve_conflicts(cfg: dict, outputs: dict[str, str]) -> None:
+    """RESOLVE_CONFLICTS_IN_STAGE_AREA — collapse a stage table to one row
+    per key, most recent wins (``stages.lww.lww_final_state``; reference
+    ``resolveconflictsinstagearea/.../ResolveConflictsInStageAreaProcessor.java:26-62``)."""
+    from ..stages.lww import lww_final_state
+    from .export import export_files
+
+    for item in cfg["etlConfiguration"]:
+        src = item["srcConf"]
+        if "stageDir" in src:
+            ds = rd.read_parquet(src["stageDir"], file_extensions=["parquet"])
+        else:
+            ds = read_table(src["sfDir"], src["tableName"],
+                            columns=src.get("columns"))
+        resolved = lww_final_state(
+            ds, key_cols=tuple(src["keyCols"]),
+            lsn_col=src.get("lsnColumn", "lsn"),
+            drop_deleted=bool(src.get("dropDeleted", True)))
+        out_dir = src.get("outDir") or os.path.join(
+            "/tmp", "etl_out", f"resolved_{src.get('tableName', 'stage')}")
+        export_files(resolved, out_dir, fmt="parquet")
+        outputs[src.get("tableName", "stage")] = out_dir
 
 
 def _run_detect_gaps(cfg: dict, outputs: dict[str, str]) -> None:
@@ -252,10 +423,53 @@ def _run_inconsistency_check(cfg: dict, outputs: dict[str, str]) -> None:
         fixed = resolve_inconsistencies(
             ds, parents, src["fkColumn"], src["parentKeyColumn"],
             on_missing=src.get("onMissing", "drop"),
-            default_value=src.get("defaultValue"))
+            default_value=src.get("defaultValue"),
+            # RefMapping conditional/ignorable vocabulary (RefMapping.java:7-28)
+            condition_field=src.get("conditionField"),
+            condition_value=src.get("conditionValue"))
         out_dir = src.get("outDir") or os.path.join(
             "/tmp", "etl_out", f"check_{src['tableName']}")
         export_files(fixed, out_dir, fmt="parquet")
+        outputs[src["tableName"]] = out_dir
+
+
+def _run_detector(cfg: dict, outputs: dict[str, str], *, new_only: bool) -> None:
+    """CHANGED_RECORDS_DETECTOR / NEW_RECORDS_DETECTOR — timestamp-window
+    scan of a monitored table, then the configured after-action per detected
+    record (reference ``ChangedRecordsDetectorSearchParams.java:32-77`` and
+    the ``afterEtlActionType`` performer hook): the detected rows pass
+    through an optional ``actionPerformer`` batch callable (the reference
+    loads an action class by name and calls it per record; here it is one
+    vectorized call per Arrow batch), then export to ``outDir``."""
+    from ..stages.detectors import classify_new_changed, detect_changed_records
+    from .export import export_files
+
+    for item in cfg["etlConfiguration"]:
+        src = item["srcConf"]
+        ds = read_table(src["sfDir"], src["tableName"],
+                        columns=src.get("columns"))
+        since = pd.Timestamp(src["since"])
+        until = pd.Timestamp(src["until"]) if src.get("until") else None
+        created = src.get("createdColumn")
+        changed = src.get("changedColumn")
+        if new_only:
+            detected = detect_changed_records(ds, created, since, until=until)
+        elif created and changed:
+            detected = classify_new_changed(ds, created, changed, since)
+            if not src.get("includeNew", True):
+                detected = detected.map_batches(
+                    lambda t: t.filter(pc.equal(t["change_class"], "changed")),
+                    batch_format="pyarrow")
+        else:
+            detected = detect_changed_records(ds, changed, since, until=until)
+        action = item.get("action") or {}
+        if action.get("performer"):
+            detected = detected.map_batches(
+                _resolve_callable(action["performer"]),
+                batch_format="pyarrow")
+        out_dir = src.get("outDir") or os.path.join(
+            "/tmp", "etl_out", f"detected_{src['tableName']}")
+        export_files(detected, out_dir, fmt=action.get("fmt", "parquet"))
         outputs[src["tableName"]] = out_dir
 
 
@@ -326,10 +540,20 @@ def run_config(cfg: dict | str, _seen: frozenset = frozenset()) -> dict[str, str
     elif ptype in ("DB_QUICK_MERGE_WITH_DATABASE_GENERATION",
                    "DB_QUICK_MERGE_WITH_ENTITY_GENERATION", "DB_QUICK_MERGE"):
         _run_quick_merge(cfg, outputs)
+    elif ptype in ("LOAD", "QUICK_LOAD", "DB_QUICK_LOAD"):
+        _run_load(cfg, outputs)
+    elif ptype == "DB_MERGE_FROM_JSON":
+        _run_merge_from_json(cfg, outputs)
+    elif ptype == "RESOLVE_CONFLICTS_IN_STAGE_AREA":
+        _run_resolve_conflicts(cfg, outputs)
     elif ptype == "DETECT_GAPES_ON_DB_TABLES":
         _run_detect_gaps(cfg, outputs)
     elif ptype == "DB_INCONSISTENCY_CHECK":
         _run_inconsistency_check(cfg, outputs)
+    elif ptype in ("CHANGED_RECORDS_DETECTOR", "DETECT_CHANGED_RECORDS"):
+        _run_detector(cfg, outputs, new_only=False)
+    elif ptype in ("NEW_RECORDS_DETECTOR", "DETECT_NEW_RECORDS"):
+        _run_detector(cfg, outputs, new_only=True)
     elif ptype in ("DATA_RECONCILIATION", "DETECT_MISSING_RECORDS"):
         _run_reconciliation(cfg, outputs)
     elif ptype in ("SOURCE_SYNC", "DATABASE_MERGE_FROM_SOURCE_DB"):

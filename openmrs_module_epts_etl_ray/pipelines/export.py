@@ -99,10 +99,13 @@ class _DumpWriter:
     def __init__(self, out_dir: str, table_name: str):
         self.out_dir = out_dir
         self.table_name = table_name
+        self._seq: dict[str, int] = {}
         os.makedirs(out_dir, exist_ok=True)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         import hashlib
+
+        import ray
 
         if len(t) == 0:
             return pa.table({"file": pa.array([], pa.string()),
@@ -113,7 +116,19 @@ class _DumpWriter:
             "(" + ", ".join(_sql_literal(r[c]) for c in t.column_names) + ")"
             for r in rows)
         sql = f"INSERT INTO {self.table_name} ({cols}) VALUES\n{values};\n"
-        fname = f"dump-{hashlib.sha256(sql.encode()).hexdigest()[:16]}.sql"
+        # file name = (task id, per-task batch seq, content hash): a retried
+        # task replays the same batches under the same task id, so true
+        # retries still dedup to one file, while two DISTINCT blocks that
+        # happen to render identical SQL (duplicate data split identically)
+        # no longer collapse to one file
+        try:
+            tid = ray.get_runtime_context().get_task_id() or "driver"
+        except Exception:
+            tid = "driver"
+        seq = self._seq.get(tid, 0)
+        self._seq[tid] = seq + 1
+        digest = hashlib.sha256(sql.encode()).hexdigest()[:16]
+        fname = f"dump-{tid[:12]}-{seq}-{digest}.sql"
         path = os.path.join(self.out_dir, fname)
         tmp = path + ".tmp"
         with open(tmp, "w") as fh:

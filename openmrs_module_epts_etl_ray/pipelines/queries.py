@@ -397,6 +397,91 @@ def q_quick_merge_customers(sf_dir: str):
     return read_lake(lake).select_columns(["id", "name", "acctbal"])
 
 
+def q_config_join_extract(sf_dir: str):
+    """Config-vocabulary extract: ``selfJoinTables`` (multiplicity-preserving
+    join into the extract) + ``extraTableDataSource`` (one-row-per-key lookup
+    attach) compiled from the reference's JSON shape
+    (``pipelines/config.py::compile_extract``; reference
+    ``EtlDatabaseObjectSearchParams.java:44-91``, ``conf/SrcConf.java:22-28``)."""
+    from .config import compile_extract
+
+    src = {
+        "sfDir": sf_dir,
+        "tableName": "orders",
+        "columns": ["o_orderkey", "o_custkey", "o_totalprice"],
+        "extraConditionForExtract": "o_totalprice > 400000",
+        "selfJoinTables": [{
+            "tableName": "customer",
+            "joinType": "inner",
+            "columns": ["c_custkey", "c_name", "c_nationkey"],
+            "joinFields": [{"srcField": "o_custkey", "dstField": "c_custkey"}],
+        }],
+        "extraTableDataSource": [{
+            "tableName": "nation",
+            "required": False,
+            "columns": ["n_name"],
+            "joinFields": [{"srcField": "c_nationkey", "dstField": "n_nationkey"}],
+        }],
+    }
+    out = compile_extract(src)
+    # the join folds the aux key into the src key column (o_custkey ==
+    # c_custkey by the join predicate), mirroring SQL USING semantics
+    return out.map_batches(
+        lambda t: t.select(["o_orderkey", "o_custkey", "o_totalprice",
+                            "c_name", "c_nationkey", "n_name"]),
+        batch_format="pyarrow")
+
+
+def q_load_merge_from_json(sf_dir: str):
+    """§3.2 file-based sync lifecycle driven ENTIRELY by process configs:
+    DB_QUICK_EXPORT (json files) → DB_QUICK_LOAD (stage area) →
+    DB_MERGE_FROM_JSON (unique-key merge into the lake), reference
+    ``DataLoadProcessor.java:29-48`` → ``MergingRecord.java:44-117``.
+    A second export with newer LSNs merges over the first (LWW)."""
+    from .config import run_config
+    from .export import export_files
+
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_name", "c_mktsegment"])
+    base_dir = _scratch("lm_export_base")
+    upd_dir = _scratch("lm_export_upd")
+    export_files(cust, base_dir, fmt="json")
+
+    def updated(t: pa.Table) -> pa.Table:
+        m = pc.equal(pc.subtract(
+            t["c_custkey"],
+            pc.multiply(pc.divide(t["c_custkey"], 4), 4)), 1)
+        u = t.filter(m)
+        return pa.table({
+            "c_custkey": u["c_custkey"], "c_name": u["c_name"],
+            "c_mktsegment": pa.array(["UPDATED"] * len(u)),
+        })
+
+    export_files(cust.map_batches(updated, batch_format="pyarrow"),
+                 upd_dir, fmt="json")
+
+    stage = _scratch("lm_stage")
+    lake = _scratch("lm_lake")
+    # base export merges straight from the import dir; the update export
+    # goes through the explicit LOAD (stage) step first — both config paths
+    run_config({"processType": "DB_MERGE_FROM_JSON", "etlConfiguration": [{
+        "srcConf": {"importDir": base_dir, "format": "json", "lsn": 0},
+        "dstConf": [{"lakeRoot": lake, "keyCols": ["c_custkey"],
+                     "uniqueKeys": [["c_custkey"]], "numBuckets": 16}],
+    }]})
+    run_config({"processType": "DB_QUICK_LOAD", "etlConfiguration": [{
+        "srcConf": {"importDir": upd_dir, "format": "json"},
+        "dstConf": [{"stageDir": stage}],
+    }]})
+    run_config({"processType": "DB_MERGE_FROM_JSON", "etlConfiguration": [{
+        "srcConf": {"stageDir": stage, "lsn": 1},
+        "dstConf": [{"lakeRoot": lake, "keyCols": ["c_custkey"],
+                     "uniqueKeys": [["c_custkey"]], "numBuckets": 16}],
+    }]})
+    return read_lake(lake).select_columns(
+        ["c_custkey", "c_name", "c_mktsegment"])
+
+
 def q_export_roundtrip(sf_dir: str):
     """File sink + load (S5/S6 + S2): customer → CSV shards → read back."""
     from .export import export_files, read_export
@@ -856,18 +941,16 @@ def q_range_join_clicks_after_signup(sf_dir: str):
     clicks = filter_expr(ev, lambda t: pc.equal(t["event_type"], "click"))         .map_batches(lambda t: pa.table({
             "click_id": t["event_id"], "user_id": t["user_id"], "ts": t["ts"]}),
             batch_format="pyarrow")
-    pairs = range_join(signups, clicks, by="user_id", on="ts",
-                       lo_offset="0s", hi_offset="7D")
-
-    # per-block rollup is FINAL with no extra shuffle: range_join cogroups
-    # by user, so every signup's matches live in exactly one output block
-    # (batch_size=None = whole block; a Ray groupby here costs a full
-    # sort exchange just to count 1-bucket-local rows)
+    # rollup INSIDE the cogroup bucket (bucket_post): a signup's matches are
+    # guaranteed co-resident there, whereas downstream blocks may split one
+    # bucket's output at target_max_block_size — a per-block rollup would
+    # then emit duplicate signup_id rows with partial counts
     def cnt(df: pd.DataFrame) -> pd.DataFrame:
         out = df.groupby("signup_id", as_index=False).size()
         return out.rename(columns={"size": "n_clicks"})
 
-    return pairs.map_batches(cnt, batch_format="pandas", batch_size=None)
+    return range_join(signups, clicks, by="user_id", on="ts",
+                      lo_offset="0s", hi_offset="7D", bucket_post=cnt)
 
 
 def q_windowed_aggregate(sf_dir: str):
@@ -1014,6 +1097,8 @@ QUERIES = {
     "lookup_datasource_required": q_lookup_datasource_required,
     "lookup_query_datasource": q_lookup_query_datasource,
     "id_collision_repoint": q_id_collision_repoint,
+    "config_join_extract": q_config_join_extract,
+    "load_merge_from_json": q_load_merge_from_json,
     "value_percentiles": q_value_percentiles,
     "value_percentiles_approx": q_value_percentiles_approx,
     "hash_split": q_hash_split,
@@ -1110,7 +1195,10 @@ GROUP BY 1, 2
 """,
     "id_collision_repoint": """
 WITH ex AS (SELECT c_custkey AS id, c_name AS uuid FROM customer),
-mx AS (SELECT MAX(id) AS m FROM ex),
+mx AS (SELECT MAX(id) AS m FROM (
+    SELECT id FROM ex
+    UNION ALL SELECT id FROM ex WHERE id % 7 = 0
+    UNION ALL SELECT id + 3000000 FROM ex WHERE id % 11 = 0 AND id % 7 <> 0)),
 idc AS (SELECT id, uuid, row_number() OVER (ORDER BY id) AS rn
         FROM ex WHERE id % 7 = 0),
 keep AS (SELECT id, uuid FROM ex WHERE id % 7 <> 0 AND id % 11 <> 0)
@@ -1157,6 +1245,20 @@ JOIN customer c ON c.c_custkey = o.o_custkey AND c.c_custkey % 3 <> 0
 """,
     "export_roundtrip": """
 SELECT c_custkey, c_name, c_mktsegment FROM customer
+""",
+    "config_join_extract": """
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+       c.c_name, c.c_nationkey, n.n_name
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_totalprice > 400000
+""",
+    "load_merge_from_json": """
+SELECT c_custkey, c_name,
+       CASE WHEN c_custkey % 4 = 1 THEN 'UPDATED' ELSE c_mktsegment END
+         AS c_mktsegment
+FROM customer
 """,
     "asof_last_purchase": """
 WITH c AS (SELECT event_id AS click_id, user_id, ts FROM events

@@ -44,6 +44,25 @@ def _pd_dtypes(schema) -> dict:
     return dict(arrow.empty_table().to_pandas().dtypes)
 
 
+def _zero_masked(df: pd.DataFrame, cols) -> pd.DataFrame:
+    """Zero the data bytes under NA slots of masked extension columns.
+
+    Arrow keeps whatever bytes the masked array's ``_data`` buffer holds
+    under the validity bitmap (pandas leaves garbage there after an
+    astype-from-NaN), while DuckDB's ``.arrow()`` zeroes null slots — a
+    byte-level comparison of otherwise-identical outputs then diverges
+    nondeterministically. Canonical form: data == 0 wherever mask is set.
+    """
+    for name in cols:
+        arr = df[name].array
+        mask = getattr(arr, "_mask", None)
+        if mask is not None and mask.any():
+            data = arr._data.copy()
+            data[mask] = 0
+            df[name] = type(arr)(data, mask.copy())
+    return df
+
+
 def _nullable(dtype) -> object:
     """Nullable pandas extension dtype for a numpy dtype — converts back to
     Arrow with true nulls (never NaN-coerced float64)."""
@@ -115,11 +134,11 @@ def asof_join(
             out = l.copy()
             for name, dt in out_extra_dtypes.items():
                 out[name] = pd.Series(pd.NA, index=out.index, dtype=dt)
-            return out
+            return _zero_masked(out, out_extra_dtypes)
         r = r.sort_values(order, kind="stable")
         merged = pd.merge_asof(l, r, on=on, by=by, direction="backward",
                                suffixes=("", suffix))
-        return merged.astype(out_extra_dtypes)
+        return _zero_masked(merged.astype(out_extra_dtypes), out_extra_dtypes)
 
     return tagged.repartition(num_buckets).groupby(BUCKET_COL).map_groups(
         join_bucket, batch_format="pandas")
@@ -134,6 +153,7 @@ def range_join(
     lo_offset,
     hi_offset,
     num_buckets: int | None = None,
+    bucket_post=None,
 ) -> rd.Dataset:
     """Interval join: pair each left row with every right row of the same
     ``by`` key whose ``on`` lies in ``[left.on + lo_offset, left.on +
@@ -145,6 +165,12 @@ def range_join(
     right rows). When a single key's timeline is dense, band the time axis
     upstream (add a coarse time-bucket to ``by``) so a pair's candidates
     co-locate without the full key history joining against itself.
+
+    ``bucket_post``: optional rollup applied to each bucket's joined pairs
+    INSIDE the cogroup UDF, where a ``by`` key's matches are guaranteed
+    co-resident. A downstream per-block rollup is NOT equivalent: Ray Data
+    splits large map_groups output blocks at target_max_block_size, so one
+    key's pairs can span blocks at scale.
     """
     if num_buckets is None:
         num_buckets = _default_buckets()
@@ -175,11 +201,15 @@ def range_join(
             out[name] = r[c].to_numpy()[ri]
         return out
 
+    def post(out: pd.DataFrame) -> pd.DataFrame:
+        return bucket_post(out) if bucket_post is not None else out
+
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g[_SIDE] == "l"].reindex(columns=left_cols).astype(left_dtypes)
         r = g[g[_SIDE] == "r"].reindex(columns=rt_cols).astype(right_dtypes)
         if len(l) == 0 or len(r) == 0:
-            return l.iloc[0:0].merge(r.iloc[0:0], on=by, suffixes=("", "_right"))
+            return post(
+                l.iloc[0:0].merge(r.iloc[0:0], on=by, suffixes=("", "_right")))
         # fast path: pack (key-code, time) into ONE int64 and emit only the
         # matching pairs via two searchsorteds per left row — the naive
         # merge-then-filter materializes the FULL per-key cross product
@@ -213,13 +243,13 @@ def range_join(
             li = np.repeat(np.arange(len(l)), cnt)
             offs = np.concatenate([[0], np.cumsum(cnt)[:-1]])
             ri = np.repeat(starts, cnt) + (np.arange(total) - np.repeat(offs, cnt))
-            return emit(l, r.iloc[order].reset_index(drop=True), li, ri)
+            return post(emit(l, r.iloc[order].reset_index(drop=True), li, ri))
         # overflow fallback (astronomical key-count x time-span): the exact
         # merge-then-filter
         m = l.merge(r, on=by, suffixes=("", "_right"))
         t0 = m[on]
         t1 = m[f"{on}_right"]
-        return m[(t1 >= t0 + lo) & (t1 <= t0 + hi)]
+        return post(m[(t1 >= t0 + lo) & (t1 <= t0 + hi)])
 
     return tagged.repartition(num_buckets).groupby(BUCKET_COL).map_groups(
         join_bucket, batch_format="pandas")

@@ -37,9 +37,12 @@ def resolve_id_collisions(
     (possibly contested) id, matching the reference's insert-after-move."""
     ex = existing.to_pandas()
     inc = incoming.to_pandas()
-    # free ids probe the DESTINATION (existing) table only, matching the
-    # reference's DatabaseObjectDAO.getAvaliableObjectId against the dst DB
-    max_id = int(ex[id_col].max())
+    # free ids must clear BOTH sides: the reference's
+    # DatabaseObjectDAO.getAvaliableObjectId probes the dst DB per record,
+    # re-checking after every insert; this batch form assigns all moves up
+    # front, so an incoming id above max(existing) would collide with a
+    # relocated row unless the union max is used
+    max_id = int(max(ex[id_col].max(), inc[id_col].max()))
 
     inc_ids = set(inc[id_col])
     inc_by_uuid = inc.set_index(uuid_col, drop=False)

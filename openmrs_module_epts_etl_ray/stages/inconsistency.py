@@ -30,10 +30,12 @@ def resolve_inconsistencies(
     fk_col: str,
     parent_key_col: str,
     *,
-    on_missing: str = "drop",  # drop | default | null
+    on_missing: str = "drop",  # drop | default | null | ignore
     default_value=None,
     report_col: str = "_inconsistent",
     audit_dir: str | None = None,
+    condition_field: str | None = None,
+    condition_value=None,
 ) -> rd.Dataset:
     """Repair rows whose ``fk_col`` has no parent. Null FKs are consistent
     (optional relationship). Output carries ``report_col`` marking repaired
@@ -41,7 +43,17 @@ def resolve_inconsistencies(
     offenders; pass ``audit_dir`` to write the dropped rows (with the FK
     column that failed) as the inconsistence_info side channel — without it
     the drop is silent.
+
+    Conditional parents (reference ``conf/RefMapping.java:7-28`` /
+    ``etl/model/LoadRecord.java:230-330``): with ``condition_field`` set, the
+    relationship only BINDS on rows where that column equals
+    ``condition_value`` — other rows are consistent by definition and pass
+    through untouched. ``on_missing='ignore'`` is the reference's
+    ``ignorable`` flag: a missing parent nulls the FK instead of dropping
+    the row (alias of ``'null'``, kept as the config-facing name).
     """
+    if on_missing == "ignore":
+        on_missing = "null"
     if on_missing not in ("drop", "default", "null"):
         raise ValueError(f"on_missing={on_missing!r}")
     # distinct-reduce the parent keys DISTRIBUTED, ship only the key set
@@ -57,6 +69,14 @@ def resolve_inconsistencies(
             ok = pc.or_kleene(pc.is_in(fk, value_set=keys), pc.is_null(fk))
             ok = pc.fill_null(ok, False)
             bad = pc.invert(ok)
+            if condition_field is not None:
+                # gated relationship: rows where the condition doesn't hold
+                # are consistent regardless of the FK value
+                applies = pc.fill_null(
+                    pc.equal(t[condition_field], pa.scalar(condition_value)),
+                    False)
+                bad = pc.and_(bad, applies)
+                ok = pc.invert(bad)
             if on_missing == "drop":
                 if audit_dir:
                     import hashlib

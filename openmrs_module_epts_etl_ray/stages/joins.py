@@ -27,8 +27,19 @@ import ray.data as rd
 
 from ..functions.hashing import KEY_SEP
 
-DEFAULT_NUM_PARTITIONS = 32
 BROADCAST_THRESHOLD = 2_000_000  # rows; ~key-set sizes that fit in task heap
+
+
+def _default_partitions() -> int:
+    """Join partitions sized to the cluster: Ray 2.49's hash-join schedules
+    ``num_partitions`` aggregator actors up front, and a count above the
+    CPUs available DEADLOCKS the join (observed: 32 partitions on a 4-CPU
+    session never completes). Scale-out note: on a multi-node cluster this
+    returns total cluster CPUs, which also bounds per-partition size."""
+    try:
+        return max(2, int(ray.cluster_resources().get("CPU", 4)))
+    except Exception:
+        return 4
 
 
 def _key_array(t: pa.Table, keys: list[str]) -> pa.Array | pa.ChunkedArray:
@@ -72,7 +83,7 @@ class _MembershipFilter:
 
 
 def semi_join(left: rd.Dataset, right: rd.Dataset, keys: list[str],
-              *, num_partitions: int = DEFAULT_NUM_PARTITIONS,
+              *, num_partitions: int | None = None,
               broadcast: bool | None = None) -> rd.Dataset:
     """left rows whose key EXISTS in right (J7, ``EtlDatabaseObjectSearchParams.java:166-190``)."""
     return _membership_join(left, right, keys, keep_members=True,
@@ -80,7 +91,7 @@ def semi_join(left: rd.Dataset, right: rd.Dataset, keys: list[str],
 
 
 def anti_join(left: rd.Dataset, right: rd.Dataset, keys: list[str],
-              *, num_partitions: int = DEFAULT_NUM_PARTITIONS,
+              *, num_partitions: int | None = None,
               broadcast: bool | None = None) -> rd.Dataset:
     """left rows whose key does NOT exist in right (J6/J8 — the reference's
     NOT EXISTS destination-exclusion / missing-records detector)."""
@@ -103,18 +114,21 @@ def _membership_join(left, right, keys, *, keep_members, num_partitions, broadca
         )
     join_type = "left_semi" if keep_members else "left_anti"
     return left.join(right.select_columns(keys), join_type=join_type,
-                     num_partitions=num_partitions, on=tuple(keys))
+                     num_partitions=num_partitions or _default_partitions(),
+                     on=tuple(keys))
 
 
 def inner_join(left: rd.Dataset, right: rd.Dataset, keys: list[str],
-               *, num_partitions: int = DEFAULT_NUM_PARTITIONS, **kw) -> rd.Dataset:
+               *, num_partitions: int | None = None, **kw) -> rd.Dataset:
     """J1/J2 required-datasource lookup = inner join (shuffled, hash-partitioned)."""
-    return left.join(right, join_type="inner", num_partitions=num_partitions,
+    return left.join(right, join_type="inner",
+                     num_partitions=num_partitions or _default_partitions(),
                      on=tuple(keys), **kw)
 
 
 def left_join(left: rd.Dataset, right: rd.Dataset, keys: list[str],
-              *, num_partitions: int = DEFAULT_NUM_PARTITIONS, **kw) -> rd.Dataset:
+              *, num_partitions: int | None = None, **kw) -> rd.Dataset:
     """J2/J3 optional-datasource lookup: unmatched rows null-backfilled."""
-    return left.join(right, join_type="left_outer", num_partitions=num_partitions,
+    return left.join(right, join_type="left_outer",
+                     num_partitions=num_partitions or _default_partitions(),
                      on=tuple(keys), **kw)

@@ -23,6 +23,34 @@ import ray
 import ray.data as rd
 
 
+def _dedup_first(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+    """One row per key, deterministically: the lexicographic-min row over the
+    non-key columns wins. Path-independent — broadcast probe and shuffle join
+    must emit IDENTICAL rows, so 'first in driver-collect order' (which the
+    shuffle path cannot see) is not a usable rule. Null keys never match
+    (pandas merge would join NaN==NaN, unlike SQL)."""
+    df = df.dropna(subset=keys)
+    order = keys + [c for c in df.columns if c not in keys]
+    try:
+        df = df.sort_values(order, kind="stable")
+    except TypeError:  # unorderable payload column: key order alone
+        df = df.sort_values(keys, kind="stable")
+    return df.drop_duplicates(subset=keys, keep="first")
+
+
+def _dedup_lookup_ds(lookup: rd.Dataset, keys: list[str]) -> rd.Dataset:
+    """Distributed form of :func:`_dedup_first`: per-block partial dedup
+    (shrinks the exchange), then a grouped final dedup. Same winner rule."""
+    partial = lookup.map_batches(lambda df: _dedup_first(df, keys),
+                                 batch_format="pandas")
+    deduped = partial.groupby(keys).map_groups(
+        lambda df: _dedup_first(df, keys), batch_format="pandas")
+    # materialize: chaining a groupby directly into Dataset.join builds one
+    # iterative plan that Ray 2.49 can mis-resolve/hang (see SCALE.md); the
+    # deduped lookup is the join's build side and is re-read anyway
+    return deduped.materialize()
+
+
 def datasource_lookup(
     ds: rd.Dataset,
     lookup: rd.Dataset,
@@ -47,6 +75,9 @@ def datasource_lookup(
         cols = (l_keys + [c for c in columns if c not in l_keys]
                 if columns is not None else None)
         rhs = lookup.select_columns(cols) if cols else lookup
+        # same one-row-per-key contract as the broadcast path: a lookup with
+        # duplicate keys must NOT fan out source rows past the size threshold
+        rhs = _dedup_lookup_ds(rhs, l_keys)
         if l_keys == s_keys_:
             join = inner_join if required else left_join
             return join(ds, rhs, s_keys_)
@@ -60,9 +91,9 @@ def datasource_lookup(
     lk = lookup.to_pandas()
     if columns is not None:
         lk = lk[l_keys + [c for c in columns if c not in l_keys]]
-    # one row per key (the reference takes the first matching row); null
-    # keys never match (pandas merge would join NaN==NaN, unlike SQL)
-    lk = lk.dropna(subset=l_keys).drop_duplicates(subset=l_keys, keep="first")
+    # one row per key (the reference takes the first matching row), with the
+    # same deterministic winner rule as the shuffle path
+    lk = _dedup_first(lk, l_keys)
     ref = ray.put(lk)
     s_keys = [sf for sf, _ in join_fields]
 
@@ -121,7 +152,8 @@ def remap_fk(
         # shuffle path: mapping at fact-table scale is never driver-collected
         from .joins import left_join
 
-        rhs = mapping.select_columns([old_col, new_col])
+        rhs = _dedup_lookup_ds(
+            mapping.select_columns([old_col, new_col]), [old_col])
         joined = left_join(ds, rhs, [fk_col], right_on=(old_col,))
 
         def fold(df: pd.DataFrame) -> pd.DataFrame:
@@ -131,8 +163,7 @@ def remap_fk(
 
         return joined.map_batches(fold, batch_format="pandas")
 
-    mp = mapping.to_pandas()[[old_col, new_col]].dropna(subset=[old_col])
-    mp = mp.drop_duplicates(subset=[old_col], keep="first")
+    mp = _dedup_first(mapping.to_pandas()[[old_col, new_col]], [old_col])
     lut = dict(zip(mp[old_col], mp[new_col]))
     ref = ray.put(lut)
 

@@ -92,6 +92,22 @@ def merge_bucket_state(
     pandas; bucket-sized inputs only.
     """
     key_cols = list(key_cols)
+
+    def enforce_unique_keys(df: pd.DataFrame) -> pd.DataFrame:
+        # highest-LSN row survives per uk group. Re-sort by lsn at the TOP of
+        # every iteration: the keyed/null-key concat below reorders rows, so
+        # without it the second uk group's keep='last' could keep a lower-LSN
+        # sibling.
+        for uk in policy.unique_keys:
+            uk = [c for c in uk]
+            if not all(c in df.columns for c in uk):
+                continue
+            df = df.sort_values("lsn", kind="stable")
+            keyed_mask = df[uk].notna().all(axis=1)  # null uk never binds
+            keyed = df[keyed_mask].drop_duplicates(subset=uk, keep="last")
+            df = pd.concat([keyed, df[~keyed_mask]])
+        return df
+
     wdf = winners.to_pandas()
     is_delete = (wdf["op"] == "delete").to_numpy()
     wdf = wdf.drop(columns=["op"])
@@ -105,14 +121,7 @@ def merge_bucket_state(
             # highest-LSN one (a DB would reject the second insert and the
             # reference would merge onto the first)
             before = len(wdf)
-            wdf = wdf.sort_values("lsn", kind="stable")
-            for uk in policy.unique_keys:
-                uk = [c for c in uk]
-                if all(c in wdf.columns for c in uk):
-                    keyed = wdf[wdf[uk].notna().all(axis=1)]
-                    nullk = wdf[~wdf[uk].notna().all(axis=1)]
-                    keyed = keyed.drop_duplicates(subset=uk, keep="last")
-                    wdf = pd.concat([keyed, nullk])
+            wdf = enforce_unique_keys(wdf)
             lost = before - len(wdf)
             is_delete = wdf[DELETED_COL].to_numpy()
         stats = {
@@ -191,13 +200,7 @@ def merge_bucket_state(
         before = len(applied)
         applied = applied.sort_values("lsn", kind="stable") \
                          .drop_duplicates(subset=key_cols, keep="last")
-        for uk in policy.unique_keys:
-            uk = [c for c in uk]
-            if all(c in applied.columns for c in uk):
-                keyed = applied[applied[uk].notna().all(axis=1)]
-                nullk = applied[~applied[uk].notna().all(axis=1)]
-                keyed = keyed.drop_duplicates(subset=uk, keep="last")
-                applied = pd.concat([keyed, nullk])
+        applied = enforce_unique_keys(applied)
         lost_to_sibling = before - len(applied)
     applied = applied.drop(columns=["_existing_lsn", "_had_existing"])
     del_applied = applied[DELETED_COL].to_numpy(dtype=bool)

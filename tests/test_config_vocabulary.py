@@ -1,0 +1,171 @@
+"""Round-3 config vocabulary: selfJoinTables / extraTableDataSource in the
+extract compiler, onConflict + winningRecordFieldsInfo, per-field
+``transformer`` in mappings, detector process types with after-actions,
+RESOLVE_CONFLICTS_IN_STAGE_AREA, conditional/ignorable parents (reference
+``EtlDatabaseObjectSearchParams.java:44-91``, ``conf/DstConf.java:66-86``,
+``FieldsMapping.java:66-84``, ``ChangedRecordsDetectorSearchParams.java:32-77``,
+``conf/RefMapping.java:7-28``)."""
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from openmrs_module_epts_etl_ray.pipelines.config import compile_extract, run_config
+
+SF = "/root/testdata/sf0.001"
+
+
+def upper_transformer(arr):
+    # field-level UDF loaded by dotted path from a mapping entry
+    return pc.utf8_upper(arr)
+
+
+def tag_batch(t: pa.Table) -> pa.Table:
+    # afterEtlAction performer: mark every detected row
+    return t.append_column("action", pa.array(["tagged"] * len(t)))
+
+
+def test_compile_extract_self_join_and_table_datasource(ray_session):
+    src = {
+        "sfDir": SF, "tableName": "orders",
+        "columns": ["o_orderkey", "o_custkey"],
+        "selfJoinTables": [{
+            "tableName": "customer", "joinType": "inner",
+            "columns": ["c_custkey", "c_nationkey"],
+            "joinFields": [{"srcField": "o_custkey", "dstField": "c_custkey"}],
+        }],
+        "extraTableDataSource": [{
+            "tableName": "nation", "columns": ["n_name"],
+            "joinFields": [{"srcField": "c_nationkey", "dstField": "n_nationkey"}],
+        }],
+    }
+    got = compile_extract(src).to_pandas()
+    con = duckdb.connect()
+    want = con.sql(f"""
+        SELECT o.o_orderkey, o.o_custkey, c.c_nationkey, n.n_name
+        FROM read_parquet('{SF}/orders.parquet') o
+        JOIN read_parquet('{SF}/customer.parquet') c ON c.c_custkey = o.o_custkey
+        LEFT JOIN read_parquet('{SF}/nation.parquet') n
+          ON n.n_nationkey = c.c_nationkey""").df()
+    got = got.sort_values(["o_orderkey"]).reset_index(drop=True)[want.columns.tolist()]
+    want = want.sort_values(["o_orderkey"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_mapping_field_transformer(ray_session, tmp_path):
+    out = tmp_path / "reg"
+    run_config({"processType": "etl", "etlConfiguration": [{
+        "srcConf": {"tableName": "region", "sfDir": SF},
+        "dstConf": [{"tableName": "r", "outDir": str(out), "mapping": [
+            {"srcField": "r_regionkey", "dstField": "id"},
+            {"srcField": "r_name", "dstField": "name_uc",
+             "transformer": "tests.test_config_vocabulary:upper_transformer"},
+        ]}],
+    }]})
+    got = pq.read_table(str(out)).to_pandas().sort_values("id")
+    assert got["name_uc"].tolist() == [
+        n.upper() for n in
+        pq.read_table(f"{SF}/region.parquet").to_pandas()
+        .sort_values("r_regionkey")["r_name"]]
+
+
+def test_quick_merge_winning_fields_via_config(ray_session, tmp_path):
+    # §2.12 truth table driven from JSON: incoming wins ONLY where the
+    # winning-fields group matches (state='final'), regardless of lsn
+    src_dir = tmp_path / "srctbl"
+    src_dir.mkdir()
+    existing = pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "val": ["old1", "old2"],
+        "state": ["x", "x"],
+        "lsn": pa.array([5, 5], pa.int64()),
+        "op": ["insert", "insert"],
+    })
+    incoming = pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "val": ["new1", "new2"],
+        "state": ["final", "draft"],
+        # above the bootstrap watermark (5) so the exactly-once replay guard
+        # admits both; newer lsn must NOT decide the winner (id=2 stays old)
+        "lsn": pa.array([6, 9], pa.int64()),
+        "op": ["update", "update"],
+    })
+    pq.write_table(incoming, str(src_dir / "incoming.parquet"))
+    lake = str(tmp_path / "lake")
+    from openmrs_module_epts_etl_ray.pipelines.replay import quick_merge, read_lake
+    quick_merge(rd.from_arrow(existing), lake, key_cols=("id",),
+                unique_keys=[["id"]], num_buckets=4).materialize()
+    run_config({"processType": "DB_QUICK_MERGE", "etlConfiguration": [{
+        "srcConf": {"tableName": "incoming", "sfDir": str(src_dir)},
+        "dstConf": [{"lakeRoot": lake, "keyCols": ["id"],
+                     "uniqueKeys": [["id"]], "numBuckets": 4,
+                     "onConflict": "winningFields",
+                     "winningRecordFieldsInfo": [
+                         {"fieldName": "state", "value": "final"}]}],
+    }]})
+    got = read_lake(lake).to_pandas().set_index("id")
+    assert got.loc[1, "val"] == "new1"   # group matched -> incoming wins
+    assert got.loc[2, "val"] == "old2"   # group missed -> existing kept
+
+
+def test_detector_process_with_performer(ray_session, tmp_path):
+    out = tmp_path / "detected"
+    run_config({"processType": "CHANGED_RECORDS_DETECTOR",
+                "etlConfiguration": [{
+        "srcConf": {"tableName": "orders", "sfDir": SF,
+                    "createdColumn": "o_orderdate",
+                    "changedColumn": "o_orderdate",
+                    "since": "1998-06-01", "outDir": str(out)},
+        "action": {"performer": "tests.test_config_vocabulary:tag_batch"},
+    }]})
+    got = pq.read_table(str(out)).to_pandas()
+    con = duckdb.connect()
+    n_want = con.sql(f"""SELECT count(*) FROM
+        read_parquet('{SF}/orders.parquet')
+        WHERE o_orderdate >= TIMESTAMP '1998-06-01'""").fetchone()[0]
+    assert len(got) == n_want > 0
+    assert (got["action"] == "tagged").all()
+    assert set(got["change_class"]) <= {"new", "changed"}
+
+
+def test_resolve_conflicts_in_stage_area_process(ray_session, tmp_path):
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    rows = pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "v": ["a_old", "a_new", "b"],
+        "lsn": pa.array([1, 2, 1], pa.int64()),
+    })
+    pq.write_table(rows, str(stage / "p.parquet"))
+    out = tmp_path / "resolved"
+    run_config({"processType": "RESOLVE_CONFLICTS_IN_STAGE_AREA",
+                "etlConfiguration": [{
+        "srcConf": {"stageDir": str(stage), "keyCols": ["k"],
+                    "outDir": str(out)}}]})
+    got = pq.read_table(str(out)).to_pandas().sort_values("k")
+    assert got["v"].tolist() == ["a_new", "b"]
+
+
+def test_conditional_parent_gating(ray_session):
+    from openmrs_module_epts_etl_ray.stages.inconsistency import (
+        resolve_inconsistencies,
+    )
+
+    rows = rd.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "fk": pa.array([99, 99, 1], pa.int64()),   # 99 has no parent
+        "kind": ["gated", "other", "gated"],
+    }))
+    parents = rd.from_arrow(pa.table({"pk": pa.array([1, 2], pa.int64())}))
+    # relationship binds only where kind == 'gated'; missing parent -> null
+    # (the reference's ignorable flag)
+    got = resolve_inconsistencies(
+        rows, parents, "fk", "pk", on_missing="ignore",
+        condition_field="kind", condition_value="gated",
+    ).to_pandas().sort_values("id")
+    assert got["fk"].tolist()[0] is None or pd.isna(got["fk"].tolist()[0])
+    assert got["fk"].tolist()[1] == 99      # unmatched condition: untouched
+    assert got["fk"].tolist()[2] == 1
+    assert got["_inconsistent"].tolist() == [True, False, False]

@@ -79,11 +79,14 @@ def test_id_collision_repoints_children(ray_session):
     merged, remap = resolve_id_collisions(existing, incoming,
                                           id_col="id", uuid_col="uuid")
     got = merged.to_pandas().sort_values("id").reset_index(drop=True)
-    # existing id 1 moved to max(3)+1 = 4; u3's old row (id 3) dropped
+    # existing id 1 moved past BOTH sides' ids: max(existing ∪ incoming)=30,
+    # so it lands on 31 (max(existing)+1 = 4 would be free, but the rule must
+    # clear incoming ids too — an incoming id above max(existing) would
+    # otherwise collide with a relocated row); u3's old row (id 3) dropped
     assert list(zip(got["id"], got["uuid"])) == [
-        (1, "u1x"), (2, "u2"), (4, "u1"), (30, "u3")]
+        (1, "u1x"), (2, "u2"), (30, "u3"), (31, "u1")]
     rm = remap.to_pandas().sort_values("old_id")
-    assert list(zip(rm["old_id"], rm["new_id"])) == [(1, 4), (3, 30)]
+    assert list(zip(rm["old_id"], rm["new_id"])) == [(1, 31), (3, 30)]
 
     children = rd.from_arrow(pa.table({
         "child_id": pa.array([10, 11, 12], pa.int64()),
@@ -91,4 +94,71 @@ def test_id_collision_repoints_children(ray_session):
     fixed = remap_fk(children, remap, "parent_id",
                      old_col="old_id", new_col="new_id",
                      on_missing="keep").to_pandas().sort_values("child_id")
-    assert fixed["parent_id"].tolist() == [4, 30, 2]
+    assert fixed["parent_id"].tolist() == [31, 30, 2]
+
+
+def test_id_collision_free_ids_clear_incoming_ids(ray_session):
+    # regression: incoming id above max(existing) must not be handed out as
+    # a "free" id for a relocated row (existing {1,2,3}, incoming {1, 4})
+    existing = rd.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "uuid": ["u1", "u2", "u3"]}))
+    incoming = rd.from_arrow(pa.table({
+        "id": pa.array([1, 4], pa.int64()),
+        "uuid": ["u1x", "u4"]}))
+    merged, remap = resolve_id_collisions(existing, incoming,
+                                          id_col="id", uuid_col="uuid")
+    got = merged.to_pandas()
+    assert got["id"].is_unique
+    rm = remap.to_pandas()
+    assert list(zip(rm["old_id"], rm["new_id"])) == [(1, 5)]
+
+
+def test_lookup_dup_keys_same_rows_broadcast_vs_shuffle(ray_session, monkeypatch):
+    # a lookup with duplicate keys must emit IDENTICAL rows on the broadcast
+    # and the shuffle path (one deterministic winner per key on both)
+    from openmrs_module_epts_etl_ray.stages import joins, lookup
+
+    src = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "v": ["a", "b", "c", "d"]}))
+    lk = rd.from_arrow(pa.table({
+        "lk_k": pa.array([1, 1, 2, 2, 3], pa.int64()),
+        "name": ["z1", "a1", "b2", "b2x", "c3"]}))
+
+    def run():
+        out = lookup.datasource_lookup(src, lk, [("k", "lk_k")],
+                                       columns=["name"])
+        return (out.to_pandas().sort_values(["k"]).reset_index(drop=True)
+                [["k", "v", "name"]])
+
+    bcast = run()
+    monkeypatch.setattr(joins, "BROADCAST_THRESHOLD", 0)
+    shuf = run()
+    pd.testing.assert_frame_equal(bcast, shuf)
+    # deterministic winner = lexicographic-min non-key row
+    assert bcast.loc[bcast["k"] == 1, "name"].item() == "a1"
+    assert bcast.loc[bcast["k"] == 2, "name"].item() == "b2"
+
+
+def test_remap_fk_dup_mapping_same_rows_broadcast_vs_shuffle(ray_session, monkeypatch):
+    from openmrs_module_epts_etl_ray.stages import joins, lookup
+
+    rows = rd.from_arrow(pa.table({
+        "child": pa.array([10, 11], pa.int64()),
+        "fk": pa.array([1, 9], pa.int64())}))
+    mapping = rd.from_arrow(pa.table({
+        "old": pa.array([1, 1], pa.int64()),
+        "new": pa.array([7, 5], pa.int64())}))
+
+    def run():
+        out = lookup.remap_fk(rows, mapping, "fk", old_col="old",
+                              new_col="new", on_missing="keep")
+        return out.to_pandas().sort_values("child").reset_index(drop=True)
+
+    bcast = run()
+    monkeypatch.setattr(joins, "BROADCAST_THRESHOLD", 0)
+    shuf = run()
+    pd.testing.assert_frame_equal(
+        bcast.astype({"fk": "int64"}), shuf.astype({"fk": "int64"}))
+    assert bcast["fk"].tolist() == [5, 9]  # min new_col wins, miss keeps

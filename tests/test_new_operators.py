@@ -51,7 +51,9 @@ def test_datasource_lookup_required_and_optional():
     opt = datasource_lookup(src, lk, [("k", "lk_k")]).to_pandas()
     assert len(opt) == 3
     assert opt.loc[opt["k"] == 2, "name"].isna().all()
-    assert (opt.loc[opt["k"] == 3, "name"] == "three").all()  # first match wins
+    # deterministic winner per key: lexicographic-min non-key row (the rule
+    # is path-independent — broadcast and shuffle joins must emit the same)
+    assert (opt.loc[opt["k"] == 3, "name"] == "dup-ignored").all()
 
     req = datasource_lookup(src, lk, [("k", "lk_k")], required=True).to_pandas()
     assert sorted(req["k"]) == [1, 3]
