@@ -1075,10 +1075,26 @@ def q_ann_ivf_topk(sf_dir: str):
 
 
 def q_media_features(sf_dir: str):
-    media = multimodal.synthesize_media(200)
+    """Multimodal decode with a DuckDB-checkable oracle: payloads derive
+    deterministically from documents.doc_id with constant content, so the
+    decoded stat (image mean-R / audio RMS) and payload length are exact
+    closed forms of the id (stages/multimodal.py::media_from_ids)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id"],
+                      override_num_blocks=16)
+    media = multimodal.media_from_ids(docs)
     feats = multimodal.decode_features(media)
-    return feats.map_batches(
-        lambda df: df[["media_id", "kind", "payload_bytes"]], batch_format="pandas")
+
+    def out(df: pd.DataFrame) -> pd.DataFrame:
+        stat = (np.stack(df["feature"].to_numpy())[:, 2]
+                if len(df) else np.array([], dtype=np.float64))
+        return pd.DataFrame({
+            "media_id": df["media_id"].to_numpy(),
+            "kind": df["kind"].to_numpy(),
+            "payload_bytes": df["payload_bytes"].to_numpy(),
+            "stat": stat,
+        })
+
+    return feats.map_batches(out, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -1259,6 +1275,17 @@ SELECT c_custkey, c_name,
        CASE WHEN c_custkey % 4 = 1 THEN 'UPDATED' ELSE c_mktsegment END
          AS c_mktsegment
 FROM customer
+""",
+    "media_features": """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 <> 0 THEN 'image' ELSE 'audio' END AS kind,
+       CAST(CASE WHEN doc_id % 3 <> 0
+                 THEN 13 + (16 + (doc_id % 4) * 8) * 16 * 3
+                 ELSE 44 + (400 + (doc_id % 100) * 8) * 2 END AS BIGINT)
+         AS payload_bytes,
+       CAST(CASE WHEN doc_id % 3 <> 0 THEN doc_id % 256
+                 ELSE (doc_id % 100) * 10 END AS DOUBLE) AS stat
+FROM documents
 """,
     "asof_last_purchase": """
 WITH c AS (SELECT event_id AS click_id, user_id, ts FROM events

@@ -18,7 +18,6 @@ LSN playing the role of the monotone ``observationDateFields`` ordering.
 """
 from __future__ import annotations
 
-import hashlib
 import os
 
 import numpy as np
@@ -71,7 +70,16 @@ def _doc_events_batch(batch: pa.Table) -> pa.Table:
     lang_out = lg.astype(object)
     lang_out[is_delete] = None
 
-    commit = [hashlib.sha256(f"c{x}".encode()).hexdigest()[:40] for x in lsn]
+    # commit = sha256('c' || lsn)[:40], hashed buffer-direct through the
+    # shared Arrow kernel (the old per-row hashlib list comp was the last
+    # Python-per-row loop on the flagship input path)
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import sha256_hex
+
+    commit_src = pa.array(np.char.add("c", lsn.astype(str)).astype(object),
+                          type=pa.string())
+    commit = pc.utf8_slice_codeunits(sha256_hex(commit_src), 0, 40)
 
     return pa.table(
         {
@@ -79,7 +87,7 @@ def _doc_events_batch(batch: pa.Table) -> pa.Table:
             "op": pa.array(op.astype(object), type=pa.string()),
             "repo": pa.array(np.char.add("r", (d % 97).astype(str)).astype(object), type=pa.string()),
             "path": pa.array(np.char.add("f/", d.astype(str)).astype(object), type=pa.string()),
-            "commit": pa.array(commit, type=pa.string()),
+            "commit": commit,
             "lang": pa.array(lang_out, type=pa.string()),
             "content": pa.array(content, type=pa.string()),
         }

@@ -58,10 +58,14 @@ def exact_dedup(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") 
     # vectorized (one Python call per sha costs more than the dedup itself)
     n_coarse = 4 * _par()
 
-    def add_coarse(df: pd.DataFrame) -> pd.DataFrame:
-        # vectorized SipHash of the sha string (the old per-row int(x, 16)
-        # hex parse was a Python loop over every row)
+    def partial_min(df: pd.DataFrame) -> pd.DataFrame:
+        # per-block pre-reduce (the PartialLww pattern): only one (sha,
+        # min-id) partial per block enters the exchange — and NO repartition
+        # before the groupby, whose shuffle is the one exchange this
+        # operator pays (an extra repartition cost more than it saved:
+        # r2 bench regression 0.55s -> 1.41s)
         from pandas.util import hash_pandas_object
+        df = df.sort_values(id_col).drop_duplicates("content_sha", keep="first")
         h = hash_pandas_object(df["content_sha"], index=False).to_numpy()
         return df.assign(_coarse=(h % np.uint64(n_coarse)).astype(np.int64))
 
@@ -69,8 +73,8 @@ def exact_dedup(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") 
         out = g.sort_values(id_col).drop_duplicates("content_sha", keep="first")
         return out.drop(columns=["_coarse"])[[id_col, "content_sha"]]
 
-    return hashed.map_batches(add_coarse, batch_format="pandas") \
-        .repartition(_par()).groupby("_coarse").map_groups(min_per_sha, batch_format="pandas")
+    return hashed.map_batches(partial_min, batch_format="pandas") \
+        .groupby("_coarse").map_groups(min_per_sha, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -410,12 +414,28 @@ def _empty_pairs(extra: dict | None = None) -> pd.DataFrame:
 
 
 def _distinct_pairs(cand: rd.Dataset) -> rd.Dataset:
-    """Distinct (id_a, id_b): per-block pre-dedup, coalesce, then the final
-    groupby over the (tiny) surviving pairs."""
-    pre = cand.map_batches(
-        lambda df: df.drop_duplicates(["id_a", "id_b"]), batch_format="pandas")
-    return pre.repartition(max(2, _par() // 4)).groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    """Distinct (id_a, id_b) in ONE exchange: per-block pre-dedup, then a
+    groupby on a COARSE pair-hash bucket with a vectorized drop_duplicates
+    per group. Grouping on the raw pair key would invoke Python once per
+    unique pair (the map_groups-call-overhead trap), and the previous
+    repartition + pair-key groupby paid two exchanges for tiny rows."""
+    n_coarse = 4 * _par()
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["id_a", "id_b"])
+        with np.errstate(over="ignore"):
+            k = df["id_a"].to_numpy().astype(np.uint64) * FNV_PRIME \
+                + df["id_b"].to_numpy().astype(np.uint64)
+            k ^= k >> np.uint64(33)               # fmix64-style mixer
+            k *= np.uint64(0xFF51AFD7ED558CCD)
+            k ^= k >> np.uint64(33)
+        return df.assign(_pc=(k % np.uint64(n_coarse)).astype(np.int64))
+
+    def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["id_a", "id_b"]).drop(columns=["_pc"])
+
+    return cand.map_batches(pre, batch_format="pandas") \
+        .groupby("_pc").map_groups(dedup_group, batch_format="pandas")
 
 
 def _bucket_pairs(ds: rd.Dataset, fine_keys: list[str], id_col: str,
@@ -482,8 +502,10 @@ def _bucket_pairs(ds: rd.Dataset, fine_keys: list[str], id_col: str,
             return pair_fn(None)
         return pd.concat(frames, ignore_index=True)
 
+    # no repartition before the groupby: the groupby's own sort-shuffle is
+    # the one exchange this stage pays (a prior repartition doubled it)
     bucketed = ds.map_batches(add_coarse, batch_format="pandas")
-    return bucketed.repartition(_par()).groupby("_coarse").map_groups(
+    return bucketed.groupby("_coarse").map_groups(
         pairs_many, batch_format="pandas")
 
 
@@ -503,7 +525,10 @@ def simhash_candidates(ds: rd.Dataset, *, text_col="text", id_col="doc_id",
         hs = sub["simhash"].to_numpy(dtype=np.uint64)
         ia, ib = np.triu_indices(len(ids), k=1)
         x = hs[ia] ^ hs[ib]
-        ham = np.array([bin(int(v)).count("1") for v in x])
+        # vectorized popcount (per-pair bin().count was a Python loop)
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                            axis=1).sum(axis=1).astype(np.int64) \
+            if len(x) else np.empty(0, dtype=np.int64)
         keep = ham <= max_hamming
         return pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep],
                              "hamming": ham[keep].astype("int64")})

@@ -144,6 +144,56 @@ def synthesize_media(n: int, seed: int = 5) -> rd.Dataset:
     return rd.from_arrow(t)
 
 
+def media_from_ids(ds: rd.Dataset, id_col: str = "doc_id",
+                   *, batch_size: int = 1024) -> rd.Dataset:
+    """Media payloads derived DETERMINISTICALLY from an id column, with
+    CONSTANT pixel/sample content — so every decoded stat is a closed-form
+    function of the id and a SQL oracle can check the decode path end to
+    end (payload length, mean pixel, RMS):
+
+    - ``id % 3 != 0`` → PPM image, w = 16 + (id%4)*8, h = 16, every pixel
+      ``id % 256``; payload length = 13 + w*16*3.
+    - ``id % 3 == 0`` → WAV PCM-16, n = 400 + (id%100)*8 samples, all equal
+      to ``(id%100)*10`` at 8 kHz; payload length = 44 + n*2.
+
+    Randomized-content coverage of the same decoders lives in
+    ``synthesize_media`` + tests; this source exists for the driver's
+    DuckDB-checked correctness row."""
+
+    def build(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = {k: [] for k in ("media_id", "kind", "payload", "mime",
+                                "width", "height", "duration_ms")}
+        for i in batch[id_col]:
+            i = int(i)
+            rows["media_id"].append(i)
+            if i % 3:
+                w = 16 + (i % 4) * 8
+                img = np.full((16, w, 3), i % 256, dtype=np.uint8)
+                rows["kind"].append("image")
+                rows["payload"].append(encode_ppm(img))
+                rows["mime"].append(PPM_MIME)
+                rows["width"].append(w)
+                rows["height"].append(16)
+                rows["duration_ms"].append(None)
+            else:
+                n = 400 + (i % 100) * 8
+                samp = np.full(n, (i % 100) * 10, dtype=np.int16)
+                rows["kind"].append("audio")
+                rows["payload"].append(encode_wav_pcm16(samp, 8000))
+                rows["mime"].append(WAV_MIME)
+                rows["width"].append(None)
+                rows["height"].append(None)
+                rows["duration_ms"].append(int(n * 1000 / 8000))
+        out = pd.DataFrame(rows)
+        out["width"] = out["width"].astype("Int32")
+        out["height"] = out["height"].astype("Int32")
+        out["duration_ms"] = out["duration_ms"].astype("Int64")
+        return out
+
+    return ds.map_batches(build, batch_format="pandas",
+                          batch_size=batch_size)
+
+
 class DecodeStage:
     """Actor-pool decode stage.
 

@@ -117,10 +117,22 @@ class BucketRouter:
     (a map task cannot run ahead of the merge actors)."""
 
     def __init__(self, actors: list, num_actors: int,
-                 key_cols: tuple[str, ...] = ("repo", "path")):
+                 key_cols: tuple[str, ...] = ("repo", "path"),
+                 ack_window: int | None = None):
         self.actors = actors
         self.num_actors = num_actors
         self.key_cols = tuple(key_cols)
+        # bounded in-flight ack window: while slices fire, only `ack_window`
+        # acks stay outstanding (progressive drain overlaps routing of later
+        # slices with ingest of earlier ones). The FINAL drain before the
+        # call returns is deliberate and must stay: a map task that
+        # completes before its acks land would let an ingest failure go
+        # unobserved — the ack-before-complete barrier is what makes Ray's
+        # task retry + the actors' slice-fp dedup an exactly-once channel.
+        # See SCALE.md §push-exchange for why this does not serialize the
+        # pipeline when in-flight blocks >> actors.
+        self.ack_window = (2 * num_actors if ack_window is None
+                           else int(ack_window))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import hashlib
@@ -177,7 +189,10 @@ class BucketRouter:
             else:
                 fp = None
             refs.append(self.actors[int(oo[lo])].ingest.remote(sl, fp))
-        ray.get(refs)
+            if len(refs) > self.ack_window:
+                ready, refs = ray.wait(refs, num_returns=1)
+                ray.get(ready)
+        ray.get(refs)  # final barrier — see __init__ note
         return pa.table({"rows_routed": pa.array([len(batch)], pa.int64())})
 
 

@@ -244,3 +244,42 @@ def test_crash_with_partial_commits_recovers(tmp_path):
     lin = replay(ds, partial, num_buckets=8).materialize().to_pandas()
     assert int(lin["committed"].sum()) == 4  # exactly the lost buckets
     assert final_shas(partial) == oracle_final_shas(tbl)
+
+
+def test_actor_loss_rerun_converges(doc_events, tmp_path):
+    """Push-exchange fault model (SCALE.md): a lost MergeActor loses only its
+    in-flight buffer — some buckets commit, its own never do — and a full
+    RERUN over the same lake converges to the identical committed state.
+    Simulated by flushing only one of two actors and killing the other."""
+    import ray
+
+    from openmrs_module_epts_etl_ray.stages.lww import PartialLww
+    from openmrs_module_epts_etl_ray.stages.push_exchange import (
+        COMBINE_THRESHOLD, BucketRouter, MergeActor,
+    )
+    from openmrs_module_epts_etl_ray.state.commit_log import CommitLog
+
+    ds, tbl = doc_events
+    lake = str(tmp_path / "lake_partial")
+    CommitLog(lake).ensure_bucketing(8)
+    collapsed = ds.map_batches(
+        PartialLww(key_cols=("repo", "path"), num_buckets=8),
+        batch_format="pyarrow")
+    actors = [
+        MergeActor.options(num_cpus=0.5, max_restarts=0).remote(
+            lake, None, ("repo", "path"), True, COMBINE_THRESHOLD, "snapshot")
+        for _ in range(2)
+    ]
+    collapsed.map_batches(
+        BucketRouter(actors, 2, key_cols=("repo", "path")),
+        batch_format="pyarrow").sum("rows_routed")
+    ray.get(actors[0].flush.remote())      # half the buckets commit
+    ray.kill(actors[1], no_restart=True)   # the other half's buffer is LOST
+    partial = final_shas(lake)
+    full = oracle_final_shas(tbl)
+    assert partial != full                 # the loss is observable
+
+    # rerun over the SAME lake: committed buckets replay idempotently, lost
+    # buckets commit now — state converges to the clean single-shot result
+    replay(ds, lake, num_buckets=8, engine="push").materialize()
+    assert final_shas(lake) == full
