@@ -397,6 +397,27 @@ def q_quick_merge_customers(sf_dir: str):
     return read_lake(lake).select_columns(["id", "name", "acctbal"])
 
 
+def q_cc_chain_clusters(sf_dir: str):
+    """Oracle-checked connected components: a deterministic chain graph over
+    documents (edge (d, d+1) iff d % 5 < 3) whose components are
+    gaps-and-islands runs ANSI SQL labels exactly — giving the distributed
+    min-label-propagation operator (stages/dedup.py::connected_components)
+    a value-checked driver row (near_dup_clusters stays rows-only because
+    its LSH input has no SQL form)."""
+    from ..stages.dedup import connected_components
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    mx = docs.max("doc_id")
+
+    def edges(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy()
+        a = d[(d % 5 < 3) & (d + 1 <= mx)]
+        return pa.table({"id_a": pa.array(a, pa.int64()),
+                         "id_b": pa.array(a + 1, pa.int64())})
+
+    return connected_components(docs.map_batches(edges, batch_format="pyarrow"))
+
+
 def q_config_join_extract(sf_dir: str):
     """Config-vocabulary extract: ``selfJoinTables`` (multiplicity-preserving
     join into the extract) + ``extraTableDataSource`` (one-row-per-key lookup
@@ -1114,6 +1135,7 @@ QUERIES = {
     "lookup_query_datasource": q_lookup_query_datasource,
     "id_collision_repoint": q_id_collision_repoint,
     "config_join_extract": q_config_join_extract,
+    "cc_chain_clusters": q_cc_chain_clusters,
     "load_merge_from_json": q_load_merge_from_json,
     "value_percentiles": q_value_percentiles,
     "value_percentiles_approx": q_value_percentiles_approx,
@@ -1261,6 +1283,19 @@ JOIN customer c ON c.c_custkey = o.o_custkey AND c.c_custkey % 3 <> 0
 """,
     "export_roundtrip": """
 SELECT c_custkey, c_name, c_mktsegment FROM customer
+""",
+    "cc_chain_clusters": """
+WITH lim AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM documents),
+e AS (SELECT doc_id AS a, doc_id + 1 AS b FROM documents, lim
+      WHERE doc_id % 5 < 3 AND doc_id + 1 <= mx),
+v AS (SELECT DISTINCT id
+      FROM (SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e) u),
+s AS (SELECT id,
+             CASE WHEN (id - 1) % 5 < 3 AND id - 1 >= (SELECT mn FROM lim)
+                  THEN 0 ELSE 1 END AS is_start
+      FROM v),
+g AS (SELECT id, SUM(is_start) OVER (ORDER BY id) AS grp FROM s)
+SELECT id AS doc_id, MIN(id) OVER (PARTITION BY grp) AS canonical_id FROM g
 """,
     "config_join_extract": """
 SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,

@@ -129,7 +129,9 @@ class MinHasher:
         flat = list(chain.from_iterable(splits))
         if not flat:
             return (np.empty(0, np.uint64), np.empty(0, np.int64))
-        wh = hash_array(np.array(flat, dtype=object), categorize=False)
+        # categorize=True: factorize-then-hash-uniques — 3x faster on
+        # natural-language word streams (many repeats), identical output
+        wh = hash_array(np.array(flat, dtype=object), categorize=True)
         starts = np.r_[0, np.cumsum(lens)]
         doc_of = np.repeat(np.arange(len(splits), dtype=np.int64), lens)
         L = len(wh)
@@ -380,7 +382,7 @@ class SimHasher:
         sh = np.zeros(len(splits), dtype=np.uint64)
         if not flat:
             return sh
-        wh = hash_array(np.array(flat, dtype=object), categorize=False)
+        wh = hash_array(np.array(flat, dtype=object), categorize=True)
         bits = np.unpackbits(wh.view(np.uint8).reshape(len(wh), 8), axis=1)
         starts = np.r_[0, np.cumsum(lens)]
         nz = lens > 0

@@ -169,3 +169,20 @@ def test_conditional_parent_gating(ray_session):
     assert got["fk"].tolist()[1] == 99      # unmatched condition: untouched
     assert got["fk"].tolist()[2] == 1
     assert got["_inconsistent"].tolist() == [True, False, False]
+
+
+def test_new_records_detector_process(ray_session, tmp_path):
+    out = tmp_path / "new_only"
+    run_config({"processType": "NEW_RECORDS_DETECTOR", "etlConfiguration": [{
+        "srcConf": {"tableName": "orders", "sfDir": SF,
+                    "createdColumn": "o_orderdate",
+                    "since": "1998-06-01", "until": "1998-07-01",
+                    "outDir": str(out)},
+    }]})
+    got = pq.read_table(str(out)).to_pandas()
+    con = duckdb.connect()
+    n_want = con.sql(f"""SELECT count(*) FROM
+        read_parquet('{SF}/orders.parquet')
+        WHERE o_orderdate >= TIMESTAMP '1998-06-01'
+          AND o_orderdate < TIMESTAMP '1998-07-01'""").fetchone()[0]
+    assert len(got) == n_want > 0
