@@ -206,19 +206,26 @@ def compile_extract(src: dict) -> rd.Dataset:
     # preserved (the reference splices them into the SELECT:
     # etl/model/EtlDatabaseObjectSearchParams.java:44-91, README:95-118)
     for sj in src.get("selfJoinTables", []):
-        from ..stages.joins import inner_join, left_join
+        from ..stages.joins import broadcast_inner_join, left_join
 
         aux = read_table(src["sfDir"], sj["tableName"],
                          columns=sj.get("columns"))
         pairs = _join_fields(sj)
         s_keys = [s for s, _ in pairs]
         a_keys = [a for _, a in pairs]
-        join = left_join if str(sj.get("joinType", "inner")).lower() == "left" \
-            else inner_join
-        if s_keys == a_keys:
-            ds = join(ds, aux, s_keys)
+        if str(sj.get("joinType", "inner")).lower() == "left":
+            # left joins stay on the shuffle path (broadcast-left needs
+            # nullable-dtype canonicalization; see joins.broadcast_inner_join)
+            if s_keys == a_keys:
+                ds = left_join(ds, aux, s_keys)
+            else:
+                ds = left_join(ds, aux, s_keys, right_on=tuple(a_keys))
         else:
-            ds = join(ds, aux, s_keys, right_on=tuple(a_keys))
+            # aux tables are dimension-sized in the reference's configs:
+            # broadcast probe when small, hash shuffle above the threshold
+            ds = broadcast_inner_join(
+                ds, aux, s_keys,
+                right_on=tuple(a_keys) if a_keys != s_keys else None)
     # extraTableDataSource — one-row-per-key lookup attach (J2,
     # conf/SrcConf.java:22-28 / TableDataSourceConfig.java:110-118)
     for tds in src.get("extraTableDataSource", []):

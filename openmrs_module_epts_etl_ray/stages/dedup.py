@@ -334,25 +334,36 @@ def verify_jaccard(
 
         return joined.map_batches(score, batch_format="pandas")
 
-    lookup = {}
-    for b in docs.select_columns([id_col, text_col]).iter_batches(batch_format="pandas"):
-        lookup.update(zip(b[id_col], b[text_col]))
-    ref = ray.put(lookup)
+    # broadcast as SORTED (ids ndarray, texts Arrow array): the Arrow text
+    # buffer maps zero-copy from the object store per task, so Verify can be
+    # a plain task-pool instance that FUSES with the upstream pair stage —
+    # the previous dict broadcast deserialized the whole corpus map per
+    # actor and paid an actor-pool startup (~1.5s cold at sf0.1)
+    ids_l, texts_l = [], []
+    for b in docs.select_columns([id_col, text_col]).iter_batches(batch_format="pyarrow"):
+        ids_l.append(b[id_col].to_numpy())
+        texts_l.append(pc_fill_null_str(b[text_col]))
+    ids = np.concatenate(ids_l) if ids_l else np.empty(0, np.int64)
+    order = np.argsort(ids)
+    texts = (pa.concat_arrays([c.combine_chunks() for c in texts_l])
+             .take(pa.array(order)) if texts_l else pa.array([], pa.string()))
+    ref = ray.put((ids[order], texts))
 
     class Verify:
-        def __init__(self):
-            self.texts = ray.get(ref)
-
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ids, texts = ray.get(ref)
+            ia = np.searchsorted(ids, batch["id_a"].to_numpy())
+            ib = np.searchsorted(ids, batch["id_b"].to_numpy())
+            ta = texts.take(pa.array(ia)).to_pylist()
+            tb = texts.take(pa.array(ib)).to_pylist()
             js = [
-                jaccard(word_shingles(self.texts.get(a, "") or "", k),
-                        word_shingles(self.texts.get(b, "") or "", k))
-                for a, b in zip(batch["id_a"], batch["id_b"])
+                jaccard(word_shingles(a, k), word_shingles(b, k))
+                for a, b in zip(ta, tb)
             ]
             batch = batch.assign(jaccard=js)
             return batch[batch["jaccard"] >= threshold]
 
-    return candidates.map_batches(Verify, batch_format="pandas", concurrency=(1, 8))
+    return candidates.map_batches(Verify(), batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -406,6 +417,11 @@ class SimHasher:
                 & np.uint64(0xFFFF)).astype(np.int64)
         return pd.DataFrame({self.id_col: ids, "band": band, "code": code,
                              "simhash": shr})
+
+
+def pc_fill_null_str(col):
+    import pyarrow.compute as pc
+    return pc.fill_null(pc.cast(col, pa.string()), "")
 
 
 def _empty_pairs(extra: dict | None = None) -> pd.DataFrame:

@@ -126,6 +126,44 @@ def inner_join(left: rd.Dataset, right: rd.Dataset, keys: list[str],
                      on=tuple(keys), **kw)
 
 
+def broadcast_inner_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    keys: list[str],
+    *,
+    right_on: tuple[str, ...] | None = None,
+    threshold: int = BROADCAST_THRESHOLD,
+) -> rd.Dataset:
+    """Multiplicity-preserving INNER join that broadcasts the right side
+    when it fits (``ray.put`` once, vectorized pandas merge per batch — no
+    shuffle), else falls back to the hash-shuffle ``inner_join``. Matches
+    ``Dataset.join`` column semantics: differing right key columns fold into
+    the left key. Inner-only: a broadcast LEFT join would need nullable
+    dtype canonicalization (see stages/asof.py) — use ``left_join`` there."""
+    import pandas as pd
+
+    right = right.materialize()
+    rk = list(right_on) if right_on else list(keys)
+    if right.count() > threshold:
+        if rk == list(keys):
+            return inner_join(left, right, keys)
+        return inner_join(left, right, keys, right_on=tuple(rk))
+    rdf = right.to_pandas().dropna(subset=rk)  # SQL: null keys never match
+    ref = ray.put(rdf)
+
+    class Probe:
+        # plain instance (task pool, fuses with the read); the broadcast
+        # frame fetch is shared-memory per task
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            r = ray.get(ref)
+            m = df.merge(r, how="inner", left_on=list(keys), right_on=rk,
+                         suffixes=("", "_r"))
+            drop = [c for c in rk if c not in keys and c not in df.columns]
+            return m.drop(columns=drop, errors="ignore")
+
+    return left.map_batches(Probe(), batch_format="pandas")
+
+
 def left_join(left: rd.Dataset, right: rd.Dataset, keys: list[str],
               *, num_partitions: int | None = None, **kw) -> rd.Dataset:
     """J2/J3 optional-datasource lookup: unmatched rows null-backfilled."""
