@@ -418,6 +418,29 @@ def q_cc_chain_clusters(sf_dir: str):
     return connected_components(docs.map_batches(edges, batch_format="pyarrow"))
 
 
+def q_jaccard_pairs(sf_dir: str):
+    """Oracle-checked exact n-gram Jaccard: deterministic candidate pairs
+    (d, d+100) scored by the shared verification kernel
+    (stages/dedup.py::verify_jaccard, threshold=0 keeps every pair) — the
+    DuckDB oracle rebuilds 3-word shingle sets with unnest+self-joins."""
+    from ..stages.dedup import verify_jaccard
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      override_num_blocks=16)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy()
+        a = d[d < 100]
+        return pa.table({"id_a": pa.array(a, pa.int64()),
+                         "id_b": pa.array(a + 100, pa.int64())})
+
+    cand = docs.map_batches(pairs, batch_format="pyarrow")
+    # raw double is byte-safe: both sides divide the same two ints once
+    # (IEEE division is exact-deterministic); no rounding rule needed
+    return verify_jaccard(cand, docs, threshold=0.0, k=3,
+                          strategy="broadcast")
+
+
 def q_config_join_extract(sf_dir: str):
     """Config-vocabulary extract: ``selfJoinTables`` (multiplicity-preserving
     join into the extract) + ``extraTableDataSource`` (one-row-per-key lookup
@@ -1095,16 +1118,9 @@ def q_ann_ivf_topk(sf_dir: str):
     return similarity.ivf_topk(corpus, Q, qids, k=5, n_cells=16, n_probe=6)
 
 
-def q_media_features(sf_dir: str):
-    """Multimodal decode with a DuckDB-checkable oracle: payloads derive
-    deterministically from documents.doc_id with constant content, so the
-    decoded stat (image mean-R / audio RMS) and payload length are exact
-    closed forms of the id (stages/multimodal.py::media_from_ids)."""
-    docs = read_table(sf_dir, "documents", columns=["doc_id"],
-                      override_num_blocks=16)
-    media = multimodal.media_from_ids(docs)
-    feats = multimodal.decode_features(media)
-
+def _media_stat_frame(feats):
+    """(media_id, kind, payload_bytes, stat) projection shared by the
+    media oracle queries; stat = feature[2] (image mean-R / audio RMS)."""
     def out(df: pd.DataFrame) -> pd.DataFrame:
         stat = (np.stack(df["feature"].to_numpy())[:, 2]
                 if len(df) else np.array([], dtype=np.float64))
@@ -1116,6 +1132,40 @@ def q_media_features(sf_dir: str):
         })
 
     return feats.map_batches(out, batch_format="pandas")
+
+
+def q_media_resize(sf_dir: str):
+    """Image resize with an exact oracle: constant-pixel media resized to
+    8x8 keeps its mean (stat) and has closed-form payload length
+    (stages/multimodal.py::ResizeStage; audio passes through untouched)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id"],
+                      override_num_blocks=16)
+    media = multimodal.media_from_ids(docs)
+    resized = multimodal.resize_images(media, 8, 8)
+    return _media_stat_frame(multimodal.decode_features(resized))
+
+
+def q_media_frames(sf_dir: str):
+    """Video frame-sampling with an exact oracle: deterministic PVF
+    containers (stages/multimodal.py::videos_from_ids), every-2nd-frame
+    sampling re-encodes each kept frame as a PPM image whose decode stats
+    are closed forms of (id, frame index)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id"],
+                      override_num_blocks=16)
+    videos = multimodal.videos_from_ids(docs)
+    frames = multimodal.sample_frames(videos, every=2)
+    return _media_stat_frame(multimodal.decode_features(frames))
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal decode with a DuckDB-checkable oracle: payloads derive
+    deterministically from documents.doc_id with constant content, so the
+    decoded stat (image mean-R / audio RMS) and payload length are exact
+    closed forms of the id (stages/multimodal.py::media_from_ids)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id"],
+                      override_num_blocks=16)
+    media = multimodal.media_from_ids(docs)
+    return _media_stat_frame(multimodal.decode_features(media))
 
 
 # ---------------------------------------------------------------------------
@@ -1136,6 +1186,7 @@ QUERIES = {
     "id_collision_repoint": q_id_collision_repoint,
     "config_join_extract": q_config_join_extract,
     "cc_chain_clusters": q_cc_chain_clusters,
+    "jaccard_pairs": q_jaccard_pairs,
     "load_merge_from_json": q_load_merge_from_json,
     "value_percentiles": q_value_percentiles,
     "value_percentiles_approx": q_value_percentiles_approx,
@@ -1177,6 +1228,8 @@ QUERIES = {
     "near_dup_clusters": q_near_dup_clusters,
     "ann_ivf_topk": q_ann_ivf_topk,
     "media_features": q_media_features,
+    "media_resize": q_media_resize,
+    "media_frames": q_media_frames,
 }
 
 ORACLE_SQL = {
@@ -1284,6 +1337,40 @@ JOIN customer c ON c.c_custkey = o.o_custkey AND c.c_custkey % 3 <> 0
     "export_roundtrip": """
 SELECT c_custkey, c_name, c_mktsegment FROM customer
 """,
+    "jaccard_pairs": """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
+  FROM documents),
+tok AS (  -- parallel unnest zips (word, position)
+  SELECT doc_id, unnest(w) AS word,
+         unnest(range(1, len(w) + 1)) AS pos
+  FROM t),
+tri AS (
+  SELECT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS sh
+  FROM tok a
+  JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+shingle AS (    -- docs shorter than 3 words: one shingle of all their words
+  SELECT DISTINCT doc_id, sh FROM tri
+  UNION
+  SELECT doc_id, array_to_string(w, ' ') AS sh FROM t
+  WHERE len(w) > 0 AND len(w) < 3),
+p AS (SELECT doc_id AS id_a, doc_id + 100 AS id_b FROM documents
+      WHERE doc_id < 100),
+marks AS (
+  SELECT p.id_a, p.id_b, s.sh,
+         MAX(CASE WHEN s.doc_id = p.id_a THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN s.doc_id = p.id_b THEN 1 ELSE 0 END) AS in_b
+  FROM p JOIN shingle s ON s.doc_id IN (p.id_a, p.id_b)
+  GROUP BY p.id_a, p.id_b, s.sh),
+agg AS (
+  SELECT id_a, id_b, SUM(in_a * in_b) AS i, COUNT(*) AS u
+  FROM marks GROUP BY id_a, id_b)
+SELECT p.id_a, p.id_b,
+       COALESCE(a.i * 1.0 / NULLIF(a.u, 0), 1.0) AS jaccard
+FROM p LEFT JOIN agg a ON a.id_a = p.id_a AND a.id_b = p.id_b
+""",
     "cc_chain_clusters": """
 WITH lim AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM documents),
 e AS (SELECT doc_id AS a, doc_id + 1 AS b FROM documents, lim
@@ -1310,6 +1397,27 @@ SELECT c_custkey, c_name,
        CASE WHEN c_custkey % 4 = 1 THEN 'UPDATED' ELSE c_mktsegment END
          AS c_mktsegment
 FROM customer
+""",
+    "media_resize": """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 <> 0 THEN 'image' ELSE 'audio' END AS kind,
+       CAST(CASE WHEN doc_id % 3 <> 0
+                 THEN 11 + 8 * 8 * 3
+                 ELSE 44 + (400 + (doc_id % 100) * 8) * 2 END AS BIGINT)
+         AS payload_bytes,
+       CAST(CASE WHEN doc_id % 3 <> 0 THEN doc_id % 256
+                 ELSE (doc_id % 100) * 10 END AS DOUBLE) AS stat
+FROM documents
+""",
+    "media_frames": """
+WITH v AS (SELECT doc_id, doc_id % 4 + 2 AS nf FROM documents
+           WHERE doc_id % 10 = 0),
+f AS (SELECT doc_id, unnest(range(0, nf, 2)) AS i FROM v)
+SELECT doc_id * 1000000 + i AS media_id,
+       'image' AS kind,
+       CAST(11 + 8 * 8 * 3 AS BIGINT) AS payload_bytes,
+       CAST((doc_id + i) % 256 AS DOUBLE) AS stat
+FROM f
 """,
     "media_features": """
 SELECT doc_id AS media_id,

@@ -323,6 +323,39 @@ def decode_ppm_video(payload: bytes) -> list[np.ndarray]:
     return frames
 
 
+def videos_from_ids(ds: rd.Dataset, id_col: str = "doc_id",
+                    *, batch_size: int = 1024) -> rd.Dataset:
+    """Frame containers derived deterministically from an id column (the
+    video counterpart of :func:`media_from_ids`): each ``id % 10 == 0`` row
+    becomes a PVF of ``id % 4 + 2`` frames, frame ``i`` an 8x8 constant
+    image of value ``(id + i) % 256`` — so frame-sampled decode stats are
+    closed forms a SQL oracle can state."""
+
+    def build(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = {k: [] for k in ("media_id", "kind", "payload", "mime",
+                                "width", "height", "duration_ms")}
+        for i in batch[id_col]:
+            i = int(i)
+            if i % 10:
+                continue
+            frames = [np.full((8, 8, 3), (i + f) % 256, dtype=np.uint8)
+                      for f in range(i % 4 + 2)]
+            rows["media_id"].append(i)
+            rows["kind"].append("video")
+            rows["payload"].append(encode_ppm_video(frames))
+            rows["mime"].append(VIDEO_MIME)
+            rows["width"].append(8)
+            rows["height"].append(8)
+            rows["duration_ms"].append(len(frames) * 40)
+        out = pd.DataFrame(rows)
+        out["width"] = out["width"].astype("Int32")
+        out["height"] = out["height"].astype("Int32")
+        out["duration_ms"] = out["duration_ms"].astype("Int64")
+        return out
+
+    return ds.map_batches(build, batch_format="pandas", batch_size=batch_size)
+
+
 class FrameSampleStage:
     """Actor-pool video transform: decode the frame container, keep every
     ``every``-th frame, emit ONE IMAGE ROW PER SAMPLED FRAME (media_id
