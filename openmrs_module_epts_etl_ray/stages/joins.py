@@ -35,9 +35,11 @@ def _default_partitions() -> int:
     ``num_partitions`` aggregator actors up front, and a count above the
     CPUs available DEADLOCKS the join (observed: 32 partitions on a 4-CPU
     session never completes). Scale-out note: on a multi-node cluster this
-    returns total cluster CPUs, which also bounds per-partition size."""
+    returns total cluster CPUs (bounding per-partition size), capped at 256
+    — beyond that, per-aggregator-actor overhead dominates and callers with
+    genuinely larger builds should pass num_partitions explicitly."""
     try:
-        return max(2, int(ray.cluster_resources().get("CPU", 4)))
+        return max(2, min(256, int(ray.cluster_resources().get("CPU", 4))))
     except Exception:
         return 4
 
@@ -132,7 +134,7 @@ def broadcast_inner_join(
     keys: list[str],
     *,
     right_on: tuple[str, ...] | None = None,
-    threshold: int = BROADCAST_THRESHOLD,
+    threshold: int | None = None,
 ) -> rd.Dataset:
     """Multiplicity-preserving INNER join that broadcasts the right side
     when it fits (``ray.put`` once, vectorized pandas merge per batch — no
@@ -144,6 +146,10 @@ def broadcast_inner_join(
 
     right = right.materialize()
     rk = list(right_on) if right_on else list(keys)
+    # module-attr lookup at CALL time (a def-time default would freeze the
+    # threshold and defeat test monkeypatching)
+    if threshold is None:
+        threshold = BROADCAST_THRESHOLD
     if right.count() > threshold:
         if rk == list(keys):
             return inner_join(left, right, keys)

@@ -40,11 +40,33 @@ def _dedup_first(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
 
 def _dedup_lookup_ds(lookup: rd.Dataset, keys: list[str]) -> rd.Dataset:
     """Distributed form of :func:`_dedup_first`: per-block partial dedup
-    (shrinks the exchange), then a grouped final dedup. Same winner rule."""
-    partial = lookup.map_batches(lambda df: _dedup_first(df, keys),
-                                 batch_format="pandas")
-    deduped = partial.groupby(keys).map_groups(
-        lambda df: _dedup_first(df, keys), batch_format="pandas")
+    (shrinks the exchange), then ONE groupby on a COARSE key-hash bucket
+    with a vectorized per-group dedup. Grouping on the raw keys would
+    invoke Python once per unique key (millions of map_groups calls for a
+    fact-sized lookup); a coarse bucket is a deterministic function of the
+    key, so every key's rows still co-locate. Same winner rule as the
+    broadcast path."""
+    import ray
+
+    from pandas.util import hash_pandas_object
+
+    try:
+        n_coarse = 4 * max(8, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        n_coarse = 32
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = _dedup_first(df, keys)
+        h = hash_pandas_object(df[keys].astype(str).agg("|".join, axis=1)
+                               if len(keys) > 1 else df[keys[0]],
+                               index=False).to_numpy()
+        import numpy as np
+        return df.assign(_kc=(h % np.uint64(n_coarse)).astype("int64"))
+
+    deduped = lookup.map_batches(partial, batch_format="pandas") \
+        .groupby("_kc").map_groups(
+            lambda df: _dedup_first(df, keys).drop(columns=["_kc"]),
+            batch_format="pandas")
     # materialize: chaining a groupby directly into Dataset.join builds one
     # iterative plan that Ray 2.49 can mis-resolve/hang (see SCALE.md); the
     # deduped lookup is the join's build side and is re-read anyway

@@ -162,3 +162,27 @@ def test_remap_fk_dup_mapping_same_rows_broadcast_vs_shuffle(ray_session, monkey
     pd.testing.assert_frame_equal(
         bcast.astype({"fk": "int64"}), shuf.astype({"fk": "int64"}))
     assert bcast["fk"].tolist() == [5, 9]  # min new_col wins, miss keeps
+
+
+def test_broadcast_inner_join_matches_shuffle(ray_session, monkeypatch):
+    from openmrs_module_epts_etl_ray.stages import joins
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 2, 3, 4], pa.int64()),
+        "v": ["a", "b", "c", "d", "e"]}))
+    # duplicate right keys: multiplicity must be PRESERVED (1:N fan-out),
+    # unlike datasource_lookup's one-row-per-key contract
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array([2, 2, 3], pa.int64()),
+        "name": ["x", "y", "z"]}))
+
+    def run():
+        out = joins.broadcast_inner_join(left, right, ["k"], right_on=("rk",))
+        return (out.to_pandas().sort_values(["k", "v", "name"])
+                .reset_index(drop=True)[["k", "v", "name"]])
+
+    bcast = run()
+    assert len(bcast) == 5  # 2 left rows x 2 right + 1x1
+    monkeypatch.setattr(joins, "BROADCAST_THRESHOLD", 0)
+    shuf = run()
+    pd.testing.assert_frame_equal(bcast, shuf.astype(bcast.dtypes.to_dict()))
