@@ -368,6 +368,47 @@ def _run_merge_from_json(cfg: dict, outputs: dict[str, str]) -> None:
         outputs[dst.get("tableName", "lake")] = lake
 
 
+def _run_transport(cfg: dict, outputs: dict[str, str]) -> None:
+    """TRANSPORT (S8) — move a source site's export files into the
+    destination's import directory, keeping a backup copy (reference
+    ``transport/TransportSyncFilesProcessor``: copy to destination import
+    dir, then move the original to bkp). On shared lake storage this step
+    is usually a no-op (the LOAD reads the export dir directly), but the
+    reference's two-site deployments rely on it, so the vocabulary exists.
+
+    Idempotent: a file already present in the import dir (same name + size)
+    is skipped; delivery is tmp+rename so a crashed run never leaves a
+    half-copied data file visible."""
+    import glob
+    import shutil
+
+    for item in cfg["etlConfiguration"]:
+        src = item["srcConf"]
+        dst = item["dstConf"][0]
+        export_dir = src["exportDir"]
+        import_dir = dst["importDir"]
+        bkp_dir = src.get("bkpDir")
+        exts = tuple(src.get("extensions", ["json", "csv", "sql", "parquet"]))
+        os.makedirs(import_dir, exist_ok=True)
+        if bkp_dir:
+            os.makedirs(bkp_dir, exist_ok=True)
+        moved = 0
+        for p in sorted(glob.glob(os.path.join(export_dir, "*"))):
+            if not os.path.isfile(p) or not p.endswith(exts):
+                continue
+            name = os.path.basename(p)
+            target = os.path.join(import_dir, name)
+            if not (os.path.exists(target)
+                    and os.path.getsize(target) == os.path.getsize(p)):
+                tmp = target + ".tmp"
+                shutil.copyfile(p, tmp)
+                os.replace(tmp, target)
+            if bkp_dir:
+                os.replace(p, os.path.join(bkp_dir, name))
+            moved += 1
+        outputs[src.get("tableName", os.path.basename(export_dir))] = import_dir
+
+
 def _run_resolve_conflicts(cfg: dict, outputs: dict[str, str]) -> None:
     """RESOLVE_CONFLICTS_IN_STAGE_AREA — collapse a stage table to one row
     per key, most recent wins (``stages.lww.lww_final_state``; reference
@@ -551,6 +592,8 @@ def run_config(cfg: dict | str, _seen: frozenset = frozenset()) -> dict[str, str
         _run_load(cfg, outputs)
     elif ptype == "DB_MERGE_FROM_JSON":
         _run_merge_from_json(cfg, outputs)
+    elif ptype in ("TRANSPORT", "TRANSPORT_SYNC_FILES"):
+        _run_transport(cfg, outputs)
     elif ptype == "RESOLVE_CONFLICTS_IN_STAGE_AREA":
         _run_resolve_conflicts(cfg, outputs)
     elif ptype == "DETECT_GAPES_ON_DB_TABLES":

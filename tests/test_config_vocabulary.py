@@ -228,3 +228,24 @@ def test_merge_from_json_rerun_idempotent(ray_session, tmp_path):
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(first, second)
     assert len(first) == cust.count()
+
+
+def test_transport_process_moves_files_with_backup(ray_session, tmp_path):
+    # S8: export dir -> import dir copy + original moved to bkp; idempotent
+    exp = tmp_path / "export"; exp.mkdir()
+    (exp / "batch-1.json").write_text('{"a": 1}\n')
+    (exp / "batch-2.json").write_text('{"a": 2}\n')
+    (exp / "_marker").write_text("x")  # non-data file: untouched
+    imp = tmp_path / "import"
+    bkp = tmp_path / "bkp"
+    cfg = {"processType": "TRANSPORT", "etlConfiguration": [{
+        "srcConf": {"exportDir": str(exp), "bkpDir": str(bkp)},
+        "dstConf": [{"importDir": str(imp)}],
+    }]}
+    run_config(cfg)
+    assert sorted(p.name for p in imp.iterdir()) == ["batch-1.json", "batch-2.json"]
+    assert sorted(p.name for p in bkp.iterdir()) == ["batch-1.json", "batch-2.json"]
+    assert (exp / "_marker").exists()
+    assert not (exp / "batch-1.json").exists()  # moved to bkp
+    run_config(cfg)  # rerun with empty export dir: no-op
+    assert sorted(p.name for p in imp.iterdir()) == ["batch-1.json", "batch-2.json"]
