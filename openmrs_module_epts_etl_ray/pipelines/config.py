@@ -173,6 +173,39 @@ def _compile_policy(dst: dict) -> "ConflictPolicy | None":
     return ConflictPolicy(mode=mode, winning_field_groups=groups)
 
 
+def _render_param(v) -> str:
+    """SQL-literal rendering for a process param (reference README:251-252:
+    params are ``@name`` identifiers bound into conditions/queries). Lists
+    render comma-joined (the ``IN (@p)`` context); ``{"identifier": x}``
+    renders bare for the DB-resource context (``FROM @table_name``)."""
+    if isinstance(v, dict) and set(v) == {"identifier"}:
+        return str(v["identifier"])
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return str(v)
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, (list, tuple)):
+        return ", ".join(_render_param(x) for x in v)
+    raise ValueError(f"unsupported param value {v!r}")
+
+
+def bind_params(text: str | None, params: dict | None) -> str | None:
+    """Substitute ``@name`` tokens that match a process param; unknown
+    tokens are left for the per-record binder (QueryDataSourceStage rewrites
+    surviving ``@field`` to the record's columns)."""
+    if not text or not params:
+        return text
+    import re
+
+    return re.sub(
+        r"@(\w+)",
+        lambda m: _render_param(params[m.group(1)])
+        if m.group(1) in params else m.group(0),
+        text)
+
+
 def _join_fields(spec: dict) -> list[tuple[str, str]]:
     """``joinFields`` entries → [(src_field, aux_field)]. Accepts the
     reference's ``srcField``/``dstField`` pair names (RefMapping shape) and a
@@ -190,14 +223,15 @@ def _join_fields(spec: dict) -> list[tuple[str, str]]:
     return out
 
 
-def compile_extract(src: dict) -> rd.Dataset:
+def compile_extract(src: dict, params: dict | None = None) -> rd.Dataset:
     """Compile one ``srcConf`` to its extract Dataset — the reference's
     search-params SELECT (``EtlDatabaseObjectSearchParams.java:44-91``):
     base table + ``extraConditionForExtract`` + ``selfJoinTables`` +
-    ``extraTableDataSource`` + ``extraQueryDataSource``, in that order."""
+    ``extraTableDataSource`` + ``extraQueryDataSource``, in that order.
+    ``params``: the process-level ``@name`` bindings (README:37,251-252)."""
     ds = read_table(src["sfDir"], src["tableName"],
                     columns=src.get("columns"))
-    cond = src.get("extraConditionForExtract")
+    cond = bind_params(src.get("extraConditionForExtract"), params)
     if cond:
         ds = ds.map_batches(_ConditionFilter,
                             fn_constructor_kwargs=dict(cond=cond),
@@ -239,21 +273,23 @@ def compile_extract(src: dict) -> rd.Dataset:
     for qds in src.get("extraQueryDataSource", []):
         ds = ds.map_batches(
             QueryDataSourceStage,
-            fn_constructor_kwargs=dict(sf_dir=src["sfDir"],
-                                       query=qds["query"],
-                                       required=bool(qds.get("required", False))),
+            fn_constructor_kwargs=dict(
+                sf_dir=src["sfDir"],
+                query=bind_params(qds["query"], params),
+                required=bool(qds.get("required", False))),
             batch_format="pyarrow", concurrency=(1, 8))
     return ds
 
 
-def _run_item(item: dict, outputs: dict[str, str]) -> None:
+def _run_item(item: dict, outputs: dict[str, str],
+              params: dict | None = None) -> None:
     """One etlConfiguration item (srcConf → dstConf list), then its nested
     ``child`` item(s) — the reference's chained operation controllers
     (``conf/EtlOperationConfig.java:490-499``: children start after the
     parent operation completes)."""
     from .export import export_files
 
-    ds = compile_extract(item["srcConf"])
+    ds = compile_extract(item["srcConf"], params)
     for dst in item["dstConf"]:
         if dst["tableName"] in outputs:
             # D3 — duplicate destination items are a config error (two items
@@ -272,7 +308,7 @@ def _run_item(item: dict, outputs: dict[str, str]) -> None:
         outputs[dst["tableName"]] = out_dir
     child = item.get("child")
     for c in ([child] if isinstance(child, dict) else (child or [])):
-        _run_item(c, outputs)
+        _run_item(c, outputs, params)
 
 
 def _run_quick_merge(cfg: dict, outputs: dict[str, str]) -> None:
@@ -289,7 +325,8 @@ def _run_quick_merge(cfg: dict, outputs: dict[str, str]) -> None:
                         columns=src.get("columns"))
 
         ds = _events_defaults(ds, lsn=int(src.get("lsn", 0)))
-        cond = src.get("extraConditionForExtract")
+        cond = bind_params(src.get("extraConditionForExtract"),
+                           cfg.get("params"))
         if cond:
             ds = ds.map_batches(_ConditionFilter,
                                 fn_constructor_kwargs=dict(cond=cond),
@@ -330,7 +367,8 @@ def _run_load(cfg: dict, outputs: dict[str, str]) -> None:
     for item in cfg["etlConfiguration"]:
         src = item["srcConf"]
         ds = read_export(src["importDir"], fmt=src.get("format", "json"))
-        cond = src.get("extraConditionForExtract")
+        cond = bind_params(src.get("extraConditionForExtract"),
+                           cfg.get("params"))
         if cond:
             ds = ds.map_batches(_ConditionFilter,
                                 fn_constructor_kwargs=dict(cond=cond),
@@ -442,7 +480,8 @@ def _run_detect_gaps(cfg: dict, outputs: dict[str, str]) -> None:
     for item in cfg["etlConfiguration"]:
         src = item["srcConf"]
         ds = read_table(src["sfDir"], src["tableName"])
-        cond = src.get("extraConditionForExtract")
+        cond = bind_params(src.get("extraConditionForExtract"),
+                           cfg.get("params"))
         if cond:
             ds = ds.map_batches(_ConditionFilter,
                                 fn_constructor_kwargs=dict(cond=cond),
@@ -584,7 +623,7 @@ def run_config(cfg: dict | str, _seen: frozenset = frozenset()) -> dict[str, str
     outputs: dict[str, str] = {}
     if ptype in ("ETL", "RE_ETL", "DB_EXTRACT", "DB_QUICK_EXPORT"):
         for item in cfg["etlConfiguration"]:
-            _run_item(item, outputs)
+            _run_item(item, outputs, cfg.get("params"))
     elif ptype in ("DB_QUICK_MERGE_WITH_DATABASE_GENERATION",
                    "DB_QUICK_MERGE_WITH_ENTITY_GENERATION", "DB_QUICK_MERGE"):
         _run_quick_merge(cfg, outputs)

@@ -249,3 +249,38 @@ def test_transport_process_moves_files_with_backup(ray_session, tmp_path):
     assert not (exp / "batch-1.json").exists()  # moved to bkp
     run_config(cfg)  # rerun with empty export dir: no-op
     assert sorted(p.name for p in imp.iterdir()) == ["batch-1.json", "batch-2.json"]
+
+
+def test_process_params_bind_into_conditions_and_queries(ray_session, tmp_path):
+    # reference README:37,251-252 — @name params bound from the process map;
+    # unknown @tokens survive for per-record binding
+    from openmrs_module_epts_etl_ray.pipelines.config import bind_params
+
+    assert bind_params("seg = @seg AND bal > @cut AND k IN (@ks)",
+                       {"seg": "BUILDING", "cut": 10,
+                        "ks": [1, 2, 3]}) == \
+        "seg = 'BUILDING' AND bal > 10 AND k IN (1, 2, 3)"
+    assert bind_params("SELECT * FROM @tab WHERE a = @field",
+                       {"tab": {"identifier": "orders"}}) == \
+        "SELECT * FROM orders WHERE a = @field"
+    assert bind_params("x = @quote", {"quote": "O'Brien"}) == "x = 'O''Brien'"
+
+    out = tmp_path / "seg"
+    run_config({
+        "processType": "etl",
+        "params": {"seg": "BUILDING", "minBal": 9000},
+        "etlConfiguration": [{
+            "srcConf": {"tableName": "customer", "sfDir": SF,
+                        "extraConditionForExtract":
+                            "c_mktsegment = @seg AND c_acctbal > @minBal"},
+            "dstConf": [{"tableName": "seg", "outDir": str(out), "mapping": [
+                {"srcField": "c_custkey", "dstField": "id"},
+                {"srcField": "c_mktsegment", "dstField": "seg"},
+            ]}],
+        }],
+    })
+    got = pq.read_table(str(out)).to_pandas()
+    con = duckdb.connect()
+    n = con.sql(f"""SELECT count(*) FROM read_parquet('{SF}/customer.parquet')
+        WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000""").fetchone()[0]
+    assert len(got) == n > 0 and (got["seg"] == "BUILDING").all()
