@@ -244,6 +244,15 @@ def compile_extract(src: dict, params: dict | None = None) -> rd.Dataset:
 
         aux = read_table(src["sfDir"], sj["tableName"],
                          columns=sj.get("columns"))
+        jcond = bind_params(sj.get("joinExtraCondition"), params)
+        if jcond:
+            # aux-side ON-clause constraint (reference README:252): filtering
+            # the aux side BEFORE the join gives exact ON ... AND <cond>
+            # semantics for both inner and left joins when the condition
+            # references aux columns (the reference's usage)
+            aux = aux.map_batches(_ConditionFilter,
+                                  fn_constructor_kwargs=dict(cond=jcond),
+                                  batch_format="pyarrow", concurrency=(1, 4))
         pairs = _join_fields(sj)
         s_keys = [s for s, _ in pairs]
         a_keys = [a for _, a in pairs]

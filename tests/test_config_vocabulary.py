@@ -284,3 +284,30 @@ def test_process_params_bind_into_conditions_and_queries(ray_session, tmp_path):
     n = con.sql(f"""SELECT count(*) FROM read_parquet('{SF}/customer.parquet')
         WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000""").fetchone()[0]
     assert len(got) == n > 0 and (got["seg"] == "BUILDING").all()
+
+
+def test_self_join_extra_condition(ray_session):
+    # joinExtraCondition constrains the aux side (ON ... AND cond), with a
+    # @param binding; left join null-fills non-matching aux rows
+    src = {
+        "sfDir": SF, "tableName": "orders",
+        "columns": ["o_orderkey", "o_custkey"],
+        "selfJoinTables": [{
+            "tableName": "customer", "joinType": "left",
+            "columns": ["c_custkey", "c_mktsegment"],
+            "joinExtraCondition": "c_mktsegment = @seg",
+            "joinFields": [{"srcField": "o_custkey", "dstField": "c_custkey"}],
+        }],
+    }
+    got = compile_extract(src, {"seg": "BUILDING"}).to_pandas()
+    con = duckdb.connect()
+    want = con.sql(f"""
+        SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment
+        FROM read_parquet('{SF}/orders.parquet') o
+        LEFT JOIN read_parquet('{SF}/customer.parquet') c
+          ON c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING'
+        """).df()
+    got = got.sort_values("o_orderkey").reset_index(drop=True)[want.columns.tolist()]
+    want = want.sort_values("o_orderkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got["c_mktsegment"].isna().any()  # some orders miss the segment
