@@ -57,7 +57,9 @@ def q_cdc_replay_lww(sf_dir: str):
     (SURVEY §2.12 / §7.1). Events derived deterministically from documents."""
     events = events_from_documents(sf_dir)
     lake = _scratch("cdc_lake")
-    replay(events, lake, num_buckets=32).materialize()  # consume lineage
+    # 16 buckets ≈ a few hundred keys each at this input size — 32 was
+    # over-partitioned (each extra bucket costs a commit-file write)
+    replay(events, lake, num_buckets=16).materialize()  # consume lineage
     state = read_lake(lake)
 
     def project(t: pa.Table) -> pa.Table:
@@ -164,7 +166,7 @@ def q_cdc_replay_windowed(sf_dir: str):
     cuts = [hi // 3, (2 * hi) // 3, hi]
     lo = -1
     for c in cuts:
-        replay(events, lake, num_buckets=32, lsn_range=(lo, c)).materialize()
+        replay(events, lake, num_buckets=16, lsn_range=(lo, c)).materialize()
         lo = c
     return _project_lake(read_lake(lake))
 
@@ -176,7 +178,7 @@ def q_cdc_replay_compacted(sf_dir: str):
 
     events = events_from_documents(sf_dir)
     lake = _scratch("cdc_lake_c")
-    replay(events, lake, num_buckets=32).materialize()
+    replay(events, lake, num_buckets=16).materialize()
     compact_lake(lake)
     return _project_lake(read_lake(lake))
 
