@@ -399,6 +399,31 @@ def q_quick_merge_customers(sf_dir: str):
     return read_lake(lake).select_columns(["id", "name", "acctbal"])
 
 
+def q_late_events(sf_dir: str):
+    """Event-time watermark / late-arrival detection via the distributed
+    prefix scan (stages/scan.py::running_max): watermark = running max of
+    event time over arrival order (a deterministic hash permutation of
+    event_id stands in for a wire arrival order); rows lagging the
+    watermark by > 7 days are late. Oracle: SQL window running MAX."""
+    from ..stages.scan import running_max
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "ts"])
+
+    def arrival(t: pa.Table) -> pa.Table:
+        a = (t["event_id"].to_numpy() * 2654435761) % (1 << 32)
+        return t.append_column("arrival", pa.array(a.astype("int64")))
+
+    scanned = running_max(ev.map_batches(arrival, batch_format="pyarrow"),
+                          ["arrival", "event_id"], "ts", out_col="wm")
+
+    def late(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["ts"] + pd.Timedelta(days=7) < df["wm"]
+        return df.loc[keep, ["event_id", "event_type", "ts", "wm"]]
+
+    return scanned.map_batches(late, batch_format="pandas")
+
+
 def q_cc_chain_clusters(sf_dir: str):
     """Oracle-checked connected components: a deterministic chain graph over
     documents (edge (d, d+1) iff d % 5 < 3) whose components are
@@ -1188,6 +1213,7 @@ QUERIES = {
     "id_collision_repoint": q_id_collision_repoint,
     "config_join_extract": q_config_join_extract,
     "cc_chain_clusters": q_cc_chain_clusters,
+    "late_events": q_late_events,
     "jaccard_pairs": q_jaccard_pairs,
     "load_merge_from_json": q_load_merge_from_json,
     "value_percentiles": q_value_percentiles,
@@ -1338,6 +1364,17 @@ JOIN customer c ON c.c_custkey = o.o_custkey AND c.c_custkey % 3 <> 0
 """,
     "export_roundtrip": """
 SELECT c_custkey, c_name, c_mktsegment FROM customer
+""",
+    "late_events": """
+WITH w AS (
+  SELECT event_id, event_type, ts,
+         MAX(ts) OVER (ORDER BY (event_id * 2654435761) % 4294967296,
+                                event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS wm
+  FROM events)
+SELECT event_id, event_type, ts, wm FROM w
+WHERE ts + INTERVAL 7 DAY < wm
 """,
     "jaccard_pairs": """
 WITH t AS (

@@ -1,0 +1,99 @@
+"""Distributed prefix scan (running aggregate over a global order).
+
+An operator class Ray Data lacks natively: ``running_max`` computes, for
+every row, the max of ``value_col`` over all rows at-or-before it in
+``order_cols`` order — the event-time WATERMARK of a streaming system
+(late-event detection: a row whose value lags the running max by more than
+the allowed lateness arrived late; reference analogue: the stage-area
+observation-date ordering that decides stale updates,
+``model/EtlDatabaseObject.java:677-714``).
+
+Shape (two passes, nothing large ever driver-side):
+
+1. RANGE-partition on the primary order column (bucket = affine map of the
+   order value — co-locates each contiguous order range; the same layout
+   ``stages/gap_detect.py`` uses for boundary stitching).
+2. Pass A: per-block partial (bucket, max) pairs — tiny (#blocks × buckets
+   per block rows) — folded into per-bucket maxima, then an EXCLUSIVE
+   prefix max over bucket order gives each bucket's carry-in. Only
+   O(num_buckets) values touch the driver.
+3. Pass B: one groupby(bucket) cogroup; inside each bucket a vectorized
+   sort + ``np.maximum.accumulate`` merged with the carry-in.
+
+Partitioning assumption: the primary order column distributes roughly
+uniformly over its range (ids / timestamps do); a skewed order axis needs
+quantile-based range bounds upstream.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+_RB = "_range_bucket"
+
+
+def _num_buckets() -> int:
+    try:
+        return max(8, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        return 8
+
+
+def running_max(
+    ds: rd.Dataset,
+    order_cols: list[str],
+    value_col: str,
+    *,
+    out_col: str = "running_max",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Append ``out_col`` = max of ``value_col`` over all rows at-or-before
+    each row in ``order_cols`` order (inclusive). ``order_cols[0]`` must be
+    integer-like (the range-partition axis); the remaining columns only
+    break ties."""
+    from ray.data.aggregate import Max, Min
+
+    nb = num_buckets or _num_buckets()
+    primary = order_cols[0]
+    bounds = ds.aggregate(Min(primary), Max(primary))
+    lo = int(bounds[f"min({primary})"])
+    hi = int(bounds[f"max({primary})"])
+    span = max(1, hi - lo + 1)
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        b = ((df[primary].to_numpy().astype(np.int64) - lo) * nb) // span
+        return df.assign(**{_RB: b.astype(np.int64)})
+
+    bucketed = ds.map_batches(bucketize, batch_format="pandas").materialize()
+
+    # pass A: per-block partial maxima -> per-bucket maxima -> exclusive
+    # prefix max = each bucket's carry-in (O(num_buckets) driver values)
+    partials = bucketed.map_batches(
+        lambda df: df.groupby(_RB, as_index=False)[value_col].max(),
+        batch_format="pandas").take_all()
+    bucket_max: dict[int, object] = {}
+    for row in partials:
+        b, v = int(row[_RB]), row[value_col]
+        if b not in bucket_max or v > bucket_max[b]:
+            bucket_max[b] = v
+    carry: dict[int, object] = {}
+    run = None
+    for b in sorted(bucket_max):
+        carry[b] = run
+        run = bucket_max[b] if run is None else max(run, bucket_max[b])
+    carry_ref = ray.put(carry)
+
+    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(carry_ref)
+        g = g.sort_values(order_cols, kind="stable")
+        vals = g[value_col].to_numpy()
+        out = np.maximum.accumulate(vals)
+        cin = c.get(int(g[_RB].iloc[0]))
+        if cin is not None:
+            out = np.maximum(out, np.asarray(cin, dtype=vals.dtype))
+        return g.assign(**{out_col: out}).drop(columns=[_RB])
+
+    return bucketed.groupby(_RB).map_groups(scan_bucket, batch_format="pandas")

@@ -1,0 +1,40 @@
+"""Distributed prefix scan (stages/scan.py::running_max)."""
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from openmrs_module_epts_etl_ray.stages.scan import running_max
+
+
+def test_running_max_matches_sequential(ray_session):
+    rng = np.random.default_rng(3)
+    n = 5000
+    order = rng.permutation(n).astype("int64")          # dense but shuffled
+    vals = rng.integers(0, 1_000_000, n).astype("int64")
+    ds = rd.from_arrow(pa.table({"o": order, "v": vals})).repartition(8)
+    got = running_max(ds, ["o"], "v", out_col="rm", num_buckets=7) \
+        .to_pandas().sort_values("o").reset_index(drop=True)
+    want = pd.DataFrame({"o": np.sort(order)})
+    seq = pd.DataFrame({"o": order, "v": vals}).sort_values("o")
+    want["rm"] = np.maximum.accumulate(seq["v"].to_numpy())
+    assert (got["rm"].to_numpy() == want["rm"].to_numpy()).all()
+
+
+def test_running_max_timestamps_with_ties(ray_session):
+    # tie on the primary order column broken by the second; carry crosses
+    # every bucket boundary (monotonically decreasing values never update)
+    o = np.array([1, 1, 2, 3, 4, 5, 6, 7], dtype="int64")
+    tb = np.array([1, 0, 0, 0, 0, 0, 0, 0], dtype="int64")
+    ts = pd.to_datetime([
+        "2024-01-05", "2024-01-09", "2024-01-02", "2024-01-01",
+        "2024-01-03", "2024-01-02", "2024-01-01", "2024-01-04"])
+    ds = rd.from_arrow(pa.table({
+        "o": o, "tb": tb,
+        "ts": pa.array(ts.astype("datetime64[us]"))})).repartition(3)
+    got = running_max(ds, ["o", "tb"], "ts", out_col="wm", num_buckets=4) \
+        .to_pandas().sort_values(["o", "tb"]).reset_index(drop=True)
+    # sequential truth over (o, tb) order: (1,0)='01-09' sorts FIRST (the
+    # tie-break) and dominates every subsequent row
+    assert got["wm"].dt.strftime("%Y-%m-%d").tolist() == ["2024-01-09"] * 8
+    assert got.loc[0, "tb"] == 0 and got.loc[1, "tb"] == 1
