@@ -424,6 +424,26 @@ def q_late_events(sf_dir: str):
     return scanned.map_batches(late, batch_format="pandas")
 
 
+def q_cumulative_value(sf_dir: str):
+    """Cumulative revenue over event order (distributed prefix SUM,
+    stages/scan.py::running_sum). Integer cents (floor(value*100)) keep the
+    bucketed summation tree exactly equal to the oracle's sequential
+    window sum — float prefix sums are order-sensitive in the last ulp."""
+    from ..stages.scan import running_sum
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.floor(t["value"].to_numpy() * 100).astype("int64")
+        return pa.table({"event_id": t["event_id"],
+                         "value_cents": pa.array(c)})
+
+    scanned = running_sum(ev.map_batches(cents, batch_format="pyarrow"),
+                          ["event_id"], "value_cents", out_col="cum_cents")
+    return scanned.map_batches(
+        lambda df: df[["event_id", "cum_cents"]], batch_format="pandas")
+
+
 def q_cc_chain_clusters(sf_dir: str):
     """Oracle-checked connected components: a deterministic chain graph over
     documents (edge (d, d+1) iff d % 5 < 3) whose components are
@@ -1214,6 +1234,7 @@ QUERIES = {
     "config_join_extract": q_config_join_extract,
     "cc_chain_clusters": q_cc_chain_clusters,
     "late_events": q_late_events,
+    "cumulative_value": q_cumulative_value,
     "jaccard_pairs": q_jaccard_pairs,
     "load_merge_from_json": q_load_merge_from_json,
     "value_percentiles": q_value_percentiles,
@@ -1364,6 +1385,13 @@ JOIN customer c ON c.c_custkey = o.o_custkey AND c.c_custkey % 3 <> 0
 """,
     "export_roundtrip": """
 SELECT c_custkey, c_name, c_mktsegment FROM customer
+""",
+    "cumulative_value": """
+SELECT event_id,
+       SUM(CAST(FLOOR(value * 100) AS BIGINT))
+         OVER (ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+FROM events
 """,
     "late_events": """
 WITH w AS (

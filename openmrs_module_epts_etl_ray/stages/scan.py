@@ -42,18 +42,18 @@ def _num_buckets() -> int:
         return 8
 
 
-def running_max(
+def _running_scan(
     ds: rd.Dataset,
     order_cols: list[str],
     value_col: str,
     *,
-    out_col: str = "running_max",
-    num_buckets: int | None = None,
+    out_col: str,
+    num_buckets: int | None,
+    block_fold: str,          # pandas groupby agg name for pass-A partials
+    py_fold,                  # fold two partials (python scalars)
+    accumulate,               # np ufunc .accumulate for within-bucket scan
+    apply_carry,              # (scanned ndarray, carry scalar) -> ndarray
 ) -> rd.Dataset:
-    """Append ``out_col`` = max of ``value_col`` over all rows at-or-before
-    each row in ``order_cols`` order (inclusive). ``order_cols[0]`` must be
-    integer-like (the range-partition axis); the remaining columns only
-    break ties."""
     from ray.data.aggregate import Max, Min
 
     nb = num_buckets or _num_buckets()
@@ -69,31 +69,65 @@ def running_max(
 
     bucketed = ds.map_batches(bucketize, batch_format="pandas").materialize()
 
-    # pass A: per-block partial maxima -> per-bucket maxima -> exclusive
-    # prefix max = each bucket's carry-in (O(num_buckets) driver values)
+    # pass A: per-block partials -> per-bucket fold -> EXCLUSIVE prefix fold
+    # = each bucket's carry-in (only O(num_buckets) values touch the driver)
     partials = bucketed.map_batches(
-        lambda df: df.groupby(_RB, as_index=False)[value_col].max(),
+        lambda df: df.groupby(_RB, as_index=False)[value_col].agg(block_fold),
         batch_format="pandas").take_all()
-    bucket_max: dict[int, object] = {}
+    bucket_fold: dict[int, object] = {}
     for row in partials:
         b, v = int(row[_RB]), row[value_col]
-        if b not in bucket_max or v > bucket_max[b]:
-            bucket_max[b] = v
+        bucket_fold[b] = v if b not in bucket_fold else py_fold(bucket_fold[b], v)
     carry: dict[int, object] = {}
     run = None
-    for b in sorted(bucket_max):
+    for b in sorted(bucket_fold):
         carry[b] = run
-        run = bucket_max[b] if run is None else max(run, bucket_max[b])
+        run = bucket_fold[b] if run is None else py_fold(run, bucket_fold[b])
     carry_ref = ray.put(carry)
 
     def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
         c = ray.get(carry_ref)
         g = g.sort_values(order_cols, kind="stable")
         vals = g[value_col].to_numpy()
-        out = np.maximum.accumulate(vals)
+        out = accumulate(vals)
         cin = c.get(int(g[_RB].iloc[0]))
         if cin is not None:
-            out = np.maximum(out, np.asarray(cin, dtype=vals.dtype))
+            out = apply_carry(out, np.asarray(cin, dtype=vals.dtype))
         return g.assign(**{out_col: out}).drop(columns=[_RB])
 
     return bucketed.groupby(_RB).map_groups(scan_bucket, batch_format="pandas")
+
+
+def running_max(
+    ds: rd.Dataset,
+    order_cols: list[str],
+    value_col: str,
+    *,
+    out_col: str = "running_max",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Append ``out_col`` = max of ``value_col`` over all rows at-or-before
+    each row in ``order_cols`` order (inclusive). ``order_cols[0]`` must be
+    integer-like (the range-partition axis); the remaining columns only
+    break ties."""
+    return _running_scan(
+        ds, order_cols, value_col, out_col=out_col, num_buckets=num_buckets,
+        block_fold="max", py_fold=max,
+        accumulate=np.maximum.accumulate, apply_carry=np.maximum)
+
+
+def running_sum(
+    ds: rd.Dataset,
+    order_cols: list[str],
+    value_col: str,
+    *,
+    out_col: str = "running_sum",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Inclusive prefix sum in ``order_cols`` order. Use an INTEGER value
+    column: float addition is non-associative, so a bucketed scan's
+    summation tree would drift from a sequential oracle in the last ulp."""
+    return _running_scan(
+        ds, order_cols, value_col, out_col=out_col, num_buckets=num_buckets,
+        block_fold="sum", py_fold=lambda a, b: a + b,
+        accumulate=np.cumsum, apply_carry=lambda out, c: out + c)
