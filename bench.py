@@ -43,7 +43,8 @@ BENCH_QUERIES = [
     "quick_merge_customers", "asof_last_purchase",
     "range_join_clicks_after_signup", "windowed_aggregate",
     "embedding_near_dups", "lookup_query_datasource",
-    "config_join_extract", "cc_chain_clusters",
+    "config_join_extract", "cc_chain_clusters", "late_events",
+    "cumulative_value",
 ]
 
 
