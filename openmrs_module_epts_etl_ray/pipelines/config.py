@@ -439,7 +439,6 @@ def _run_transport(cfg: dict, outputs: dict[str, str]) -> None:
         os.makedirs(import_dir, exist_ok=True)
         if bkp_dir:
             os.makedirs(bkp_dir, exist_ok=True)
-        moved = 0
         for p in sorted(glob.glob(os.path.join(export_dir, "*"))):
             if not os.path.isfile(p) or not p.endswith(exts):
                 continue
@@ -452,7 +451,6 @@ def _run_transport(cfg: dict, outputs: dict[str, str]) -> None:
                 os.replace(tmp, target)
             if bkp_dir:
                 os.replace(p, os.path.join(bkp_dir, name))
-            moved += 1
         outputs[src.get("tableName", os.path.basename(export_dir))] = import_dir
 
 

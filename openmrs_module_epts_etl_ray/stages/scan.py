@@ -59,6 +59,11 @@ def _running_scan(
     nb = num_buckets or _num_buckets()
     primary = order_cols[0]
     bounds = ds.aggregate(Min(primary), Max(primary))
+    if not bounds or bounds.get(f"min({primary})") is None:
+        # empty input: keep the schema contract (out_col present, 0 rows)
+        return ds.map_batches(
+            lambda df: df.assign(**{out_col: df[value_col]}),
+            batch_format="pandas")
     lo = int(bounds[f"min({primary})"])
     hi = int(bounds[f"max({primary})"])
     span = max(1, hi - lo + 1)
