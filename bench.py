@@ -79,13 +79,20 @@ def run_headline(event_dir: str) -> dict:
 
 
 def prepare_events() -> str:
-    """Synthesize the event log to Parquet once (cached per size/seed)."""
+    """Synthesize the event log to Parquet once (cached per size/seed).
+    A `_SUCCESS` marker guards the cache: a killed generation otherwise
+    leaves a partial directory that silently benches a fraction of
+    N_EVENTS (observed: a 590s-timeout kill left 64M of 256M rows and the
+    next run reported 4x-inflated events/sec)."""
     out = f"/tmp/bench_events_{N_EVENTS}_{N_KEYS}"
-    if not os.path.isdir(out) or not os.listdir(out):
+    marker = out + "._SUCCESS"  # beside the dir: read_parquet must not see it
+    if not os.path.exists(marker):
         from openmrs_module_epts_etl_ray.sources.event_log import synthesize_event_log
         shutil.rmtree(out, ignore_errors=True)
         synthesize_event_log(N_EVENTS, n_keys=N_KEYS, n_shards=64,
                              zipf_s=1.2, dup_rate=0.01).write_parquet(out)
+        with open(marker, "w") as fh:
+            fh.write("ok")
     else:
         # warm the page cache so timed runs measure compute + shuffle
         for f in os.listdir(out):
