@@ -154,8 +154,24 @@ def broadcast_inner_join(
         if rk == list(keys):
             return inner_join(left, right, keys)
         return inner_join(left, right, keys, right_on=tuple(rk))
+    from .asof import _nullable, _pd_dtypes, _zero_masked
+
     rdf = right.to_pandas().dropna(subset=rk)  # SQL: null keys never match
     ref = ray.put(rdf)
+    # pandas NaN promotion float-coerces nullable int columns on BOTH sides
+    # of the merge; restore each side's Arrow dtypes afterwards so this path
+    # emits byte-identical columns to the shuffle join (nullable extension
+    # dtypes with zeroed masked bytes, never NaN-float int64s)
+    left_dtypes = _pd_dtypes(left.schema())
+    right_dtypes = _pd_dtypes(right.schema())
+
+    def _restore(m: pd.DataFrame, col: str, want) -> None:
+        if col in m.columns and str(m[col].dtype) != str(want):
+            target = _nullable(want) if m[col].isna().any() else want
+            try:
+                m[col] = m[col].astype(target)
+            except (TypeError, ValueError):
+                pass
 
     class Probe:
         # plain instance (task pool, fuses with the read); the broadcast
@@ -165,7 +181,15 @@ def broadcast_inner_join(
             m = df.merge(r, how="inner", left_on=list(keys), right_on=rk,
                          suffixes=("", "_r"))
             drop = [c for c in rk if c not in keys and c not in df.columns]
-            return m.drop(columns=drop, errors="ignore")
+            m = m.drop(columns=drop, errors="ignore")
+            for col, want in left_dtypes.items():
+                _restore(m, col, want)
+            for col, want in right_dtypes.items():
+                if col not in left_dtypes and col not in rk:
+                    _restore(m, col, want)
+            return _zero_masked(
+                m, [c for c in m.columns
+                    if getattr(m[c].array, "_mask", None) is not None])
 
     return left.map_batches(Probe(), batch_format="pandas")
 
