@@ -61,19 +61,26 @@ _TYPES = {
 
 
 class _ConditionFilter:
-    """Per-actor DuckDB evaluation of the extraction condition: the
-    connection is built ONCE per actor (a fresh connect per batch costs more
-    than the filter itself on a many-block scan); each batch registers and
-    filters in-process — no data leaves the task."""
+    """DuckDB evaluation of the extraction condition as a PLAIN task-pool
+    instance: the connection opens lazily once per task (sub-ms) and every
+    batch registers and filters in-process — no data leaves the task. The
+    earlier actor-pool form paid ~0.8s of pool startup per query and never
+    amortized it (each query builds a fresh pool); the task form also fuses
+    with the upstream read (measured 0.93s -> 0.15s warm at sf0.1)."""
 
     def __init__(self, cond: str):
-        import duckdb
         self.cond = cond
-        self.con = duckdb.connect()
+        self.con = None
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        if self.con is None:
+            import duckdb
+            self.con = duckdb.connect()
         self.con.register("b", t)
         return self.con.sql(f"SELECT * FROM b WHERE {self.cond}").arrow()
+
+    def __getstate__(self):
+        return {"cond": self.cond, "con": None}  # connections don't pickle
 
 
 class QueryDataSourceStage:
@@ -233,9 +240,7 @@ def compile_extract(src: dict, params: dict | None = None) -> rd.Dataset:
                     columns=src.get("columns"))
     cond = bind_params(src.get("extraConditionForExtract"), params)
     if cond:
-        ds = ds.map_batches(_ConditionFilter,
-                            fn_constructor_kwargs=dict(cond=cond),
-                            batch_format="pyarrow", concurrency=(1, 8))
+        ds = ds.map_batches(_ConditionFilter(cond), batch_format="pyarrow")
     # selfJoinTables — aux tables joined INTO the extract, multiplicity
     # preserved (the reference splices them into the SELECT:
     # etl/model/EtlDatabaseObjectSearchParams.java:44-91, README:95-118)
@@ -250,9 +255,8 @@ def compile_extract(src: dict, params: dict | None = None) -> rd.Dataset:
             # the aux side BEFORE the join gives exact ON ... AND <cond>
             # semantics for both inner and left joins when the condition
             # references aux columns (the reference's usage)
-            aux = aux.map_batches(_ConditionFilter,
-                                  fn_constructor_kwargs=dict(cond=jcond),
-                                  batch_format="pyarrow", concurrency=(1, 4))
+            aux = aux.map_batches(_ConditionFilter(jcond),
+                                  batch_format="pyarrow")
         pairs = _join_fields(sj)
         s_keys = [s for s, _ in pairs]
         a_keys = [a for _, a in pairs]
@@ -337,9 +341,7 @@ def _run_quick_merge(cfg: dict, outputs: dict[str, str]) -> None:
         cond = bind_params(src.get("extraConditionForExtract"),
                            cfg.get("params"))
         if cond:
-            ds = ds.map_batches(_ConditionFilter,
-                                fn_constructor_kwargs=dict(cond=cond),
-                                batch_format="pyarrow", concurrency=(1, 8))
+            ds = ds.map_batches(_ConditionFilter(cond), batch_format="pyarrow")
         dst = item["dstConf"][0]
         lake = dst["lakeRoot"]
         quick_merge(ds, lake,
@@ -379,9 +381,7 @@ def _run_load(cfg: dict, outputs: dict[str, str]) -> None:
         cond = bind_params(src.get("extraConditionForExtract"),
                            cfg.get("params"))
         if cond:
-            ds = ds.map_batches(_ConditionFilter,
-                                fn_constructor_kwargs=dict(cond=cond),
-                                batch_format="pyarrow", concurrency=(1, 8))
+            ds = ds.map_batches(_ConditionFilter(cond), batch_format="pyarrow")
         dst = item["dstConf"][0]
         stage_dir = dst["stageDir"]
         export_files(ds, stage_dir, fmt="parquet")
@@ -490,9 +490,7 @@ def _run_detect_gaps(cfg: dict, outputs: dict[str, str]) -> None:
         cond = bind_params(src.get("extraConditionForExtract"),
                            cfg.get("params"))
         if cond:
-            ds = ds.map_batches(_ConditionFilter,
-                                fn_constructor_kwargs=dict(cond=cond),
-                                batch_format="pyarrow", concurrency=(1, 8))
+            ds = ds.map_batches(_ConditionFilter(cond), batch_format="pyarrow")
         ds = ds.select_columns([src["idColumn"]])
         gaps = detect_gaps(ds, src["idColumn"],
                            range_size=int(src.get("rangeSize", 100_000)))
