@@ -99,24 +99,36 @@ class QueryDataSourceStage:
     """
 
     def __init__(self, sf_dir: str, query: str, required: bool = False):
-        import glob
         import re
+
+        self.sf_dir = sf_dir
+        self.sql = re.sub(r"@(\w+)", r"m.\1", query)
+        self.join = "JOIN" if required else "LEFT JOIN"
+        self.con = None
+
+    def _connect(self):
+        import glob
 
         import duckdb
 
-        self.con = duckdb.connect()
-        for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        con = duckdb.connect()
+        for p in glob.glob(os.path.join(self.sf_dir, "*.parquet")):
             name = os.path.splitext(os.path.basename(p))[0]
-            self.con.sql(
-                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
-        self.sql = re.sub(r"@(\w+)", r"m.\1", query)
-        self.join = "JOIN" if required else "LEFT JOIN"
+            con.sql(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+        return con
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        if self.con is None:   # lazy per-task connect: view DDL is metadata-only
+            self.con = self._connect()
         self.con.register("m", t)
         return self.con.sql(
             f"SELECT m.*, ds.* FROM m {self.join} LATERAL ({self.sql}) ds ON TRUE"
         ).arrow()
+
+    def __getstate__(self):
+        d = dict(self.__dict__)
+        d["con"] = None        # connections don't pickle
+        return d
 
 
 def _resolve_callable(spec: str):
@@ -285,12 +297,11 @@ def compile_extract(src: dict, params: dict | None = None) -> rd.Dataset:
             columns=tds.get("columns"))
     for qds in src.get("extraQueryDataSource", []):
         ds = ds.map_batches(
-            QueryDataSourceStage,
-            fn_constructor_kwargs=dict(
+            QueryDataSourceStage(
                 sf_dir=src["sfDir"],
                 query=bind_params(qds["query"], params),
                 required=bool(qds.get("required", False))),
-            batch_format="pyarrow", concurrency=(1, 8))
+            batch_format="pyarrow")
     return ds
 
 

@@ -342,9 +342,8 @@ def q_lookup_query_datasource(sf_dir: str):
          "FROM orders WHERE o_custkey = @c_custkey "
          "ORDER BY o_totalprice DESC, o_orderkey LIMIT 1")
     return cust.map_batches(
-        QueryDataSourceStage,
-        fn_constructor_kwargs=dict(sf_dir=sf_dir, query=q, required=False),
-        batch_format="pyarrow", concurrency=(1, 8))
+        QueryDataSourceStage(sf_dir=sf_dir, query=q, required=False),
+        batch_format="pyarrow")
 
 
 def q_quick_merge_customers(sf_dir: str):
