@@ -423,6 +423,26 @@ def q_late_events(sf_dir: str):
     return scanned.map_batches(late, batch_format="pandas")
 
 
+def q_top_orders_per_segment(sf_dir: str):
+    """Grouped top-k (heavy hitters): the 3 highest-value orders per market
+    segment (stages/windows.py::grouped_topk — per-block partial top-k
+    combiner before the one exchange; A5 first/last probes made per-key)."""
+    from ..stages.lookup import datasource_lookup
+    from ..stages.windows import grouped_topk
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_mktsegment"])
+    enriched = datasource_lookup(orders, cust, [("o_custkey", "c_custkey")],
+                                 required=True, columns=["c_mktsegment"])
+    top = grouped_topk(enriched, ["c_mktsegment"], "o_totalprice", 3,
+                       tiebreak_cols=["o_orderkey"])
+    return top.map_batches(
+        lambda df: df[["c_mktsegment", "o_orderkey", "o_totalprice"]],
+        batch_format="pandas")
+
+
 def q_cumulative_value(sf_dir: str):
     """Cumulative revenue over event order (distributed prefix SUM,
     stages/scan.py::running_sum). Integer cents (floor(value*100)) keep the
@@ -1234,6 +1254,7 @@ QUERIES = {
     "cc_chain_clusters": q_cc_chain_clusters,
     "late_events": q_late_events,
     "cumulative_value": q_cumulative_value,
+    "top_orders_per_segment": q_top_orders_per_segment,
     "jaccard_pairs": q_jaccard_pairs,
     "load_merge_from_json": q_load_merge_from_json,
     "value_percentiles": q_value_percentiles,
@@ -1384,6 +1405,14 @@ JOIN customer c ON c.c_custkey = o.o_custkey AND c.c_custkey % 3 <> 0
 """,
     "export_roundtrip": """
 SELECT c_custkey, c_name, c_mktsegment FROM customer
+""",
+    "top_orders_per_segment": """
+WITH j AS (
+  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+         row_number() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey)
+SELECT c_mktsegment, o_orderkey, o_totalprice FROM j WHERE rn <= 3
 """,
     "cumulative_value": """
 SELECT event_id,

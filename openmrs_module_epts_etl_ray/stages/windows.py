@@ -268,3 +268,58 @@ def grouped_percentiles_approx(
         return pd.DataFrame(row)
 
     return partials.groupby(key_cols).map_groups(merge, batch_format="pandas")
+
+
+def grouped_topk(
+    ds,
+    key_cols: list[str],
+    order_col: str,
+    k: int,
+    *,
+    tiebreak_cols: list[str] | None = None,
+    descending: bool = True,
+):
+    """Top-k rows per key group (heavy hitters — e.g. the reference's
+    first/last record probes generalized per group, A5 /
+    ``ds.sort().limit()`` made per-key).
+
+    Scale shape: a per-BLOCK partial top-k first (each block contributes at
+    most k rows per key it sees), so the groupby exchange moves
+    O(blocks × keys_per_block × k) rows instead of the whole table; the
+    final per-group top-k runs over those partials. Ties break
+    deterministically on ``tiebreak_cols`` (ascending) so the result is
+    run-to-run and oracle stable.
+    """
+    import numpy as np
+    import pandas as pd
+    from pandas.util import hash_pandas_object
+
+    import ray
+
+    keys = list(key_cols)
+    tb = list(tiebreak_cols or [])
+    by = [order_col] + tb
+    asc = [not descending] + [True] * len(tb)
+    try:
+        n_coarse = 4 * max(8, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        n_coarse = 32
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(by, ascending=asc, kind="stable")
+                .groupby(keys, as_index=False, sort=False)
+                .head(k))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = topk(df)
+        # coarse key-hash bucket: the final exchange groups on it (one
+        # vectorized topk per coarse group) instead of on the raw keys
+        # (which would invoke Python once per key)
+        kv = (df[keys[0]] if len(keys) == 1
+              else df[keys].astype(str).agg("|".join, axis=1))
+        h = hash_pandas_object(kv, index=False).to_numpy()
+        return df.assign(_kc=(h % np.uint64(n_coarse)).astype("int64"))
+
+    return ds.map_batches(partial, batch_format="pandas") \
+        .groupby("_kc").map_groups(
+            lambda g: topk(g.drop(columns=["_kc"])), batch_format="pandas")

@@ -38,3 +38,24 @@ def test_running_max_timestamps_with_ties(ray_session):
     # tie-break) and dominates every subsequent row
     assert got["wm"].dt.strftime("%Y-%m-%d").tolist() == ["2024-01-09"] * 8
     assert got.loc[0, "tb"] == 0 and got.loc[1, "tb"] == 1
+
+
+def test_grouped_topk_high_cardinality(ray_session):
+    # per-key top-k with thousands of keys: the coarse-bucket exchange must
+    # produce exactly the pandas truth (deterministic tie-break)
+    from openmrs_module_epts_etl_ray.stages.windows import grouped_topk
+
+    rng = np.random.default_rng(9)
+    n = 20000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 3000, n).astype("int64"),
+        "v": rng.integers(0, 50, n).astype("int64"),   # many ties
+        "id": np.arange(n, dtype="int64"),
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(8)
+    got = grouped_topk(ds, ["k"], "v", 2, tiebreak_cols=["id"]) \
+        .to_pandas().sort_values(["k", "id"]).reset_index(drop=True)
+    want = (df.sort_values(["v", "id"], ascending=[False, True], kind="stable")
+            .groupby("k", as_index=False, sort=False).head(2)
+            .sort_values(["k", "id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[["k", "v", "id"]], want[["k", "v", "id"]])
