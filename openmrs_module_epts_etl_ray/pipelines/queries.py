@@ -443,6 +443,32 @@ def q_top_orders_per_segment(sf_dir: str):
         batch_format="pandas")
 
 
+def q_distinct_users_exact(sf_dir: str):
+    """Exact grouped COUNT(DISTINCT) — the truth the HLL sketch
+    approximates; per-block (key, value) dedup shrinks the exchange."""
+    ev = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    pre = ev.map_batches(
+        lambda df: df.drop_duplicates(["event_type", "user_id"]),
+        batch_format="pandas")
+    return pre.groupby("event_type").map_groups(
+        lambda g: pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n_users": [int(g["user_id"].nunique())]}),
+        batch_format="pandas")
+
+
+def q_approx_distinct_users(sf_dir: str):
+    """Mergeable HLL distinct-user sketch per event type
+    (stages/cardinality.py) — the 100-TB path of distinct_users_exact
+    (registers exchange instead of raw pairs). Approximate => rows-only;
+    tolerance vs exact asserted in tests."""
+    from ..stages.cardinality import approx_distinct
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    return approx_distinct(ev, ["event_type"], "user_id",
+                           out_col="n_users_approx")
+
+
 def q_cumulative_value(sf_dir: str):
     """Cumulative revenue over event order (distributed prefix SUM,
     stages/scan.py::running_sum). Integer cents (floor(value*100)) keep the
@@ -1255,6 +1281,8 @@ QUERIES = {
     "late_events": q_late_events,
     "cumulative_value": q_cumulative_value,
     "top_orders_per_segment": q_top_orders_per_segment,
+    "distinct_users_exact": q_distinct_users_exact,
+    "approx_distinct_users": q_approx_distinct_users,
     "jaccard_pairs": q_jaccard_pairs,
     "load_merge_from_json": q_load_merge_from_json,
     "value_percentiles": q_value_percentiles,
@@ -1405,6 +1433,10 @@ JOIN customer c ON c.c_custkey = o.o_custkey AND c.c_custkey % 3 <> 0
 """,
     "export_roundtrip": """
 SELECT c_custkey, c_name, c_mktsegment FROM customer
+""",
+    "distinct_users_exact": """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
 """,
     "top_orders_per_segment": """
 WITH j AS (

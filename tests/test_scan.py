@@ -59,3 +59,35 @@ def test_grouped_topk_high_cardinality(ray_session):
             .groupby("k", as_index=False, sort=False).head(2)
             .sort_values(["k", "id"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got[["k", "v", "id"]], want[["k", "v", "id"]])
+
+
+def test_hll_within_tolerance_and_merge_invariant(ray_session):
+    from openmrs_module_epts_etl_ray.stages.cardinality import (
+        _estimate, _registers, approx_distinct,
+    )
+
+    rng = np.random.default_rng(5)
+    # accuracy: standard error ~1.04/sqrt(4096) ≈ 1.6%; assert 5%
+    for true_n in (500, 20_000, 300_000):
+        vals = rng.integers(0, 10**12, true_n).astype("int64")
+        distinct = len(np.unique(vals))
+        est = _estimate(_registers(vals))
+        assert abs(est - distinct) / distinct < 0.05, (true_n, est, distinct)
+
+    # mergeability: union of split sketches == sketch of the union
+    vals = rng.integers(0, 10**9, 50_000).astype("int64")
+    whole = _registers(vals)
+    merged = np.maximum(_registers(vals[:20_000]), _registers(vals[20_000:]))
+    assert (whole == merged).all()
+
+    # grouped dataset path agrees with exact within tolerance
+    df = pd.DataFrame({
+        "k": rng.integers(0, 3, 30_000).astype("int64"),
+        "v": rng.integers(0, 5_000, 30_000).astype("int64"),
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(6)
+    got = approx_distinct(ds, ["k"], "v", out_col="n").to_pandas() \
+        .set_index("k")["n"]
+    for k, sub in df.groupby("k"):
+        exact = sub["v"].nunique()
+        assert abs(got[k] - exact) / exact < 0.05
