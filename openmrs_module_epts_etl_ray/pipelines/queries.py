@@ -443,6 +443,21 @@ def q_top_orders_per_segment(sf_dir: str):
         batch_format="pandas")
 
 
+def q_table_profile(sf_dir: str):
+    """Single-pass per-column profile of orders (nulls / bounds;
+    stages/profile.py). The sketch column (approx_distinct) is dropped here
+    so the row hashes against an exact SQL oracle; its tolerance is
+    asserted in tests."""
+    from ..stages.profile import profile_table
+
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    orders = read_table(sf_dir, "orders", columns=cols)
+    prof = profile_table(orders, columns=cols)
+    return prof.map_batches(
+        lambda df: df[["column", "n_rows", "n_nulls", "min", "max"]],
+        batch_format="pandas")
+
+
 def q_distinct_users_exact(sf_dir: str):
     """Exact grouped COUNT(DISTINCT) — the truth the HLL sketch
     approximates; per-block (key, value) dedup shrinks the exchange."""
@@ -1282,6 +1297,7 @@ QUERIES = {
     "cumulative_value": q_cumulative_value,
     "top_orders_per_segment": q_top_orders_per_segment,
     "distinct_users_exact": q_distinct_users_exact,
+    "table_profile": q_table_profile,
     "approx_distinct_users": q_approx_distinct_users,
     "jaccard_pairs": q_jaccard_pairs,
     "load_merge_from_json": q_load_merge_from_json,
@@ -1433,6 +1449,28 @@ JOIN customer c ON c.c_custkey = o.o_custkey AND c.c_custkey % 3 <> 0
 """,
     "export_roundtrip": """
 SELECT c_custkey, c_name, c_mktsegment FROM customer
+""",
+    "table_profile": """
+SELECT 'o_orderkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+       CAST(MIN(o_orderkey) AS VARCHAR) AS "min",
+       CAST(MAX(o_orderkey) AS VARCHAR) AS "max"
+FROM orders
+UNION ALL
+SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+       CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+       CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderdate', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
+       CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
+FROM orders
 """,
     "distinct_users_exact": """
 SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users

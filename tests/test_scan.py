@@ -91,3 +91,20 @@ def test_hll_within_tolerance_and_merge_invariant(ray_session):
     for k, sub in df.groupby("k"):
         exact = sub["v"].nunique()
         assert abs(got[k] - exact) / exact < 0.05
+
+
+def test_profile_approx_distinct_tolerance(ray_session):
+    from openmrs_module_epts_etl_ray.stages.profile import profile_table
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "a": rng.integers(0, 4000, 20000).astype("int64"),
+        "b": rng.choice(["x", "y", "z", None], 20000),
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(5)
+    prof = profile_table(ds).to_pandas().set_index("column")
+    assert prof.loc["a", "n_rows"] == 20000 and prof.loc["a", "n_nulls"] == 0
+    assert prof.loc["b", "n_nulls"] == int(df["b"].isna().sum())
+    exact = df["a"].nunique()
+    assert abs(prof.loc["a", "approx_distinct"] - exact) / exact < 0.05
+    assert prof.loc["b", "approx_distinct"] == 3  # tiny cardinality is exact-ish
