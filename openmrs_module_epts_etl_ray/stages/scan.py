@@ -68,8 +68,11 @@ def _running_scan(
     hi = int(bounds[f"max({primary})"])
     span = max(1, hi - lo + 1)
 
+    width = max(1, -(-span // nb))  # ceil: divide-first avoids the int64
+                                    # overflow of (x-lo)*nb on wide domains
+
     def bucketize(df: pd.DataFrame) -> pd.DataFrame:
-        b = ((df[primary].to_numpy().astype(np.int64) - lo) * nb) // span
+        b = (df[primary].to_numpy().astype(np.int64) - lo) // width
         return df.assign(**{_RB: b.astype(np.int64)})
 
     bucketed = ds.map_batches(bucketize, batch_format="pandas").materialize()
