@@ -350,12 +350,22 @@ def verify_jaccard(
     ref = ray.put((ids[order], texts))
 
     class Verify:
+        @staticmethod
+        def _texts(ids, texts, wanted: np.ndarray) -> list[str]:
+            # membership-guarded probe: a candidate id absent from the
+            # corpus resolves to empty text (the dict broadcast's .get
+            # fallback), never to a neighboring doc or an out-of-range take
+            idx = np.searchsorted(ids, wanted).clip(0, max(len(ids) - 1, 0))
+            if len(ids) == 0:
+                return [""] * len(wanted)
+            hit = ids[idx] == wanted
+            out = texts.take(pa.array(idx)).to_pylist()
+            return [t if h else "" for t, h in zip(out, hit)]
+
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             ids, texts = ray.get(ref)
-            ia = np.searchsorted(ids, batch["id_a"].to_numpy())
-            ib = np.searchsorted(ids, batch["id_b"].to_numpy())
-            ta = texts.take(pa.array(ia)).to_pylist()
-            tb = texts.take(pa.array(ib)).to_pylist()
+            ta = self._texts(ids, texts, batch["id_a"].to_numpy())
+            tb = self._texts(ids, texts, batch["id_b"].to_numpy())
             js = [
                 jaccard(word_shingles(a, k), word_shingles(b, k))
                 for a, b in zip(ta, tb)
