@@ -165,6 +165,16 @@ def main():
 
     queries = {}
     if not headline_only:
+        # Warm the OS page cache for the input tables (same treatment the
+        # event cache gets above): per-query times then measure compute +
+        # shuffle, not which query happens to touch a table first. r1
+        # implicitly ran warm (event synthesis read `documents` in-process);
+        # the on-disk event cache removed that read and silently re-billed
+        # the cold `documents` scan to the first documents query.
+        for f in sorted(Path(SF_DIR).glob("*.parquet")):
+            with open(f, "rb") as fh:
+                while fh.read(1 << 22):
+                    pass
         from openmrs_module_epts_etl_ray.pipelines.queries import QUERIES
         for name in BENCH_QUERIES:
             t0 = time.time()
