@@ -504,6 +504,31 @@ def q_cumulative_value(sf_dir: str):
         lambda df: df[["event_id", "cum_cents"]], batch_format="pandas")
 
 
+def q_pack_sequences(sf_dir: str):
+    """Sequence packing for training-corpus prep
+    (stages/packing.py::pack_sequences): concat documents in doc_id order,
+    cut every 2048 tokens; each doc's pack/offset is an exact function of
+    the distributed prefix sum of whitespace token counts."""
+    from ..functions import text as T
+    from ..stages.packing import pack_sequences
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      override_num_blocks=32)
+
+    def toks(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "n_tokens": T.token_count(df["text"]).to_numpy(),
+        })
+
+    packed = pack_sequences(docs.map_batches(toks, batch_format="pandas"),
+                            order_cols=["doc_id"], token_col="n_tokens",
+                            capacity=2048)
+    return packed.map_batches(
+        lambda df: df[["doc_id", "n_tokens", "pack_id", "pack_offset"]],
+        batch_format="pandas")
+
+
 def q_cc_chain_clusters(sf_dir: str):
     """Oracle-checked connected components: a deterministic chain graph over
     documents (edge (d, d+1) iff d % 5 < 3) whose components are
@@ -1295,6 +1320,7 @@ QUERIES = {
     "cc_chain_clusters": q_cc_chain_clusters,
     "late_events": q_late_events,
     "cumulative_value": q_cumulative_value,
+    "pack_sequences": q_pack_sequences,
     "top_orders_per_segment": q_top_orders_per_segment,
     "distinct_users_exact": q_distinct_users_exact,
     "table_profile": q_table_profile,
@@ -1807,6 +1833,24 @@ FROM good g JOIN winners w ON g.doc_id = w.doc_id
     "dedup_exact": """
 SELECT MIN(doc_id) AS doc_id, sha256(substring(text, 1, 80)) AS content_sha
 FROM documents GROUP BY sha256(substring(text, 1, 80))
+""",
+    "pack_sequences": """
+WITH toks AS (
+  SELECT doc_id,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+              AS BIGINT) AS n_tokens
+  FROM documents),
+cum AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS start
+  FROM toks)
+SELECT doc_id, n_tokens,
+       CAST(start // 2048 AS BIGINT) AS pack_id,
+       CAST(start % 2048 AS BIGINT) AS pack_offset
+FROM cum
 """,
     "token_stats": """
 SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,

@@ -108,3 +108,32 @@ def test_profile_approx_distinct_tolerance(ray_session):
     exact = df["a"].nunique()
     assert abs(prof.loc["a", "approx_distinct"] - exact) / exact < 0.05
     assert prof.loc["b", "approx_distinct"] == 3  # tiny cardinality is exact-ish
+
+
+def test_pack_sequences_concat_then_chunk(ray_session):
+    # zero-token docs, a doc spanning a pack boundary, and a doc longer
+    # than a whole pack; compare against the sequential definition
+    from openmrs_module_epts_etl_ray.stages.packing import pack_sequences
+
+    rng = np.random.default_rng(11)
+    n, cap = 3000, 64
+    ids = rng.permutation(n).astype("int64")
+    toks = rng.integers(0, 30, n).astype("int64")
+    toks[::97] = 0            # empties
+    toks[::151] = 200         # longer than a pack
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "n_tokens": toks})) \
+        .repartition(8)
+    got = pack_sequences(ds, order_cols=["doc_id"], token_col="n_tokens",
+                         capacity=cap, num_buckets=7) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    seq = pd.DataFrame({"doc_id": ids, "n_tokens": toks}) \
+        .sort_values("doc_id").reset_index(drop=True)
+    start = seq["n_tokens"].cumsum().to_numpy() - seq["n_tokens"].to_numpy()
+    assert (got["pack_id"].to_numpy() == start // cap).all()
+    assert (got["pack_offset"].to_numpy() == start % cap).all()
+    # a zero-token doc never advances the cursor: same pack/offset as the
+    # doc that follows it in order
+    z = np.flatnonzero(seq["n_tokens"].to_numpy() == 0)
+    z = z[z < n - 1]
+    nxt_start = start[z + 1]
+    assert (start[z] + seq["n_tokens"].to_numpy()[z] == nxt_start).all()
