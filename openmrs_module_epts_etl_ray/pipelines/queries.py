@@ -832,6 +832,25 @@ def q_priority_big_lineitem_orders(sf_dir: str):
     return hit.groupby("o_orderpriority").aggregate(Count(alias_name="n_orders"))
 
 
+def q_bloom_reconcile_customers(sf_dir: str):
+    """NOT EXISTS anti-join through the bloom shortcut
+    (stages/joins.py::bloom_anti_join): customers who never placed a small
+    order. Definite non-members (the bulk of a 100-TB reconcile scan) are
+    final without any exchange; only the bloom-positive rows take the
+    exact anti-join. Same answer as the exact paths — the bitmap is built
+    from per-block partials, keys never leave their workers."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_totalprice"])
+    small = filter_expr(orders,
+                        lambda t: pc.less(t["o_totalprice"], 5000.0))
+    small = small.map_batches(lambda t: pa.table({"c_custkey": t["o_custkey"]}),
+                              batch_format="pyarrow")
+    miss = joins.bloom_anti_join(cust, small, ["c_custkey"])
+    return miss.map_batches(lambda df: df[["c_custkey", "c_mktsegment"]],
+                            batch_format="pandas")
+
+
 def q_reconcile_orders(sf_dir: str):
     """Reconciliation (§3.3): src=orders vs a deterministically perturbed dst
     → missing / outdated / phantom classification in ONE co-grouped shuffle."""
@@ -1344,6 +1363,7 @@ QUERIES = {
     "revenue_by_nation": q_revenue_by_nation,
     "customers_without_orders": q_customers_without_orders,
     "priority_big_lineitem_orders": q_priority_big_lineitem_orders,
+    "bloom_reconcile_customers": q_bloom_reconcile_customers,
     "reconcile_orders": q_reconcile_orders,
     "fields_mapping": q_fields_mapping,
     "multi_dst_fanout": q_multi_dst_fanout,
@@ -1762,6 +1782,13 @@ FROM orders o
 WHERE EXISTS (SELECT 1 FROM lineitem l
               WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
 GROUP BY o_orderpriority
+""",
+    "bloom_reconcile_customers": """
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice < 5000)
 """,
     "reconcile_orders": """
 WITH dst AS (

@@ -120,6 +120,126 @@ def _membership_join(left, right, keys, *, keep_members, num_partitions, broadca
                      on=tuple(keys))
 
 
+def _bloom_params(n_keys: int, bits_per_key: int) -> tuple[int, int]:
+    """(m_bits, k) sized for ~n_keys entries; m is a power of two so the
+    modulo is a mask. bits_per_key=16, k=8 → ~0.06% false positives."""
+    m = 1024
+    while m < max(1024, n_keys * bits_per_key):
+        m <<= 1
+    k = max(1, min(8, round(0.693 * m / max(1, n_keys))))
+    return m, k
+
+
+def _bloom_build(right: rd.Dataset, keys: list[str], m_bits: int, k: int):
+    """Distributed bloom build: per-block bitmap partials (each a single
+    binary cell) OR-folded on the driver — only ``num_blocks × m/8`` bytes
+    ever leave the workers, never the keys themselves."""
+    import numpy as np
+
+    from ..functions.hashing import key_hash2
+
+    words = m_bits >> 6
+
+    def partial(t: pa.Table) -> pa.Table:
+        bm = np.zeros(words, dtype=np.uint64)
+        valid = pc.is_valid(_key_array(t, keys))
+        t = t.filter(valid)  # EXISTS never matches a null key
+        if len(t):
+            h1, h2 = key_hash2(t, tuple(keys))
+            for i in range(k):
+                idx = (h1 + np.uint64(i) * h2) & np.uint64(m_bits - 1)
+                np.bitwise_or.at(bm, (idx >> np.uint64(6)).astype(np.int64),
+                                 np.uint64(1) << (idx & np.uint64(63)))
+        return pa.table({"bloom": pa.array([bm.tobytes()], pa.binary())})
+
+    acc = None
+    for row in right.select_columns(keys).map_batches(
+            partial, batch_format="pyarrow").take_all():
+        bm = np.frombuffer(row["bloom"], dtype=np.uint64)
+        acc = bm.copy() if acc is None else acc | bm
+    if acc is None:
+        acc = np.zeros(words, dtype=np.uint64)
+    return ray.put(acc)
+
+
+class _BloomProbe:
+    """Task-pool batch filter against a broadcast bloom bitmap (zero-copy
+    numpy view from the object store). ``mode``:
+
+    - ``"maybe"``  — keep rows the filter MIGHT contain (semi pre-filter;
+      null keys dropped: EXISTS is false on null)
+    - ``"definite_out"`` — keep rows the filter definitely does NOT contain
+      (already-final anti-join rows; null keys kept: NOT EXISTS is true)
+    """
+
+    def __init__(self, bloom_ref, keys: list[str], m_bits: int, k: int, mode: str):
+        self.bloom_ref = bloom_ref
+        self.keys = keys
+        self.m_bits = m_bits
+        self.k = k
+        self.mode = mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from ..functions.hashing import key_hash2
+
+        bm = ray.get(self.bloom_ref)
+        valid = pc.is_valid(_key_array(batch, self.keys)).to_numpy(
+            zero_copy_only=False)
+        h1, h2 = key_hash2(batch, tuple(self.keys))
+        maybe = np.ones(len(batch), dtype=bool)
+        for i in range(self.k):
+            idx = (h1 + np.uint64(i) * h2) & np.uint64(self.m_bits - 1)
+            bit = (bm[(idx >> np.uint64(6)).astype(np.int64)]
+                   >> (idx & np.uint64(63))) & np.uint64(1)
+            maybe &= bit.astype(bool)
+        if self.mode == "maybe":
+            return batch.filter(pa.array(maybe & valid))
+        return batch.filter(pa.array(~(maybe & valid)))
+
+
+def bloom_semi_join(left: rd.Dataset, right: rd.Dataset, keys: list[str],
+                    *, bits_per_key: int = 16,
+                    num_partitions: int | None = None) -> rd.Dataset:
+    """EXISTS semi-join with a bloom pre-filter: the big left side is
+    reduced to probable matches BEFORE any exchange, so the exact join (a
+    broadcast membership probe or hash shuffle, auto-picked) only sees
+    ``|matches| + ~0.06%`` of left. The scale path for J7 when the right
+    key set is too large to broadcast exactly: the bitmap is
+    ``bits_per_key × |right|`` bits regardless of key width, built from
+    per-block partials (keys never leave their workers)."""
+    right = right.materialize()
+    m, k = _bloom_params(right.count(), bits_per_key)
+    ref = _bloom_build(right, keys, m, k)
+    survivors = left.map_batches(
+        _BloomProbe(ref, keys, m, k, "maybe"), batch_format="pyarrow")
+    # exact pass removes bloom false positives
+    return _membership_join(survivors, right, keys, keep_members=True,
+                            num_partitions=num_partitions, broadcast=None)
+
+
+def bloom_anti_join(left: rd.Dataset, right: rd.Dataset, keys: list[str],
+                    *, bits_per_key: int = 16,
+                    num_partitions: int | None = None) -> rd.Dataset:
+    """NOT EXISTS anti-join with a bloom shortcut: rows the filter
+    definitely lacks (the vast majority of a reconcile scan) are final
+    answers and never shuffle; only bloom-positive rows take the exact
+    anti-join. Null keys are kept directly (NOT EXISTS is true on null),
+    matching the exact paths."""
+    left = left.materialize()  # consumed by two branches
+    right = right.materialize()
+    m, k = _bloom_params(right.count(), bits_per_key)
+    ref = _bloom_build(right, keys, m, k)
+    definite = left.map_batches(
+        _BloomProbe(ref, keys, m, k, "definite_out"), batch_format="pyarrow")
+    possible = left.map_batches(
+        _BloomProbe(ref, keys, m, k, "maybe"), batch_format="pyarrow")
+    checked = _membership_join(possible, right, keys, keep_members=False,
+                               num_partitions=num_partitions, broadcast=None)
+    return definite.union(checked)
+
+
 def inner_join(left: rd.Dataset, right: rd.Dataset, keys: list[str],
                *, num_partitions: int | None = None, **kw) -> rd.Dataset:
     """J1/J2 required-datasource lookup = inner join (shuffled, hash-partitioned)."""

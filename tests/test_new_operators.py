@@ -444,3 +444,63 @@ def test_approx_percentiles_close_to_exact(ray_session):
     for q in ("p50", "p90", "p99"):
         rel = (approx[q] - exact[q]).abs() / exact[q]
         assert (rel < 0.05).all(), (q, rel.to_dict())
+
+
+def test_bloom_joins_match_exact(ray_session):
+    # dup keys on both sides, null keys on both sides; bloom semi/anti must
+    # emit exactly the exact paths' rows (false positives removed, null-key
+    # NOT EXISTS rows kept)
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from openmrs_module_epts_etl_ray.stages import joins
+
+    rng = np.random.default_rng(7)
+    lk = rng.integers(0, 3000, 20000).astype("float64")
+    lk[::113] = np.nan
+    rk = rng.integers(1500, 4500, 5000).astype("float64")
+    rk[::97] = np.nan
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(pd.array(lk).astype("Int64")),
+        "v": pa.array(np.arange(20000, dtype="int64"))})).repartition(8)
+    right = rd.from_arrow(pa.table({
+        "k": pa.array(pd.array(rk).astype("Int64")),
+        "w": pa.array(np.arange(5000, dtype="int64"))})).repartition(4)
+
+    def rows(ds):
+        df = ds.to_pandas()[["k", "v"]]
+        return sorted(map(tuple, df.fillna(-1).to_numpy()))
+
+    semi_exact = rows(joins.semi_join(left, right, ["k"], broadcast=True))
+    semi_bloom = rows(joins.bloom_semi_join(left, right, ["k"]))
+    assert semi_bloom == semi_exact
+
+    anti_exact = rows(joins.anti_join(left, right, ["k"], broadcast=True))
+    anti_bloom = rows(joins.bloom_anti_join(left, right, ["k"]))
+    assert anti_bloom == anti_exact
+    # the two partitions tile left exactly
+    assert len(semi_bloom) + len(anti_bloom) == 20000
+
+
+def test_bloom_prefilter_shrinks_probe(ray_session):
+    # disjoint key ranges: the semi pre-filter must kill (almost) every row
+    # before the exact pass — the property that makes the bloom path the
+    # no-shuffle scale strategy
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from openmrs_module_epts_etl_ray.stages import joins
+
+    left = rd.from_arrow(pa.table({"k": np.arange(50000, dtype="int64")}))
+    right = rd.from_arrow(pa.table(
+        {"k": np.arange(100000, 101000, dtype="int64")}))
+    right = right.materialize()
+    m, k = joins._bloom_params(right.count(), 16)
+    ref = joins._bloom_build(right, ["k"], m, k)
+    surv = left.map_batches(
+        joins._BloomProbe(ref, ["k"], m, k, "maybe"),
+        batch_format="pyarrow").count()
+    assert surv <= 50000 * 0.01  # way under 1% false positives
