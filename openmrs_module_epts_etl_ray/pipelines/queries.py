@@ -1214,6 +1214,24 @@ def q_deterministic_sample(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def q_corpus_mixture(sf_dir: str):
+    """Per-language corpus mixture weights
+    (stages/sampling.py::stratified_sample): keep 50% of en, all of fr,
+    25% of es, 80% of de; zh (absent from the rates) falls to the 10%
+    default — one stateless vectorized pass over the portable
+    sha256-prefix rule, no shuffle, reproducible on any system."""
+    from ..stages.sampling import stratified_sample
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "lang"], override_num_blocks=16)
+    out = stratified_sample(
+        docs, "doc_id", "lang",
+        {"en": 0.5, "fr": 1.0, "es": 0.25, "de": 0.8},
+        default_rate=0.1)
+    return out.map_batches(lambda df: df[["doc_id", "lang"]],
+                           batch_format="pandas")
+
+
 def q_hopping_window(sf_dir: str):
     """Hopping (sliding) 3-day windows advancing daily, per event_type —
     every event lands in 3 overlapping windows (stages/windows.py)."""
@@ -1350,6 +1368,7 @@ QUERIES = {
     "value_percentiles_approx": q_value_percentiles_approx,
     "hash_split": q_hash_split,
     "deterministic_sample": q_deterministic_sample,
+    "corpus_mixture": q_corpus_mixture,
     "hopping_window": q_hopping_window,
     "session_windows": q_session_windows,
     "quick_merge_customers": q_quick_merge_customers,
@@ -1687,6 +1706,14 @@ SELECT l_orderkey, l_linenumber, l_quantity
 FROM lineitem
 WHERE substr(sha256(CAST(l_orderkey AS VARCHAR) || '|' ||
                     CAST(l_linenumber AS VARCHAR)), 1, 4) < '3333'
+""",
+    "corpus_mixture": """
+SELECT doc_id, lang
+FROM documents
+WHERE substr(sha256(CAST(doc_id AS VARCHAR)), 1, 4) <
+      CASE lang WHEN 'en' THEN '8000' WHEN 'fr' THEN 'zzzz'
+                WHEN 'es' THEN '4000' WHEN 'de' THEN 'cccc'
+                ELSE '1999' END
 """,
     "hopping_window": """
 WITH b AS (SELECT event_type, date_trunc('day', ts) AS d, value FROM events),

@@ -63,6 +63,45 @@ def hash_split(
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def stratified_sample(
+    ds: rd.Dataset,
+    key_col: str,
+    group_col: str,
+    rates: dict[str, float],
+    *,
+    default_rate: float = 0.0,
+) -> rd.Dataset:
+    """Per-group deterministic sampling — the corpus MIXTURE-WEIGHT
+    operator of a training-data pipeline (upsample wiki, downsample
+    crawl): each row keeps iff its sha256-prefix falls under its group's
+    rate. Same portable rule as ``deterministic_sample``, so the per-group
+    rates compose into one stateless vectorized pass — no shuffle, no
+    per-group subpipelines; groups absent from ``rates`` use
+    ``default_rate`` (0 = drop)."""
+    for g, r in rates.items():
+        if not 0 <= r <= 1:
+            raise ValueError(f"rate for {g!r} must be in [0, 1], got {r}")
+    if not 0 <= default_rate <= 1:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    def _hi(r: float) -> str:
+        # rate 1.0 would render '10000' (5 chars) and lexicographically
+        # UNDERRANK 4-hex prefixes; 'zzzz' sorts above every hex string
+        return "zzzz" if r >= 1.0 else format(int(r * _SPACE), "04x")
+
+    bound = {g: _hi(r) for g, r in rates.items()}
+    default_hi = _hi(default_rate)
+
+    def keep(t: pa.Table) -> pa.Table:
+        p = _prefix(t, key_col)
+        g = pc.cast(t[group_col], pa.string())
+        hi = pa.array([default_hi] * len(t), pa.string())
+        for name, b in bound.items():
+            hi = pc.if_else(pc.equal(g, name), pa.scalar(b), hi)
+        return t.filter(pc.less(p, hi))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def deterministic_sample(
     ds: rd.Dataset,
     key_col: str,

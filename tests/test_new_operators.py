@@ -504,3 +504,29 @@ def test_bloom_prefilter_shrinks_probe(ray_session):
         joins._BloomProbe(ref, ["k"], m, k, "maybe"),
         batch_format="pyarrow").count()
     assert surv <= 50000 * 0.01  # way under 1% false positives
+
+
+def test_stratified_sample_rates_and_default(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from openmrs_module_epts_etl_ray.stages.sampling import (
+        deterministic_sample, stratified_sample)
+
+    n = 30000
+    ids = np.arange(n, dtype="int64")
+    grp = np.where(ids % 3 == 0, "a", np.where(ids % 3 == 1, "b", "c"))
+    ds = rd.from_arrow(pa.table({"id": ids, "g": grp})).repartition(8)
+    out = stratified_sample(ds, "id", "g", {"a": 1.0, "b": 0.2},
+                            default_rate=0.0).to_pandas()
+    by = out.groupby("g")["id"].count()
+    # rate-1.0 group keeps EVERY row (the 'zzzz' bound, not 'ffff')
+    assert by.get("a", 0) == (grp == "a").sum()
+    # absent group drops entirely under default_rate=0
+    assert by.get("c", 0) == 0
+    # the sampled group matches the single-rate operator exactly (same rule)
+    only_b = ds.filter(lambda r: r["g"] == "b")
+    want_b = set(deterministic_sample(only_b, "id", 0.2).to_pandas()["id"])
+    assert set(out[out.g == "b"]["id"]) == want_b
+    assert abs(len(want_b) / (grp == "b").sum() - 0.2) < 0.02
