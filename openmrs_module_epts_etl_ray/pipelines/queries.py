@@ -1214,6 +1214,23 @@ def q_deterministic_sample(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def q_quality_filter(sf_dir: str):
+    """Global-percentile corpus gate: drop the shortest quartile of
+    documents. The threshold is an EXACT distributed order statistic
+    (stages/selection.py::exact_order_stat — iterative histogram
+    refinement, only counts on the wire), then one stateless filter;
+    no sort, nothing large driver-side."""
+    from ..stages.selection import exact_quantile
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "n_chars"],
+                      override_num_blocks=16).materialize()
+    thr = exact_quantile(docs, "n_chars", 0.25)
+    return docs.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_chars"], thr)),
+        batch_format="pyarrow")
+
+
 def q_corpus_mixture(sf_dir: str):
     """Per-language corpus mixture weights
     (stages/sampling.py::stratified_sample): keep 50% of en, all of fr,
@@ -1369,6 +1386,7 @@ QUERIES = {
     "hash_split": q_hash_split,
     "deterministic_sample": q_deterministic_sample,
     "corpus_mixture": q_corpus_mixture,
+    "quality_filter": q_quality_filter,
     "hopping_window": q_hopping_window,
     "session_windows": q_session_windows,
     "quick_merge_customers": q_quick_merge_customers,
@@ -1706,6 +1724,15 @@ SELECT l_orderkey, l_linenumber, l_quantity
 FROM lineitem
 WHERE substr(sha256(CAST(l_orderkey AS VARCHAR) || '|' ||
                     CAST(l_linenumber AS VARCHAR)), 1, 4) < '3333'
+""",
+    "quality_filter": """
+WITH s AS (
+  SELECT array_agg(n_chars ORDER BY n_chars) AS vs,
+         CAST(COUNT(n_chars) AS BIGINT) AS n
+  FROM documents)
+SELECT d.doc_id, d.n_chars
+FROM documents d, s
+WHERE d.n_chars >= s.vs[CAST(floor(0.25 * (s.n - 1)) AS BIGINT) + 1]
 """,
     "corpus_mixture": """
 SELECT doc_id, lang

@@ -1,0 +1,119 @@
+"""Distributed selection: exact k-th order statistic / global quantile.
+
+The exact per-group percentile operator (``stages/windows.py``) holds one
+group's values in one task — fine for per-tenant rollups, impossible for a
+GLOBAL quantile over a 100-TB column. This module computes an exact global
+order statistic with only counts on the wire:
+
+1. bound the value range (one ``Min``/``Max`` aggregate);
+2. per-block fixed-edge histogram partials (``np.histogram`` — each block
+   contributes one tiny count vector), summed driver-side;
+3. the bucket containing rank k becomes the new range; repeat until the
+   candidate bucket holds few enough values;
+4. collect ONLY that sliver (a range filter — the only values that ever
+   reach the driver) and pick the order statistic exactly.
+
+Convergence: each round shrinks the candidate set ~``num_buckets``×, so a
+10^10-row column resolves in 3–4 scans of counts; a column with one
+mega-duplicate value short-circuits (lo == hi). The quantile rank rule is
+the same discrete ``floor(q * (n - 1))`` the per-group operator and its SQL
+oracle state, so results are byte-exact, never interpolation-dependent.
+
+Reference analogue: none (training-data extension — the global
+quality-score gate of a corpus filter).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+_COLLECT_CAP = 2_000_000  # values small enough to pull to the driver
+
+
+def exact_order_stat(
+    ds: rd.Dataset,
+    value_col: str,
+    k: int,
+    *,
+    num_buckets: int = 4096,
+    max_rounds: int = 8,
+) -> float:
+    """The (0-based) rank-``k`` smallest value of ``value_col``. Nulls are
+    excluded (SQL ordering semantics). The input plan executes once per
+    refinement round — pass a materialized dataset when composing."""
+    from ray.data.aggregate import Max, Min
+
+    bounds = ds.aggregate(Min(value_col), Max(value_col))
+    lo, hi = bounds[f"min({value_col})"], bounds[f"max({value_col})"]
+    if lo is None:
+        raise ValueError(f"no non-null values in {value_col!r}")
+    lo, hi = float(lo), float(hi)
+    if k < 0:
+        raise ValueError(f"rank must be non-negative, got {k}")
+
+    hi_incl = True  # candidate interval [lo, hi] vs [lo, hi)
+
+    for _ in range(max_rounds):
+        if lo == hi:
+            return lo
+        edges = np.linspace(lo, hi, num_buckets + 1)
+
+        def hist(df: pd.DataFrame, *, _edges=edges,
+                 _incl=hi_incl) -> pd.DataFrame:
+            v = df[value_col].to_numpy(dtype=np.float64)
+            v = v[~np.isnan(v)]
+            # candidate-interval membership, NOT np.histogram's
+            # last-bin-inclusive rule: a refined interval is half-open
+            v = v[(v >= _edges[0]) &
+                  ((v <= _edges[-1]) if _incl else (v < _edges[-1]))]
+            counts, _ = np.histogram(v, bins=_edges)
+            nz = np.flatnonzero(counts)  # sparse: a block rarely touches
+            return pd.DataFrame({"b": nz.astype(np.int64),  # every bucket
+                                 "c": counts[nz].astype(np.int64)})
+
+        counts = np.zeros(num_buckets, dtype=np.int64)
+        for part in ds.map_batches(hist, batch_format="pandas") \
+                      .iter_batches(batch_format="pandas"):
+            np.add.at(counts, part["b"].to_numpy(), part["c"].to_numpy())
+        cum = np.cumsum(counts)
+        if k >= cum[-1]:
+            raise ValueError(f"rank {k} >= population {cum[-1]}")
+        b = int(np.searchsorted(cum, k, side="right"))
+        k -= int(cum[b - 1]) if b else 0
+        # np.histogram folds v == hi into the LAST bin when the interval
+        # is inclusive; every other refined bucket is [edge_b, edge_b+1)
+        hi_incl = hi_incl and b == num_buckets - 1
+        lo, hi = float(edges[b]), float(edges[b + 1])
+        if counts[b] <= _COLLECT_CAP:
+            break
+
+    def sliver(df: pd.DataFrame, *, _incl=hi_incl) -> pd.DataFrame:
+        v = df[value_col].to_numpy(dtype=np.float64)
+        v = v[~np.isnan(v)]
+        m = (v >= lo) & ((v <= hi) if _incl else (v < hi))
+        return pd.DataFrame({value_col: v[m]})
+
+    vals = np.concatenate(
+        [b[value_col].to_numpy() for b in
+         ds.map_batches(sliver, batch_format="pandas")
+           .iter_batches(batch_format="pandas")] or
+        [np.empty(0)])
+    return float(np.partition(vals, k)[k])
+
+
+def exact_quantile(ds: rd.Dataset, value_col: str, q: float,
+                   *, n: int | None = None, **kw) -> float:
+    """Global exact quantile under the discrete rule
+    ``sorted[floor(q * (n - 1))]`` (same rule as the per-group operator
+    and its SQL oracle). ``n`` = non-null count, computed if omitted."""
+    if not 0 <= q <= 1:
+        raise ValueError(f"quantile must be in [0, 1], got {q}")
+    if n is None:
+        n = ds.map_batches(
+            lambda df: pd.DataFrame(
+                {"c": [int(df[value_col].notna().sum())]}),
+            batch_format="pandas").sum("c")
+    if not n:
+        raise ValueError(f"no non-null values in {value_col!r}")
+    return exact_order_stat(ds, value_col, int(np.floor(q * (n - 1))), **kw)

@@ -530,3 +530,39 @@ def test_stratified_sample_rates_and_default(ray_session):
     want_b = set(deterministic_sample(only_b, "id", 0.2).to_pandas()["id"])
     assert set(out[out.g == "b"]["id"]) == want_b
     assert abs(len(want_b) / (grp == "b").sum() - 0.2) < 0.02
+
+
+def test_exact_order_stat_matches_sort(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from openmrs_module_epts_etl_ray.stages.selection import (
+        exact_order_stat, exact_quantile)
+
+    rng = np.random.default_rng(13)
+    # floats with negatives + a mega-duplicate spike + exact-boundary ranks
+    v = np.concatenate([rng.normal(0, 100, 20000),
+                        np.full(5000, 42.5),
+                        rng.integers(-50, 50, 5000).astype("float64")])
+    ds = rd.from_arrow(pa.table({"x": v})).repartition(8).materialize()
+    s = np.sort(v)
+    n = len(v)
+    # force multi-round refinement with tiny buckets and collect cap
+    import openmrs_module_epts_etl_ray.stages.selection as sel
+    old = sel._COLLECT_CAP
+    sel._COLLECT_CAP = 500
+    try:
+        for k in [0, 1, n // 3, n // 2, n - 2, n - 1]:
+            got = exact_order_stat(ds, "x", k, num_buckets=32)
+            assert got == s[k], (k, got, s[k])
+        for q in [0.0, 0.25, 0.5, 0.9, 1.0]:
+            got = exact_quantile(ds, "x", q, num_buckets=32)
+            assert got == s[int(np.floor(q * (n - 1)))], q
+    finally:
+        sel._COLLECT_CAP = old
+    # nulls excluded like SQL ordering
+    vn = np.concatenate([v, [np.nan] * 777])
+    dsn = rd.from_arrow(pa.table({"x": vn})).repartition(8).materialize()
+    assert exact_quantile(dsn, "x", 0.5, num_buckets=32) == \
+        s[int(np.floor(0.5 * (n - 1)))]
