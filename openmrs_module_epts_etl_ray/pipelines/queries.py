@@ -1214,6 +1214,21 @@ def q_deterministic_sample(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def q_term_doc_freq(sf_dir: str):
+    """TF-IDF statistics (stages/text.py::term_doc_frequency): per-doc
+    term frequency is block-local (a doc is one row); document frequency
+    exchanges only (term, partial_count); the df relation broadcasts back.
+    Integer-exact relation — the float tf*log(N/df) score is derived
+    downstream."""
+    from ..stages.text import term_doc_frequency
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      override_num_blocks=16)
+    out = term_doc_frequency(docs, min_tf=3)
+    return out.map_batches(lambda df: df[["doc_id", "term", "tf", "df"]],
+                           batch_format="pandas")
+
+
 def q_quality_filter(sf_dir: str):
     """Global-percentile corpus gate: drop the shortest quartile of
     documents. The threshold is an EXACT distributed order statistic
@@ -1387,6 +1402,7 @@ QUERIES = {
     "deterministic_sample": q_deterministic_sample,
     "corpus_mixture": q_corpus_mixture,
     "quality_filter": q_quality_filter,
+    "term_doc_freq": q_term_doc_freq,
     "hopping_window": q_hopping_window,
     "session_windows": q_session_windows,
     "quick_merge_customers": q_quick_merge_customers,
@@ -1724,6 +1740,20 @@ SELECT l_orderkey, l_linenumber, l_quantity
 FROM lineitem
 WHERE substr(sha256(CAST(l_orderkey AS VARCHAR) || '|' ||
                     CAST(l_linenumber AS VARCHAR)), 1, 4) < '3333'
+""",
+    "term_doc_freq": """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+  FROM documents WHERE trim(text) <> ''),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, term),
+df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+  FROM tf GROUP BY term)
+SELECT t.doc_id, t.term, t.tf, d.df
+FROM tf t JOIN df d USING (term)
+WHERE t.tf >= 3
 """,
     "quality_filter": """
 WITH s AS (

@@ -40,7 +40,18 @@ def _pd_dtypes(schema) -> dict:
     back through these captured dtypes keeps the output byte-identical to
     a join that never unioned (nullable ids stay Arrow int64, not NaN-float).
     """
-    arrow = pa.schema(zip(schema.names, schema.types))
+    fields = []
+    for name, t in zip(schema.names, schema.types):
+        if not isinstance(t, pa.DataType):
+            try:  # PandasBlockSchema carries numpy dtypes / python types
+                t = pa.from_numpy_dtype(t)
+            except (TypeError, pa.ArrowNotImplementedError):
+                # numpy object dtype / python str => string column
+                stringy = t in (str, object) or getattr(t, "kind", None) == "O"
+                t = pa.string() if stringy else None
+        if t is not None:
+            fields.append((name, t))
+    arrow = pa.schema(fields)
     return dict(arrow.empty_table().to_pandas().dtypes)
 
 

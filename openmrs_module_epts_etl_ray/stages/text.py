@@ -66,3 +66,60 @@ def lang_id(ds: rd.Dataset, **kw) -> rd.Dataset:
 
 def fingerprint(ds: rd.Dataset, **kw) -> rd.Dataset:
     return ds.map_batches(Fingerprint(), batch_format="pandas", **kw)
+
+
+def term_doc_frequency(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tf: int = 1,
+) -> rd.Dataset:
+    """TF-IDF statistics: per-document term frequency joined with corpus
+    document frequency, integer-exact (callers derive the float score as
+    ``tf * log(N / df)``; the relation itself is oracle-checkable).
+
+    Exchange shape (the part that must survive 100 TB):
+
+    - **tf is block-local** — a document lives in one row, so per-doc term
+      counts never cross blocks: explode + groupby inside ``map_batches``.
+    - **df moves only (term, partial_count) pairs** — each block's tf rows
+      are already (doc, term)-unique, so the block's per-term row count IS
+      its df contribution; one small groupby folds the partials.
+    - **the join back is a broadcast** — vocabulary is sublinear in corpus
+      size; ``broadcast_inner_join`` ships the df relation once and falls
+      back to the hash join above threshold.
+    """
+    import numpy as np
+
+    from .joins import broadcast_inner_join
+
+    def tf_block(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].fillna("").str.split()
+        n = toks.str.len().fillna(0).astype(int).to_numpy()
+        flat = pd.DataFrame({
+            id_col: np.repeat(df[id_col].to_numpy(), n),
+            "term": np.concatenate(
+                [t for t in toks if len(t)] or
+                [np.array([], dtype=object)]),  # keep string dtype on empty
+        })
+        out = flat.groupby([id_col, "term"], as_index=False, sort=False) \
+                  .size().rename(columns={"size": "tf"})
+        out["tf"] = out["tf"].astype("int64")
+        return out
+
+    tf = ds.map_batches(tf_block, batch_format="pandas").materialize()
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("term", as_index=False, sort=False).size() \
+                .rename(columns={"size": "df"})
+        out["df"] = out["df"].astype("int64")
+        return out
+
+    from ray.data.aggregate import Sum
+    df_rel = tf.map_batches(df_partial, batch_format="pandas") \
+               .groupby("term").aggregate(Sum("df", alias_name="df"))
+
+    keep = tf if min_tf <= 1 else tf.map_batches(
+        lambda d: d[d["tf"] >= min_tf], batch_format="pandas")
+    return broadcast_inner_join(keep, df_rel, ["term"])

@@ -260,3 +260,27 @@ def test_video_frame_sampling():
     # image feature extraction composes downstream
     feats = multimodal.decode_features(out_ds := multimodal.sample_frames(media, every=2))
     assert len(feats.to_pandas()) == 3
+
+
+def test_term_doc_frequency_exact(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from openmrs_module_epts_etl_ray.stages.text import term_doc_frequency
+
+    docs = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b a  c", "b b b", "", None],
+    })
+    out = term_doc_frequency(rd.from_arrow(docs).repartition(3)) \
+        .to_pandas().sort_values(["doc_id", "term"]).reset_index(drop=True)
+    want = pd.DataFrame({
+        "doc_id": [1, 1, 1, 2],
+        "term": ["a", "b", "c", "b"],
+        "tf": [2, 1, 1, 3],
+        "df": [1, 2, 1, 2],
+    })
+    pd.testing.assert_frame_equal(
+        out[["doc_id", "term", "tf", "df"]].astype(
+            {"tf": "int64", "df": "int64"}), want)
