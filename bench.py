@@ -44,7 +44,8 @@ BENCH_QUERIES = [
     "range_join_clicks_after_signup", "windowed_aggregate",
     "embedding_near_dups", "lookup_query_datasource",
     "config_join_extract", "cc_chain_clusters", "late_events",
-    "cumulative_value",
+    "cumulative_value", "pack_sequences", "bloom_reconcile_customers",
+    "corpus_mixture", "quality_filter", "term_doc_freq",
 ]
 
 

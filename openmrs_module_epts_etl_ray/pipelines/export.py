@@ -68,6 +68,68 @@ def export_files(ds: rd.Dataset, out_dir: str, fmt: str = "json",
     return pa.Table.from_pylist(rows)
 
 
+def export_partitioned(ds: rd.Dataset, out_dir: str, by_col: str,
+                       *, resume: bool = True) -> pa.Table:
+    """Resumable key-partitioned Parquet export: one hive-style
+    subdirectory per ``by_col`` value (``out_dir/<by_col>=<v>/``), a
+    ``_FINISHED`` marker per partition once its rows are fully written.
+
+    On re-run with ``resume=True``, rows of marker-complete partitions are
+    filtered out BEFORE the write (a broadcast set probe — no shuffle, no
+    materialization; the partial partitions of a crashed run are exactly
+    the on-disk dirs WITHOUT a marker, so no data pass is needed to find
+    them) and those partial directories are replaced, so a 100-TB job
+    killed mid-write redoes only the unfinished key ranges — the generic
+    form of the flagship replay's per-bucket commit log
+    (``state/commit_log.py``). Returns a manifest
+    (partition, files, bytes, skipped)."""
+    import shutil
+
+    import pyarrow.compute as pc
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+    done = {d.split("=", 1)[1] for d in os.listdir(out_dir)
+            if "=" in d and
+            os.path.exists(os.path.join(out_dir, d, "_FINISHED"))} \
+        if resume else set()
+
+    for d in list(os.listdir(out_dir)):
+        # drop every markerless partition dir: crash partials on resume,
+        # everything on a fresh run
+        if "=" in d and d.split("=", 1)[1] not in done:
+            shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
+
+    if done:
+        done_ref = ray.put(pa.array(sorted(done), pa.string()))
+
+        def drop_done(t: pa.Table) -> pa.Table:
+            vals = pc.cast(t[by_col], pa.string())
+            return t.filter(pc.invert(pc.fill_null(
+                pc.is_in(vals, value_set=ray.get(done_ref)), False)))
+
+        ds = ds.map_batches(drop_done, batch_format="pyarrow")
+
+    ds.write_parquet(out_dir, partition_cols=[by_col])
+
+    rows = []
+    for d in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, d)
+        if "=" not in d or not os.path.isdir(p):
+            continue
+        v = d.split("=", 1)[1]
+        files = [f for f in os.listdir(p) if f.endswith(".parquet")]
+        skipped = v in done
+        if not skipped:
+            with open(os.path.join(p, "_FINISHED"), "w") as fh:
+                fh.write("ok")
+        rows.append({"partition": v, "files": len(files),
+                     "bytes": sum(os.path.getsize(os.path.join(p, f))
+                                  for f in files),
+                     "skipped": skipped})
+    return pa.Table.from_pylist(rows)
+
+
 def _sql_literal(v) -> str:
     import datetime
 

@@ -566,3 +566,38 @@ def test_exact_order_stat_matches_sort(ray_session):
     dsn = rd.from_arrow(pa.table({"x": vn})).repartition(8).materialize()
     assert exact_quantile(dsn, "x", 0.5, num_buckets=32) == \
         s[int(np.floor(0.5 * (n - 1)))]
+
+
+def test_export_partitioned_resumes_only_unfinished(tmp_path):
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from openmrs_module_epts_etl_ray.pipelines.export import export_partitioned
+
+    out = str(tmp_path / "part")
+    ds = rd.from_items([{"g": i % 3, "v": i} for i in range(30)])
+    m = export_partitioned(ds, out, "g").to_pydict()
+    assert sorted(m["partition"]) == ["0", "1", "2"]
+    assert m["skipped"] == [False, False, False]
+
+    # simulate crash mid-write of partition g=1: no _FINISHED marker
+    shutil.rmtree(os.path.join(out, "g=1"))
+    os.makedirs(os.path.join(out, "g=1"))
+    m2 = export_partitioned(
+        rd.from_items([{"g": i % 3, "v": i} for i in range(30)]),
+        out, "g").to_pydict()
+    skipped = dict(zip(m2["partition"], m2["skipped"]))
+    assert skipped == {"0": True, "1": False, "2": True}
+
+    back = rd.read_parquet(out).to_pandas()
+    assert len(back) == 30 and int(back["v"].sum()) == sum(range(30))
+    assert sorted(back["v"]) == list(range(30))
+
+    # fresh run with resume=False replaces everything
+    m3 = export_partitioned(
+        rd.from_items([{"g": 0, "v": 1}]), out, "g",
+        resume=False).to_pydict()
+    assert m3["skipped"] == [False]
+    assert len(rd.read_parquet(out).to_pandas()) == 1
