@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "config_join_extract", "cc_chain_clusters", "late_events",
     "cumulative_value", "pack_sequences", "bloom_reconcile_customers",
     "corpus_mixture", "quality_filter", "term_doc_freq",
+    "dedup_passages", "decontaminate", "deterministic_shuffle",
 ]
 
 

@@ -1373,6 +1373,40 @@ def q_media_features(sf_dir: str):
 # registry
 # ---------------------------------------------------------------------------
 
+def q_dedup_passages(sf_dir: str):
+    """C4-style sub-document span dedup: drop globally duplicated 10-word
+    passages (first occurrence in (doc_id, position) order wins),
+    reassemble each document."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      override_num_blocks=32)
+    return dedup.passage_dedup(docs, chunk_words=10)
+
+
+def q_decontaminate(sf_dir: str):
+    """Eval-set decontamination: snippets = substr(text, 10, 30) of docs
+    with doc_id < 8; drop every document containing any snippet. The
+    snippet probe is a broadcast, not a join."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      override_num_blocks=32)
+    ev = filter_expr(docs, lambda t: pc.less(t["doc_id"], 8)).take_all()
+    snippets = [r["text"][9:39] for r in ev]
+    clean = text_stages.decontaminate(docs, snippets)
+    return clean.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+        }), batch_format="pyarrow")
+
+
+def q_deterministic_shuffle(sf_dir: str):
+    """Seeded portable global shuffle position per document (hash-sort,
+    the way a 100-TB corpus is actually shuffled for training)."""
+    from ..stages.sampling import shuffle_rank
+    docs = read_table(sf_dir, "documents", columns=["doc_id"],
+                      override_num_blocks=32)
+    return shuffle_rank(docs, "doc_id", seed="epoch0")
+
+
 QUERIES = {
     "cdc_replay_lww": q_cdc_replay_lww,
     "cdc_replay_windowed": q_cdc_replay_windowed,
@@ -1439,6 +1473,9 @@ QUERIES = {
     "windowed_aggregate": q_windowed_aggregate,
     "near_dup_clusters": q_near_dup_clusters,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "dedup_passages": q_dedup_passages,
+    "decontaminate": q_decontaminate,
+    "deterministic_shuffle": q_deterministic_shuffle,
     "media_features": q_media_features,
     "media_resize": q_media_resize,
     "media_frames": q_media_frames,
@@ -1997,3 +2034,42 @@ FROM r WHERE rank <= 5
 # state as the single-shot replay — share its oracle
 ORACLE_SQL["cdc_replay_windowed"] = ORACLE_SQL["cdc_replay_lww"]
 ORACLE_SQL["cdc_replay_compacted"] = ORACLE_SQL["cdc_replay_lww"]
+
+ORACLE_SQL["dedup_passages"] = """
+WITH w AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS ord
+  FROM documents
+),
+ch AS (
+  SELECT doc_id, CAST((ord - 1) // 10 AS BIGINT) AS cidx,
+         string_agg(w, ' ' ORDER BY ord) AS chunk
+  FROM w GROUP BY doc_id, (ord - 1) // 10
+),
+rk AS (
+  SELECT doc_id, cidx, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, cidx) AS rn
+  FROM ch
+)
+SELECT doc_id,
+       coalesce(string_agg(chunk, ' ' ORDER BY cidx) FILTER (WHERE rn = 1), '') AS clean_text,
+       CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+       CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped
+FROM rk GROUP BY doc_id
+"""
+
+ORACLE_SQL["decontaminate"] = """
+WITH ev AS (SELECT substr(text, 10, 30) AS snip FROM documents WHERE doc_id < 8)
+SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars
+FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM ev WHERE contains(d.text, ev.snip))
+"""
+
+ORACLE_SQL["deterministic_shuffle"] = """
+SELECT doc_id,
+       CAST(row_number() OVER (
+           ORDER BY sha256('epoch0:' || CAST(doc_id AS VARCHAR))) - 1
+         AS BIGINT) AS shuffle_pos
+FROM documents
+"""

@@ -815,3 +815,120 @@ def connected_components_distributed(
     return labels.map_batches(
         lambda t: pa.table({"doc_id": t["doc_id"], "canonical_id": t["label"]}),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# passage-level exact dedup (C4-style duplicate-span removal)
+# ---------------------------------------------------------------------------
+
+def passage_dedup(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    chunk_words: int = 10,
+) -> rd.Dataset:
+    """Remove globally duplicated passages, keep the first occurrence,
+    reassemble each document — the C4/Gopher span-dedup operator (the
+    reference's dedup surface stops at whole records, SURVEY §2.7; a
+    training corpus needs sub-document spans deduplicated too).
+
+    A passage is a run of ``chunk_words`` consecutive words (the trailing
+    partial run is its own passage). The FIRST occurrence in
+    ``(id, chunk_idx)`` order wins; every later identical passage anywhere
+    in the corpus is dropped. Output: one row per input document —
+    ``(id, clean_text, n_kept, n_dropped)`` (a fully-duplicated document
+    survives with ``clean_text = ''``).
+
+    Scale shape: chunking + hashing are one vectorized Arrow pass
+    (``split_pattern`` -> list offsets -> ``binary_join``, no Python per
+    row); the winner election shuffles only ``(sha, packed-position)``
+    pairs grouped by a COARSE sha bucket (many hashes per ``map_groups``
+    call, all-vectorized inside — the raw-key map_groups would pay one
+    Python call per passage); reassembly is a second coarse exchange on
+    the id. Nothing ever materializes driver-side.
+
+    Position packing assumes ``id < 2^31`` and ``chunk_idx < 2^32``
+    (packed = id * 2^32 + chunk_idx in int64) — at a larger id domain,
+    remap ids through ``stages.idgen`` first.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import sha256_hex
+
+    n_coarse = 4 * _par()
+
+    def chunk_batch(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t[text_col], "")
+        words = pc.split_pattern(text, " ")
+        # list_flatten/list_value_length are slice-safe (raw .offsets of a
+        # sliced ListArray would misalign with the flattened values)
+        flat = pc.list_flatten(words)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        nwords = pc.list_value_length(words).to_numpy().astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(nwords)[:-1])).astype(np.int64)
+        # word ordinal within its doc, then passage index
+        ord_in_doc = np.arange(len(flat), dtype=np.int64) - \
+            np.repeat(starts, nwords)
+        cidx = ord_in_doc // chunk_words
+        nchunks = -(-nwords // chunk_words)          # ceil, >=1 per doc
+        nchunks[nwords == 0] = 0                     # (unreachable: split
+        # of '' yields [''], one word — kept for list-col safety)
+        # passage boundaries are where ord_in_doc % chunk_words == 0;
+        # ListArray over the SAME flat words with those boundaries, then
+        # one vectorized join rebuilds the passage strings
+        bnd = np.flatnonzero(ord_in_doc % chunk_words == 0)
+        chunk_offs = np.append(bnd, len(flat)).astype(np.int32)
+        chunks = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(chunk_offs), flat), " ")
+        doc_ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cdoc = np.repeat(doc_ids, nchunks)
+        cpos = cidx[bnd]                             # chunk_idx per passage
+        sha = sha256_hex(chunks)
+        return pa.table({
+            "_doc": cdoc,
+            "_cidx": cpos,
+            "_chunk": chunks,
+            "_sha": sha,
+            "_packed": cdoc * np.int64(2 ** 32) + cpos,
+        })
+
+    chunks = ds.map_batches(chunk_batch, batch_format="pyarrow")
+
+    def partial_min(df: pd.DataFrame) -> pd.DataFrame:
+        # per-block pre-reduce: keep each sha's min packed position so the
+        # exchange moves one candidate per (block, sha) — but every row
+        # still flows (reassembly needs them); only the WINNER CHOICE is
+        # pre-reduced, via a block-local min column
+        from pandas.util import hash_pandas_object
+        h = hash_pandas_object(df["_sha"], index=False).to_numpy()
+        return df.assign(_coarse=(h % np.uint64(n_coarse)).astype(np.int64))
+
+    def mark_winners(g: pd.DataFrame) -> pd.DataFrame:
+        win = g.groupby("_sha")["_packed"].transform("min")
+        return g.assign(_keep=(g["_packed"] == win)) \
+            .drop(columns=["_coarse", "_sha"])
+
+    marked = chunks.map_batches(partial_min, batch_format="pandas") \
+        .groupby("_coarse").map_groups(mark_winners, batch_format="pandas")
+
+    def rebucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            _dbucket=(df["_doc"].to_numpy() % n_coarse).astype(np.int64))
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("_packed", kind="stable")
+        kept = g[g["_keep"]]
+        joined = kept.groupby("_doc", sort=True)["_chunk"].agg(" ".join)
+        counts = g.groupby("_doc", sort=True)["_keep"].agg(["sum", "size"])
+        out = pd.DataFrame({
+            id_col: counts.index.to_numpy(),
+            "clean_text": joined.reindex(counts.index).fillna("").to_numpy(),
+            "n_kept": counts["sum"].astype("int64").to_numpy(),
+            "n_dropped": (counts["size"] - counts["sum"]).astype("int64").to_numpy(),
+        })
+        return out
+
+    return marked.map_batches(rebucket, batch_format="pandas") \
+        .groupby("_dbucket").map_groups(reassemble, batch_format="pandas")

@@ -119,3 +119,58 @@ def deterministic_sample(
         return t.filter(pc.less(_prefix(t, key_col), hi))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def shuffle_rank(
+    ds: rd.Dataset,
+    key_col: str,
+    *,
+    seed: str = "",
+    out_col: str = "shuffle_pos",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Deterministic global shuffle for training: append each row's
+    position (0-based) in ``sha256(seed || ':' || key)`` order.
+
+    A 100-TB corpus is not shuffled with an RNG — it is SORTED by a keyed
+    hash, which is reproducible across runs/engines, seed-switchable
+    per epoch, and needs no coordination. The rank itself rides the
+    distributed prefix scan (``stages.scan.running_sum``): the sha prefix
+    (first 12 hex chars as int48) is the range-partition axis — uniform by
+    construction, so the scan's equal-width bucketing is skew-free; the
+    full hex string breaks (never-observed) prefix ties.
+
+    Portable rule: ``row_number() OVER (ORDER BY sha256(seed || ':' ||
+    CAST(key AS VARCHAR))) - 1`` in DuckDB/Spark/psql.
+    """
+    import numpy as np
+
+    from .scan import running_sum
+
+    prefix = f"{seed}:"
+
+    def keyed(t: pa.Table) -> pa.Table:
+        sha = sha256_hex(pc.binary_join_element_wise(
+            prefix, pc.cast(t[key_col], pa.string()), ""))
+        # vectorized hex->int48 over the fixed-width (64-char) hex buffer;
+        # monotonic with the hex string's lexicographic order
+        a = np.frombuffer(sha.buffers()[2], dtype=np.uint8) \
+            .reshape(-1, 64)[:, :12].astype(np.int64)
+        v = a - 48
+        v[a >= 97] -= 39
+        hkey = v @ (np.int64(16) ** np.arange(11, -1, -1, dtype=np.int64))
+        return t.append_column("_hkey", pa.array(hkey, pa.int64())) \
+                .append_column("_sha", sha) \
+                .append_column("_one", pa.array(np.ones(len(t), np.int64)))
+
+    ranked = running_sum(
+        ds.map_batches(keyed, batch_format="pyarrow"),
+        ["_hkey", "_sha"], "_one",
+        out_col=out_col, num_buckets=num_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        pos = pc.subtract(t[out_col], 1)
+        return t.drop_columns(["_hkey", "_sha", "_one", out_col]) \
+                .append_column(out_col, pc.cast(pos, pa.int64()))
+
+    return ranked.map_batches(finish, batch_format="pyarrow")

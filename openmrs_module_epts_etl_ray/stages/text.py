@@ -123,3 +123,40 @@ def term_doc_frequency(
     keep = tf if min_tf <= 1 else tf.map_batches(
         lambda d: d[d["tf"] >= min_tf], batch_format="pandas")
     return broadcast_inner_join(keep, df_rel, ["term"])
+
+
+def decontaminate(
+    ds: rd.Dataset,
+    snippets: list[str],
+    text_col: str = "text",
+    *,
+    invert: bool = False,
+) -> rd.Dataset:
+    """Benchmark decontamination: drop every document whose text contains
+    ANY of ``snippets`` (eval-set leakage removal — the C4/GPT-3 style
+    substring decontamination pass; ``invert=True`` returns the
+    contaminated rows instead, for auditing).
+
+    The snippet list is broadcast ONCE (``ray.put``) and probed with one
+    vectorized ``match_substring`` pass per snippet — O(|snippets|) Arrow
+    kernels per batch, no Python per row, no shuffle. That is the right
+    shape for eval sets (10^2..10^4 snippets); a much larger contamination
+    corpus should go through an Aho-Corasick automaton built per actor
+    (``map_batches(Cls, concurrency=N)``) instead of this linear probe.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    ref = ray.put([s for s in snippets if s])
+
+    def keep(t: "pa.Table") -> "pa.Table":
+        import numpy as np
+        import pyarrow as pa
+        snips = ray.get(ref)
+        text = pc.fill_null(t[text_col], "")
+        hit = pa.array(np.zeros(len(t), dtype=bool))
+        for s in snips:
+            hit = pc.or_(hit, pc.match_substring(text, s))
+        return t.filter(hit if invert else pc.invert(hit))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

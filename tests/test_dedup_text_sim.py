@@ -284,3 +284,56 @@ def test_term_doc_frequency_exact(ray_session):
     pd.testing.assert_frame_equal(
         out[["doc_id", "term", "tf", "df"]].astype(
             {"tf": "int64", "df": "int64"}), want)
+
+
+def test_passage_dedup_first_occurrence_wins():
+    docs = [
+        {"doc_id": 1, "text": "a b c d e f g h i j k l m"},   # 2 passages
+        {"doc_id": 2, "text": "a b c d e f g h i j x y"},     # passage0 dup
+        {"doc_id": 3, "text": "a b c d e f g h i j k l m"},   # fully dup
+        {"doc_id": 4, "text": "zz"},
+    ]
+    out = dedup.passage_dedup(rd.from_items(docs).repartition(3),
+                              chunk_words=10) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(out["clean_text"]) == \
+        ["a b c d e f g h i j k l m", "x y", "", "zz"]
+    assert list(out["n_kept"]) == [2, 1, 0, 1]
+    assert list(out["n_dropped"]) == [0, 1, 2, 0]
+
+
+def test_passage_dedup_intra_doc_duplicates():
+    # the SAME passage repeated inside one doc: only its first position kept
+    t = " ".join(["w"] * 30)  # 3 identical 10-word passages
+    out = dedup.passage_dedup(rd.from_items([{"doc_id": 7, "text": t}]),
+                              chunk_words=10).to_pandas()
+    assert out.loc[0, "clean_text"] == " ".join(["w"] * 10)
+    assert int(out.loc[0, "n_kept"]) == 1 and int(out.loc[0, "n_dropped"]) == 2
+
+
+def test_decontaminate_drops_and_audits():
+    from openmrs_module_epts_etl_ray.stages.text import decontaminate
+    ds = docs_ds(["the quick brown fox", "hello world", "quick brown", "clean"])
+    clean = decontaminate(ds, ["quick brown"]).to_pandas()
+    assert sorted(clean["text"]) == ["clean", "hello world"]
+    dirty = decontaminate(ds, ["quick brown"], invert=True).to_pandas()
+    assert sorted(dirty["text"]) == ["quick brown", "the quick brown fox"]
+    # empty snippet list keeps everything
+    assert len(decontaminate(ds, []).to_pandas()) == 4
+
+
+def test_shuffle_rank_is_portable_permutation():
+    import hashlib
+
+    from openmrs_module_epts_etl_ray.stages.sampling import shuffle_rank
+
+    n = 300
+    ds = rd.from_items([{"k": i} for i in range(n)]).repartition(5)
+    out = shuffle_rank(ds, "k", seed="e1").to_pandas()
+    order = sorted(range(n),
+                   key=lambda i: hashlib.sha256(f"e1:{i}".encode()).hexdigest())
+    want = {i: p for p, i in enumerate(order)}
+    assert dict(zip(out["k"], out["shuffle_pos"])) == want
+    # different seed -> different permutation
+    out2 = shuffle_rank(ds, "k", seed="e2").to_pandas()
+    assert dict(zip(out2["k"], out2["shuffle_pos"])) != want
