@@ -1407,6 +1407,42 @@ def q_deterministic_shuffle(sf_dir: str):
     return shuffle_rank(docs, "doc_id", seed="epoch0")
 
 
+def _centroid_rows(sf_dir: str, k: int = 8):
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+                     override_num_blocks=16)
+    rows = filter_expr(emb, lambda t: pc.less(t["vec_id"], k)).take_all()
+    rows.sort(key=lambda r: r["vec_id"])
+    C = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    return emb, C, np.array([int(r["vec_id"]) for r in rows], dtype=np.int64)
+
+
+def q_embedding_clusters(sf_dir: str):
+    """SemDeDup coarse step: max-cosine assignment of every vector to the
+    8 fixed centroids (vec_id < 8) — broadcast matmul, no shuffle."""
+    emb, C, cids = _centroid_rows(sf_dir)
+    out = similarity.assign_clusters(emb, C, cids)
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "vec_id": df["vec_id"].astype("int64"),
+            "cluster_id": df["cluster_id"].astype("int64"),
+            "cosine": df["cosine"].round(4),
+        }), batch_format="pandas")
+
+
+def q_semdedup_pairs(sf_dir: str):
+    """SemDeDup: exact pairwise cosine only WITHIN each coarse cluster;
+    one shuffle on cluster_id, quadratic work bounded per cluster."""
+    emb, C, cids = _centroid_rows(sf_dir)
+    pairs = similarity.semdedup_pairs(emb, C, cids, threshold=0.4)
+    return pairs.map_batches(
+        lambda df: pd.DataFrame({
+            "id_a": df["id_a"].astype("int64"),
+            "id_b": df["id_b"].astype("int64"),
+            "cluster_id": df["cluster_id"].astype("int64"),
+            "cosine": df["cosine"].round(4),
+        }), batch_format="pandas")
+
+
 QUERIES = {
     "cdc_replay_lww": q_cdc_replay_lww,
     "cdc_replay_windowed": q_cdc_replay_windowed,
@@ -1473,6 +1509,8 @@ QUERIES = {
     "windowed_aggregate": q_windowed_aggregate,
     "near_dup_clusters": q_near_dup_clusters,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "embedding_clusters": q_embedding_clusters,
+    "semdedup_pairs": q_semdedup_pairs,
     "dedup_passages": q_dedup_passages,
     "decontaminate": q_decontaminate,
     "deterministic_shuffle": q_deterministic_shuffle,
@@ -2072,4 +2110,38 @@ SELECT doc_id,
            ORDER BY sha256('epoch0:' || CAST(doc_id AS VARCHAR))) - 1
          AS BIGINT) AS shuffle_pos
 FROM documents
+"""
+
+ORACLE_SQL["embedding_clusters"] = """
+WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+           FROM embeddings WHERE vec_id < 8),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+s AS (SELECT e.vec_id, c.cid, list_cosine_similarity(e.de, c.ce) AS cos
+      FROM e CROSS JOIN c),
+r AS (SELECT vec_id, cid, cos,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, cid ASC) AS rn
+      FROM s)
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, ROUND(cos, 4) AS cosine
+FROM r WHERE rn = 1
+"""
+
+ORACLE_SQL["semdedup_pairs"] = """
+WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+           FROM embeddings WHERE vec_id < 8),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+s AS (SELECT e.vec_id, c.cid, list_cosine_similarity(e.de, c.ce) AS cos
+      FROM e CROSS JOIN c),
+a AS (SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cid ASC) AS rn
+        FROM s) WHERE rn = 1)
+SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+       CAST(x.cid AS BIGINT) AS cluster_id,
+       ROUND(list_cosine_similarity(ex.de, ey.de), 4) AS cosine
+FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+JOIN e ex ON ex.vec_id = x.vec_id
+JOIN e ey ON ey.vec_id = y.vec_id
+WHERE list_cosine_similarity(ex.de, ey.de) >= 0.4
 """

@@ -172,3 +172,90 @@ def ivf_topk(
         return g
 
     return scored.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: coarse clustering + within-cluster pairwise near-dup
+# ---------------------------------------------------------------------------
+
+def assign_clusters(
+    ds: rd.Dataset,
+    centroids: np.ndarray,
+    centroid_ids,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    keep_vec: bool = False,
+) -> rd.Dataset:
+    """Assign every vector to its max-cosine centroid (SemDeDup's coarse
+    step). ``centroid_ids`` must be sorted ascending — ties break to the
+    smallest centroid id (numpy argmax keeps the first max, which IS the
+    smallest id under that ordering; matches the oracle's ``ORDER BY cos
+    DESC, cid ASC``). Stateless broadcast matmul per batch — no shuffle."""
+    order = np.argsort(np.asarray(centroid_ids))
+    cids = np.asarray(centroid_ids)[order]
+    C = _normalize(np.asarray(centroids, dtype=np.float64)[order])
+    cref = ray.put((C, cids))
+
+    class Assign:
+        def __init__(self):
+            self.C, self.cids = ray.get(cref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            V = _normalize(_to_matrix(batch[vec_col].to_numpy()))
+            S = V @ self.C.T                      # (n, K)
+            best = S.argmax(axis=1)
+            out = {
+                id_col: batch[id_col].to_numpy(),
+                "cluster_id": self.cids[best],
+                "cosine": S[np.arange(len(best)), best],
+            }
+            if keep_vec:
+                out[vec_col] = batch[vec_col].to_numpy()
+            return pd.DataFrame(out)
+
+    return ds.map_batches(Assign(), batch_format="pandas")
+
+
+def semdedup_pairs(
+    ds: rd.Dataset,
+    centroids: np.ndarray,
+    centroid_ids,
+    *,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cluster: int = 8192,
+) -> rd.Dataset:
+    """SemDeDup (Abbas et al. 2023): exact pairwise cosine is computed only
+    WITHIN each coarse cluster — the cluster assignment bounds the
+    quadratic blow-up, and the single shuffle moves each vector once
+    (grouped by ``cluster_id``). Emits ``(id_a, id_b, cluster_id,
+    cosine)`` for in-cluster pairs with cosine >= threshold, id_a < id_b.
+
+    Clusters larger than ``max_cluster`` are truncated to their
+    ``max_cluster`` smallest ids (documented guard against a degenerate
+    centroid attracting everything; same pattern as the LSH
+    ``max_bucket``)."""
+    assigned = assign_clusters(
+        ds, centroids, centroid_ids,
+        vec_col=vec_col, id_col=id_col, keep_vec=True)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="stable")
+        if len(g) > max_cluster:
+            g = g.head(max_cluster)
+        ids = g[id_col].to_numpy()
+        V = _normalize(_to_matrix(g[vec_col].to_numpy()))
+        S = V @ V.T
+        ia, ib = np.triu_indices(len(g), k=1)
+        keep = S[ia, ib] >= threshold
+        return pd.DataFrame({
+            "id_a": ids[ia[keep]],
+            "id_b": ids[ib[keep]],
+            "cluster_id": g["cluster_id"].to_numpy()[ia[keep]],
+            "cosine": S[ia[keep], ib[keep]],
+        })
+
+    return assigned.groupby("cluster_id").map_groups(
+        pairs, batch_format="pandas")

@@ -337,3 +337,31 @@ def test_shuffle_rank_is_portable_permutation():
     # different seed -> different permutation
     out2 = shuffle_rank(ds, "k", seed="e2").to_pandas()
     assert dict(zip(out2["k"], out2["shuffle_pos"])) != want
+
+
+def test_assign_clusters_argmax_min_id_tiebreak():
+    # two identical centroids: tie must break to the smaller centroid id
+    C = np.array([[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
+    ds = rd.from_items([
+        {"vec_id": 10, "embedding": [2.0, 0.1]},
+        {"vec_id": 11, "embedding": [0.1, 3.0]},
+    ])
+    out = similarity.assign_clusters(ds, C, [0, 1, 2]) \
+        .to_pandas().sort_values("vec_id")
+    assert list(out["cluster_id"]) == [0, 2]
+
+
+def test_semdedup_pairs_finds_planted_in_cluster_dup():
+    rng = np.random.default_rng(5)
+    C = rng.normal(size=(4, 16))
+    rows = [{"vec_id": i, "embedding": list(rng.normal(size=16))}
+            for i in range(4, 60)]
+    v = rng.normal(size=16)
+    rows += [{"vec_id": 100, "embedding": list(v)},
+             {"vec_id": 101, "embedding": list(v + 0.01)}]
+    out = similarity.semdedup_pairs(
+        rd.from_items(rows).repartition(4), C, [0, 1, 2, 3],
+        threshold=0.95).to_pandas()
+    assert [(100, 101)] == list(zip(out["id_a"], out["id_b"]))
+    # threshold filters: nothing else among random 16-dim vectors at 0.95
+    assert (out["cosine"] >= 0.95).all()
