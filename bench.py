@@ -47,7 +47,7 @@ BENCH_QUERIES = [
     "cumulative_value", "pack_sequences", "bloom_reconcile_customers",
     "corpus_mixture", "quality_filter", "term_doc_freq",
     "dedup_passages", "decontaminate", "deterministic_shuffle",
-    "embedding_clusters", "semdedup_pairs",
+    "embedding_clusters", "semdedup_pairs", "repetition_stats",
 ]
 
 

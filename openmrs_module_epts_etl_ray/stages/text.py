@@ -160,3 +160,52 @@ def decontaminate(
         return t.filter(hit if invert else pc.invert(hit))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def repetition_stats(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Per-document repetition signals (the Gopher quality-rule family):
+    total / distinct / max-count word bigrams. High duplicate-bigram mass
+    flags boilerplate and degenerate generations; the downstream filter is
+    a plain predicate over these counts (kept integer-exact — ratio
+    rounding differs across engines).
+
+    Shuffle-free: bigrams never leave their batch (the stat is per
+    document), built vectorized from the Arrow word-list offsets. Documents
+    with fewer than two words emit no row (no bigrams), matching the SQL
+    self-join semantics.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t[text_col], "")
+        words = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(words)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        nwords = pc.list_value_length(words).to_numpy().astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(nwords)[:-1]))
+        ord_in_doc = np.arange(len(flat), dtype=np.int64) - \
+            np.repeat(starts, nwords)
+        # bigram at i pairs word i with i+1 of the SAME doc
+        has_next = ord_in_doc < np.repeat(nwords, nwords) - 1
+        lead = np.flatnonzero(has_next)
+        bg = pc.binary_join_element_wise(
+            flat.take(pa.array(lead)), flat.take(pa.array(lead + 1)), " ")
+        doc = np.repeat(t[id_col].to_numpy(zero_copy_only=False), nwords)[lead]
+        df = pd.DataFrame({"doc": doc, "bg": bg.to_pandas()})
+        g = df.groupby(["doc", "bg"], sort=False).size()
+        per_doc = g.groupby(level=0).agg(["sum", "size", "max"])
+        return pa.table({
+            id_col: per_doc.index.to_numpy(),
+            "n_bigrams": per_doc["sum"].to_numpy().astype(np.int64),
+            "n_distinct": per_doc["size"].to_numpy().astype(np.int64),
+            "top_count": per_doc["max"].to_numpy().astype(np.int64),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow")

@@ -365,3 +365,16 @@ def test_semdedup_pairs_finds_planted_in_cluster_dup():
     assert [(100, 101)] == list(zip(out["id_a"], out["id_b"]))
     # threshold filters: nothing else among random 16-dim vectors at 0.95
     assert (out["cosine"] >= 0.95).all()
+
+
+def test_repetition_stats_counts():
+    from openmrs_module_epts_etl_ray.stages.text import repetition_stats
+    out = repetition_stats(rd.from_items([
+        {"doc_id": 1, "text": "a b a b c"},   # ab,ba,ab,bc
+        {"doc_id": 2, "text": "x"},           # no bigrams -> no row
+        {"doc_id": 3, "text": "q q q q"},     # qq x3
+    ]).repartition(2)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(out["doc_id"]) == [1, 3]
+    assert list(out["n_bigrams"]) == [4, 3]
+    assert list(out["n_distinct"]) == [3, 1]
+    assert list(out["top_count"]) == [2, 3]
