@@ -1,0 +1,64 @@
+"""Property tests: passage_dedup and shuffle_rank against pure-python
+oracles on randomized corpora (the same strategy the LWW/quick-merge
+property suites use)."""
+import hashlib
+
+import hypothesis.strategies as st
+import ray.data as rd
+from hypothesis import HealthCheck, given, settings
+
+from openmrs_module_epts_etl_ray.stages.dedup import passage_dedup
+from openmrs_module_epts_etl_ray.stages.sampling import shuffle_rank
+
+WORDS = ["a", "b", "c", "dd", "ee"]
+
+
+def _py_passage_dedup(docs, w):
+    def chunks(t):
+        ws = t.split(" ")
+        return [" ".join(ws[i:i + w]) for i in range(0, len(ws), w)]
+    seen = {}
+    for d in docs:
+        for i, c in enumerate(chunks(d["text"])):
+            seen.setdefault(c, (d["doc_id"], i))
+    out = {}
+    for d in docs:
+        cs = chunks(d["text"])
+        kept = [c for i, c in enumerate(cs)
+                if seen[c] == (d["doc_id"], i)]
+        out[d["doc_id"]] = (" ".join(kept), len(kept), len(cs) - len(kept))
+    return out
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(WORDS), min_size=1, max_size=12)
+          .map(" ".join),
+        min_size=1, max_size=12),
+    w=st.integers(min_value=1, max_value=4),
+)
+def test_passage_dedup_matches_python_oracle(ray_session, texts, w):
+    docs = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    got = passage_dedup(rd.from_items(docs).repartition(3), chunk_words=w) \
+        .to_pandas()
+    got_map = {int(r.doc_id): (r.clean_text, int(r.n_kept), int(r.n_dropped))
+               for r in got.itertuples()}
+    assert got_map == _py_passage_dedup(docs, w)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=10 ** 6),
+                  min_size=1, max_size=60, unique=True),
+    seed=st.sampled_from(["", "e1", "x"]),
+)
+def test_shuffle_rank_matches_python_oracle(ray_session, keys, seed):
+    ds = rd.from_items([{"k": k} for k in keys]).repartition(4)
+    out = shuffle_rank(ds, "k", seed=seed).to_pandas()
+    order = sorted(keys,
+                   key=lambda i: hashlib.sha256(f"{seed}:{i}".encode()).hexdigest())
+    want = {k: p for p, k in enumerate(order)}
+    assert dict(zip(out["k"], out["shuffle_pos"])) == want
