@@ -327,6 +327,15 @@ def _run_item(item: dict, outputs: dict[str, str],
         if fmt == "dump":
             from .export import export_dump
             export_dump(out, out_dir, dst["tableName"])
+        elif dst.get("partitionBy"):
+            # resumable hive-partitioned parquet sink: a re-run of the same
+            # config skips marker-complete key ranges (reference analogue:
+            # per-batch export markers in the stage table)
+            if fmt != "parquet":
+                raise ValueError(
+                    f"partitionBy requires dstType=parquet, got {fmt!r}")
+            from .export import export_partitioned
+            export_partitioned(out, out_dir, dst["partitionBy"])
         else:
             export_files(out, out_dir, fmt=fmt)
         outputs[dst["tableName"]] = out_dir

@@ -311,3 +311,44 @@ def test_self_join_extra_condition(ray_session):
     want = want.sort_values("o_orderkey").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert got["c_mktsegment"].isna().any()  # some orders miss the segment
+
+
+def test_export_partition_by_resumable(tmp_path):
+    """dstConf.partitionBy routes through the resumable hive-partitioned
+    sink; a re-run of the same config skips finished partitions."""
+    import os
+
+    import ray.data as rd
+
+    from openmrs_module_epts_etl_ray.pipelines.config import run_config
+
+    cfg = {
+        "processType": "etl",
+        "etlConfiguration": [{
+            "srcConf": {
+                "tableName": "nation",
+                "sfDir": "/root/testdata/sf0.001",
+                "columns": ["n_nationkey", "n_name", "n_regionkey"],
+            },
+            "dstConf": [{
+                "tableName": "nation_by_region",
+                "mapping": [
+                    {"srcField": "n_nationkey", "dstField": "nation_id"},
+                    {"srcField": "n_name", "dstField": "name"},
+                    {"srcField": "n_regionkey", "dstField": "region_id"},
+                ],
+                "dstType": "parquet",
+                "partitionBy": "region_id",
+                "outDir": str(tmp_path / "nat"),
+            }],
+        }],
+    }
+    run_config(cfg)
+    out = str(tmp_path / "nat")
+    parts = sorted(d for d in os.listdir(out) if d.startswith("region_id="))
+    assert parts == [f"region_id={i}" for i in range(5)]
+    assert all(os.path.exists(os.path.join(out, p, "_FINISHED")) for p in parts)
+    n1 = len(rd.read_parquet(out).to_pandas())
+    assert n1 == 25
+    run_config(cfg)  # idempotent re-run: markers make every partition skip
+    assert len(rd.read_parquet(out).to_pandas()) == 25
