@@ -1417,6 +1417,25 @@ def q_repetition_stats(sf_dir: str):
     return text_stages.repetition_stats(docs)
 
 
+def q_incremental_ingest(sf_dir: str):
+    """Incremental corpus update: of the incoming batch (all documents),
+    keep only content NOT already in the ingested corpus (doc_id < 400),
+    matched by content sha. The bloom pre-pass means at 100 TB the vast
+    majority of already-seen content never shuffles (definite non-members
+    are final locally); only bloom-positive rows take the exact anti-join."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      override_num_blocks=16)
+
+    def shas(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "content_sha": sha256_hex(pc.fill_null(t["text"], ""))})
+
+    hashed = docs.map_batches(shas, batch_format="pyarrow")
+    ingested = filter_expr(hashed, lambda t: pc.less(t["doc_id"], 400)) \
+        .select_columns(["content_sha"])
+    return joins.bloom_anti_join(hashed, ingested, ["content_sha"])
+
+
 def _centroid_rows(sf_dir: str, k: int = 8):
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"],
                      override_num_blocks=16)
@@ -1520,6 +1539,7 @@ QUERIES = {
     "near_dup_clusters": q_near_dup_clusters,
     "ann_ivf_topk": q_ann_ivf_topk,
     "repetition_stats": q_repetition_stats,
+    "incremental_ingest": q_incremental_ingest,
     "embedding_clusters": q_embedding_clusters,
     "semdedup_pairs": q_semdedup_pairs,
     "dedup_passages": q_dedup_passages,
@@ -2174,4 +2194,12 @@ SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_distinct,
        CAST(max(c) AS BIGINT) AS top_count
 FROM g GROUP BY doc_id
+"""
+
+ORACLE_SQL["incremental_ingest"] = """
+WITH ing AS (SELECT DISTINCT sha256(text) AS sha FROM documents WHERE doc_id < 400),
+inc AS (SELECT doc_id, sha256(text) AS content_sha FROM documents)
+SELECT doc_id, content_sha
+FROM inc
+WHERE NOT EXISTS (SELECT 1 FROM ing WHERE ing.sha = inc.content_sha)
 """
