@@ -1417,6 +1417,15 @@ def q_repetition_stats(sf_dir: str):
     return text_stages.repetition_stats(docs)
 
 
+def q_redact_terms(sf_dir: str):
+    """Badword/PII-style scrubbing: whole-word masking via one RE2
+    alternation kernel per batch (portable to DuckDB regexp_replace)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      override_num_blocks=32)
+    return text_stages.redact_terms(
+        docs, ["customer", "spark", "join"], "[X]")
+
+
 def q_incremental_ingest(sf_dir: str):
     """Incremental corpus update: of the incoming batch (all documents),
     keep only content NOT already in the ingested corpus (doc_id < 400),
@@ -1540,6 +1549,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "repetition_stats": q_repetition_stats,
     "incremental_ingest": q_incremental_ingest,
+    "redact_terms": q_redact_terms,
     "embedding_clusters": q_embedding_clusters,
     "semdedup_pairs": q_semdedup_pairs,
     "dedup_passages": q_dedup_passages,
@@ -2202,4 +2212,12 @@ inc AS (SELECT doc_id, sha256(text) AS content_sha FROM documents)
 SELECT doc_id, content_sha
 FROM inc
 WHERE NOT EXISTS (SELECT 1 FROM ing WHERE ing.sha = inc.content_sha)
+"""
+
+ORACLE_SQL["redact_terms"] = r"""
+SELECT doc_id,
+       regexp_replace(text, '\b(customer|spark|join)\b', '[X]', 'g') AS text,
+       CAST(len(regexp_extract_all(text, '\b(customer|spark|join)\b')) AS BIGINT)
+         AS n_redacted
+FROM documents
 """

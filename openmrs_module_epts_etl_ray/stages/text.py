@@ -209,3 +209,41 @@ def repetition_stats(
         })
 
     return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def redact_terms(
+    ds: rd.Dataset,
+    terms: list[str],
+    replacement: str = "[REDACTED]",
+    text_col: str = "text",
+    *,
+    out_col: str | None = None,
+) -> rd.Dataset:
+    """Mask every whole-word occurrence of ``terms`` (C4-style badword /
+    PII-shaped scrubbing). One compiled RE2 alternation applied as a single
+    vectorized ``replace_substring_regex`` kernel per batch — no shuffle,
+    no Python per row; Arrow and DuckDB both run RE2, so the rule is
+    oracle-portable (``regexp_replace(text, '\\b(a|b)\\b', r, 'g')``).
+
+    Counts are appended as ``n_redacted`` (occurrences masked per row) so
+    a downstream filter can drop rows that were mostly redactions."""
+    import re
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    pat = r"\b(" + "|".join(re.escape(t) for t in terms) + r")\b"
+    dst = out_col or text_col
+
+    def scrub(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t[text_col], "")
+        n = pc.count_substring_regex(text, pat)
+        red = pc.replace_substring_regex(text, pat, replacement)
+        cols = {c: t[c] for c in t.column_names}
+        cols[dst] = red
+        cols["n_redacted"] = pc.cast(n, pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(scrub, batch_format="pyarrow")

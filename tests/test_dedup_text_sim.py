@@ -378,3 +378,17 @@ def test_repetition_stats_counts():
     assert list(out["n_bigrams"]) == [4, 3]
     assert list(out["n_distinct"]) == [3, 1]
     assert list(out["top_count"]) == [2, 3]
+
+
+def test_redact_terms_whole_word_only():
+    from openmrs_module_epts_etl_ray.stages.text import redact_terms
+    out = redact_terms(rd.from_items([
+        {"doc_id": 1, "text": "spark and sparkle spark"},
+        {"doc_id": 2, "text": "clean"},
+    ]), ["spark"], "[X]").to_pandas().sort_values("doc_id")
+    assert list(out["text"]) == ["[X] and sparkle [X]", "clean"]
+    assert list(out["n_redacted"]) == [2, 0]
+    # regex metacharacters in terms are literals
+    out2 = redact_terms(rd.from_items([{"doc_id": 1, "text": "a.b ab axb"}]),
+                        ["a.b"], "[X]").to_pandas()
+    assert out2.loc[0, "text"] == "[X] ab axb"
