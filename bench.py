@@ -48,7 +48,7 @@ BENCH_QUERIES = [
     "corpus_mixture", "quality_filter", "term_doc_freq",
     "dedup_passages", "decontaminate", "deterministic_shuffle",
     "embedding_clusters", "semdedup_pairs", "repetition_stats",
-    "incremental_ingest", "redact_terms",
+    "incremental_ingest", "redact_terms", "leakage_safe_split",
 ]
 
 

@@ -1417,6 +1417,18 @@ def q_repetition_stats(sf_dir: str):
     return text_stages.repetition_stats(docs)
 
 
+def q_leakage_safe_split(sf_dir: str):
+    """Dedup-aware train/val/test split: the portable sha-prefix rule keyed
+    on CONTENT, not id — identical documents land in the same split, so
+    exact duplicates can never straddle train and test (eval-leakage
+    guard). Stateless; same rule family as hash_split."""
+    from ..stages.sampling import hash_split
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      override_num_blocks=32)
+    out = hash_split(docs, "text")
+    return out.select_columns(["doc_id", "split"])
+
+
 def q_redact_terms(sf_dir: str):
     """Badword/PII-style scrubbing: whole-word masking via one RE2
     alternation kernel per batch (portable to DuckDB regexp_replace)."""
@@ -1550,6 +1562,7 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "incremental_ingest": q_incremental_ingest,
     "redact_terms": q_redact_terms,
+    "leakage_safe_split": q_leakage_safe_split,
     "embedding_clusters": q_embedding_clusters,
     "semdedup_pairs": q_semdedup_pairs,
     "dedup_passages": q_dedup_passages,
@@ -2219,5 +2232,13 @@ SELECT doc_id,
        regexp_replace(text, '\b(customer|spark|join)\b', '[X]', 'g') AS text,
        CAST(len(regexp_extract_all(text, '\b(customer|spark|join)\b')) AS BIGINT)
          AS n_redacted
+FROM documents
+"""
+
+ORACLE_SQL["leakage_safe_split"] = """
+SELECT doc_id,
+       CASE WHEN substr(sha256(text), 1, 4) < 'e666' THEN 'train'
+            WHEN substr(sha256(text), 1, 4) < 'f333' THEN 'val'
+            ELSE 'test' END AS split
 FROM documents
 """
