@@ -1380,8 +1380,12 @@ def q_dedup_passages(sf_dir: str):
     """C4-style sub-document span dedup: drop globally duplicated 10-word
     passages (first occurrence in (doc_id, position) order wins),
     reassemble each document."""
+    # 8 blocks balances chunk/hash compute parallelism against the two
+    # exchange stages' per-block overhead at this input size (A/B: 1 block
+    # 1.3s, 8 blocks 0.65s, 32 blocks 1.0s warm at sf0.1); at real scale
+    # block count follows the file count instead
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
-                      override_num_blocks=32)
+                      override_num_blocks=8)
     return dedup.passage_dedup(docs, chunk_words=10)
 
 
