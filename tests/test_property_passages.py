@@ -62,3 +62,33 @@ def test_shuffle_rank_matches_python_oracle(ray_session, keys, seed):
                    key=lambda i: hashlib.sha256(f"{seed}:{i}".encode()).hexdigest())
     want = {k: p for p, k in enumerate(order)}
     assert dict(zip(out["k"], out["shuffle_pos"])) == want
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(seed=st.integers(min_value=0, max_value=10 ** 6))
+def test_semdedup_pairs_equal_bruteforce_within_clusters(ray_session, seed):
+    import numpy as np
+
+    from openmrs_module_epts_etl_ray.stages.similarity import (
+        _normalize, semdedup_pairs)
+
+    rng = np.random.default_rng(seed)
+    C = rng.normal(size=(3, 8))
+    V = rng.normal(size=(40, 8))
+    ids = np.arange(100, 140)
+    ds = rd.from_items([
+        {"vec_id": int(i), "embedding": list(map(float, v))}
+        for i, v in zip(ids, V)]).repartition(4)
+    thr = 0.3
+    got = semdedup_pairs(ds, C, [0, 1, 2], threshold=thr).to_pandas()
+    got_set = set(zip(got["id_a"], got["id_b"]))
+
+    Vn = _normalize(V.astype(np.float64))
+    Cn = _normalize(C.astype(np.float64))
+    cl = (Vn @ Cn.T).argmax(axis=1)
+    S = Vn @ Vn.T
+    want = {(int(ids[a]), int(ids[b]))
+            for a in range(40) for b in range(a + 1, 40)
+            if cl[a] == cl[b] and S[a, b] >= thr}
+    assert got_set == want
