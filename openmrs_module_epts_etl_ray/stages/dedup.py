@@ -840,13 +840,22 @@ def passage_dedup(
     ``(id, clean_text, n_kept, n_dropped)`` (a fully-duplicated document
     survives with ``clean_text = ''``).
 
-    Scale shape: chunking + hashing are one vectorized Arrow pass
-    (``split_pattern`` -> list offsets -> ``binary_join``, no Python per
-    row); the winner election shuffles only ``(sha, packed-position)``
-    pairs grouped by a COARSE sha bucket (many hashes per ``map_groups``
-    call, all-vectorized inside — the raw-key map_groups would pay one
-    Python call per passage); reassembly is a second coarse exchange on
-    the id. Nothing ever materializes driver-side.
+    Scale shape — passage TEXT crosses the wire exactly ONCE:
+
+    1. chunking + hashing are one vectorized Arrow pass
+       (``split_pattern`` -> list offsets -> ``binary_join``);
+    2. winner election exchanges only ``(sha, packed-position)`` pairs
+       (per-block min pre-reduce, then a COARSE sha-bucket groupby — many
+       hashes per ``map_groups`` call, vectorized inside; a raw-key
+       groupby would pay one Python call per passage);
+    3. the winner set is just packed int64 positions, and a winner's doc
+       id is ``packed >> 32`` — so winners are ROUTED BY DOC BUCKET and
+       cogrouped with the chunk rows (one union + groupby), marking keeps
+       via searchsorted and reassembling in the same bucket UDF. The
+       chunk text therefore moves only in this single exchange; nothing
+       materializes driver-side (the chunk relation is materialized in
+       the object store once because two branches consume it — spillable,
+       the same shape ``bloom_anti_join`` uses).
 
     Position packing assumes ``id < 2^31`` and ``chunk_idx < 2^32``
     (packed = id * 2^32 + chunk_idx in int64) — at a larger id domain,
@@ -894,41 +903,70 @@ def passage_dedup(
             "_packed": cdoc * np.int64(2 ** 32) + cpos,
         })
 
-    chunks = ds.map_batches(chunk_batch, batch_format="pyarrow")
+    # two branches (election + reassembly) consume the chunk rows; pin them
+    # in the object store once instead of recomputing the read+chunk pass
+    chunks = ds.map_batches(chunk_batch, batch_format="pyarrow").materialize()
 
-    def partial_min(df: pd.DataFrame) -> pd.DataFrame:
-        # per-block pre-reduce: keep each sha's min packed position so the
-        # exchange moves one candidate per (block, sha) — but every row
-        # still flows (reassembly needs them); only the WINNER CHOICE is
-        # pre-reduced, via a block-local min column
+    def elect_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # per-block pre-reduce: one (sha, min packed) candidate per block —
+        # the election exchange never sees chunk text, only these pairs
         from pandas.util import hash_pandas_object
-        h = hash_pandas_object(df["_sha"], index=False).to_numpy()
-        return df.assign(_coarse=(h % np.uint64(n_coarse)).astype(np.int64))
+        out = df.groupby("_sha", sort=False, as_index=False)["_packed"].min()
+        h = hash_pandas_object(out["_sha"], index=False).to_numpy()
+        return out.assign(_coarse=(h % np.uint64(n_coarse)).astype(np.int64))
 
-    def mark_winners(g: pd.DataFrame) -> pd.DataFrame:
-        win = g.groupby("_sha")["_packed"].transform("min")
-        return g.assign(_keep=(g["_packed"] == win)) \
-            .drop(columns=["_coarse", "_sha"])
+    def elect(g: pd.DataFrame) -> pd.DataFrame:
+        win = g.groupby("_sha", sort=False)["_packed"].min().to_numpy()
+        return pd.DataFrame({"_packed": win})
 
-    marked = chunks.map_batches(partial_min, batch_format="pandas") \
-        .groupby("_coarse").map_groups(mark_winners, batch_format="pandas")
+    winners = chunks.map_batches(
+        lambda t: t.select(["_sha", "_packed"]), batch_format="pyarrow") \
+        .map_batches(elect_partial, batch_format="pandas") \
+        .groupby("_coarse").map_groups(elect, batch_format="pandas")
 
-    def rebucket(df: pd.DataFrame) -> pd.DataFrame:
-        return df.assign(
-            _dbucket=(df["_doc"].to_numpy() % n_coarse).astype(np.int64))
+    # cogroup winners with chunk rows by DOC bucket: a winner's doc id is
+    # packed >> 32, so both sides bucket on (_doc % n_coarse) and meet in
+    # one exchange — the only one the chunk text rides
+    def winner_rows(t: pa.Table) -> pa.Table:
+        p = t["_packed"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = p // np.int64(2 ** 32)
+        return pa.table({
+            "_dbucket": doc % np.int64(n_coarse),
+            "_packed": p,
+            "_doc": np.full(len(p), -1, dtype=np.int64),
+            "_chunk": pa.nulls(len(p), pa.string()),
+        })
+
+    def chunk_rows(t: pa.Table) -> pa.Table:
+        doc = t["_doc"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "_dbucket": doc % np.int64(n_coarse),
+            "_packed": t["_packed"],
+            "_doc": t["_doc"],
+            "_chunk": t["_chunk"],
+        })
 
     def reassemble(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("_packed", kind="stable")
-        kept = g[g["_keep"]]
-        joined = kept.groupby("_doc", sort=True)["_chunk"].agg(" ".join)
-        counts = g.groupby("_doc", sort=True)["_keep"].agg(["sum", "size"])
-        out = pd.DataFrame({
+        is_win = g["_doc"].to_numpy() < 0
+        wins = np.sort(g.loc[is_win, "_packed"].to_numpy())
+        c = g[~is_win].sort_values("_packed", kind="stable")
+        p = c["_packed"].to_numpy()
+        if len(wins):
+            idx = np.searchsorted(wins, p)
+            idx[idx == len(wins)] = 0
+            keep = wins[idx] == p
+        else:
+            keep = np.zeros(len(p), dtype=bool)
+        c = c.assign(_keep=keep)
+        joined = c[c["_keep"]].groupby("_doc", sort=True)["_chunk"].agg(" ".join)
+        counts = c.groupby("_doc", sort=True)["_keep"].agg(["sum", "size"])
+        return pd.DataFrame({
             id_col: counts.index.to_numpy(),
             "clean_text": joined.reindex(counts.index).fillna("").to_numpy(),
             "n_kept": counts["sum"].astype("int64").to_numpy(),
             "n_dropped": (counts["size"] - counts["sum"]).astype("int64").to_numpy(),
         })
-        return out
 
-    return marked.map_batches(rebucket, batch_format="pandas") \
+    return winners.map_batches(winner_rows, batch_format="pyarrow") \
+        .union(chunks.map_batches(chunk_rows, batch_format="pyarrow")) \
         .groupby("_dbucket").map_groups(reassemble, batch_format="pandas")
