@@ -2249,3 +2249,29 @@ SELECT doc_id,
             ELSE 'test' END AS split
 FROM documents
 """
+
+# same token class, stopword sets, and earliest-max tie-break as
+# functions.text.predict_lang (dict order en,es,fr,de = the CASE order)
+ORACLE_SQL["langid"] = """
+WITH tok AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-zà-ÿäöüß]+') AS w,
+         len(regexp_extract_all(coalesce(text, ''), '[一-鿿]')) AS cjk,
+         greatest(length(coalesce(text, '')), 1) AS n
+  FROM documents),
+c AS (
+  SELECT doc_id, cjk, n,
+    len(list_filter(w, x -> x IN ('the','and','of','a','to','in','is','it','for','on'))) AS c_en,
+    len(list_filter(w, x -> x IN ('el','la','de','y','que','en','un','una','los','las'))) AS c_es,
+    len(list_filter(w, x -> x IN ('le','la','de','et','que','en','un','une','les','des'))) AS c_fr,
+    len(list_filter(w, x -> x IN ('der','die','das','und','von','zu','ein','eine','ist','nicht'))) AS c_de
+  FROM tok)
+SELECT doc_id,
+       CASE WHEN cjk * 1.0 / n > 0.2 THEN 'zh'
+            WHEN c_en = 0 AND c_es = 0 AND c_fr = 0 AND c_de = 0 THEN 'und'
+            WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_de THEN 'en'
+            WHEN c_es >= c_fr AND c_es >= c_de THEN 'es'
+            WHEN c_fr >= c_de THEN 'fr'
+            ELSE 'de' END AS predicted_lang
+FROM c
+"""
