@@ -2250,6 +2250,37 @@ SELECT doc_id,
 FROM documents
 """
 
+# functions.text.rolling_fingerprint's window hash is a mod-2^64 polynomial
+# (numpy uint64 convolve wraps): H_i = sum_k byte[i+k] * B^k mod 2^64,
+# fingerprint = min over windows. DuckDB has no wrapping 64-bit arithmetic,
+# so each term is accumulated exactly in HUGEINT (16 lead() taps * B^k
+# literals, max ~2^75) and reduced mod 2^64 once. Covers the convolution
+# path only (needs len >= window; the test tables' min text length is 44
+# — the <=16-byte FNV fallback is not SQL-expressible without wraparound).
+_FP_B, _FP_M, _FP_W = 1099511628211, 1 << 64, 16
+_FP_TERMS = " + ".join(
+    f"CAST(lead(c, {k}) OVER w AS HUGEINT) * {pow(_FP_B, k, _FP_M)}"
+    if k else "CAST(c AS HUGEINT)"
+    for k in range(_FP_W))
+ORACLE_SQL["fingerprints"] = f"""
+WITH chars AS (
+  SELECT doc_id,
+         unnest(range(1, length(text) + 1)) AS i,
+         unnest(regexp_extract_all(text, '(?s).')) AS ch
+  FROM documents
+),
+codes AS (SELECT doc_id, i, ascii(ch) AS c FROM chars),
+wh AS (
+  SELECT doc_id,
+         ({_FP_TERMS}) % {_FP_M} AS h,
+         lead(c, {_FP_W - 1}) OVER w AS tail
+  FROM codes
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+)
+SELECT doc_id, CAST(MIN(h) AS UBIGINT) AS fingerprint
+FROM wh WHERE tail IS NOT NULL GROUP BY doc_id
+"""
+
 # same token class, stopword sets, and earliest-max tie-break as
 # functions.text.predict_lang (dict order en,es,fr,de = the CASE order)
 ORACLE_SQL["langid"] = """
