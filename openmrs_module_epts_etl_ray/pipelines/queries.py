@@ -1405,6 +1405,26 @@ def q_decontaminate(sf_dir: str):
         }), batch_format="pyarrow")
 
 
+def q_top_terms(sf_dir: str):
+    """Corpus-wide exact heavy hitters: top-100 whitespace tokens by
+    count, tie-broken by term ascending. Partial counts fold inside each
+    block; only (term, count) pairs shuffle."""
+    docs = read_table(sf_dir, "documents", columns=["text"],
+                      override_num_blocks=32)
+    return text_stages.top_terms(docs, k=100)
+
+
+def q_decontaminate_ngrams(sf_dir: str):
+    """GPT-3-style 13-gram decontamination audit: per document, the count
+    of sliding word 13-grams that also occur in the eval slice
+    (doc_id < 8); n_hits > 0 marks a contaminated document."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      override_num_blocks=32)
+    ev = filter_expr(docs, lambda t: pc.less(t["doc_id"], 8)).take_all()
+    return text_stages.decontaminate_ngrams(
+        docs, [r["text"] for r in ev], n=13)
+
+
 def q_deterministic_shuffle(sf_dir: str):
     """Seeded portable global shuffle position per document (hash-sort,
     the way a 100-TB corpus is actually shuffled for training)."""
@@ -1574,6 +1594,8 @@ QUERIES = {
     "semdedup_pairs": q_semdedup_pairs,
     "dedup_passages": q_dedup_passages,
     "decontaminate": q_decontaminate,
+    "decontaminate_ngrams": q_decontaminate_ngrams,
+    "top_terms": q_top_terms,
     "deterministic_shuffle": q_deterministic_shuffle,
     "media_features": q_media_features,
     "media_resize": q_media_resize,
@@ -2156,6 +2178,37 @@ SELECT doc_id,
        CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
        CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped
 FROM rk GROUP BY doc_id
+"""
+
+ORACLE_SQL["top_terms"] = """
+SELECT term, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS term
+      FROM documents)
+GROUP BY term
+ORDER BY n DESC, term ASC
+LIMIT 100
+"""
+
+# word tokenization = split on single space, list_slice is 1-based
+# inclusive, so gram at i spans words i..i+12; docs with <13 words emit no
+# gram rows and come back as n_hits=0 via the LEFT JOIN
+ORACLE_SQL["decontaminate_ngrams"] = """
+WITH w AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws
+  FROM documents),
+g2 AS (
+  SELECT doc_id,
+         array_to_string(list_slice(ws, i, i + 12), ' ') AS g
+  FROM (SELECT doc_id, ws,
+               unnest(range(1, greatest(len(ws) - 12, 0) + 1)) AS i
+        FROM w)),
+ev AS (SELECT DISTINCT g FROM g2 WHERE doc_id < 8),
+hits AS (
+  SELECT g2.doc_id, count(*) AS c
+  FROM g2 JOIN ev USING (g)
+  GROUP BY g2.doc_id)
+SELECT d.doc_id, CAST(coalesce(h.c, 0) AS BIGINT) AS n_hits
+FROM documents d LEFT JOIN hits h USING (doc_id)
 """
 
 ORACLE_SQL["decontaminate"] = """

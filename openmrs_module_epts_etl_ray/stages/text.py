@@ -125,6 +125,38 @@ def term_doc_frequency(
     return broadcast_inner_join(keep, df_rel, ["term"])
 
 
+def top_terms(
+    ds: rd.Dataset,
+    k: int = 100,
+    *,
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Corpus-wide exact heavy hitters: the ``k`` most frequent whitespace
+    tokens, ties broken by term text ascending (deterministic).
+
+    Scale shape: counts are pre-reduced INSIDE each block (explode +
+    value_counts per batch), so the exchange moves only (term,
+    partial_count) pairs — vocabulary-sized, sublinear in corpus bytes;
+    the final sort+limit runs over the aggregated term relation only.
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].fillna("").str.split(" ")
+        flat = pd.Series(np.concatenate(
+            [t for t in toks if len(t)] or [np.array([], dtype=object)]))
+        out = flat.value_counts(sort=False).rename_axis("term") \
+            .reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    counts = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("term").aggregate(Sum("n", alias_name="n"))
+    return counts.sort(["n", "term"], descending=[True, False]).limit(k)
+
+
 def decontaminate(
     ds: rd.Dataset,
     snippets: list[str],
@@ -160,6 +192,74 @@ def decontaminate(
         return t.filter(hit if invert else pc.invert(hit))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def _sliding_ngrams(texts: "pa.Array", n: int):
+    """Vectorized word-level sliding n-grams: one ``split_pattern`` pass,
+    then a single ``binary_join_element_wise`` over ``n`` shifted takes of
+    the flattened word stream. Returns ``(grams, doc_idx)`` — the n-gram
+    strings and, per gram, the ROW index (0-based, within this batch) of
+    the document it came from. Rows with fewer than ``n`` words emit no
+    grams."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    text = pc.fill_null(texts, "")
+    words = pc.split_pattern(text, " ")
+    flat = pc.list_flatten(words)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    nwords = pc.list_value_length(words).to_numpy().astype(np.int64)
+    starts = np.concatenate(([0], np.cumsum(nwords)[:-1]))
+    ord_in_doc = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, nwords)
+    lead = np.flatnonzero(ord_in_doc < np.repeat(nwords, nwords) - (n - 1))
+    shifted = [flat.take(pa.array(lead + k)) for k in range(n)]
+    grams = pc.binary_join_element_wise(*shifted, " ")
+    doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), nwords)[lead]
+    return grams, doc_idx
+
+
+def decontaminate_ngrams(
+    ds: rd.Dataset,
+    eval_texts: list[str],
+    *,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """GPT-3 style n-gram decontamination audit: count, per document, the
+    sliding word ``n``-grams that also occur anywhere in ``eval_texts``
+    (the substring pass in :func:`decontaminate` catches verbatim leaks;
+    the n-gram pass catches REPHRASED-context leaks around a shared
+    span — the method of the GPT-3 appendix / open eval-dedup tooling).
+    Output: one row per document, ``(id, n_hits)``; filter ``n_hits > 0``
+    to drop contaminated rows.
+
+    Scale shape: the eval n-gram set is built once driver-side (eval sets
+    are 10^2..10^5 grams), broadcast via ``ray.put``, and probed per batch
+    with one hashed ``is_in`` kernel over the batch's gram stream — no
+    shuffle, no Python per row; the corpus text is read exactly once."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    ev_grams, _ = _sliding_ngrams(pa.array([t or "" for t in eval_texts],
+                                           type=pa.string()), n)
+    ev_set = pc.unique(ev_grams)
+    ev_ref = ray.put(ev_set)
+
+    def probe(t: pa.Table) -> pa.Table:
+        ev = ray.get(ev_ref)
+        grams, doc_idx = _sliding_ngrams(
+            t[text_col].combine_chunks() if isinstance(t[text_col], pa.ChunkedArray)
+            else t[text_col], n)
+        hit = pc.is_in(grams, value_set=ev).to_numpy(zero_copy_only=False)
+        n_hits = np.bincount(doc_idx[hit], minlength=len(t)).astype(np.int64)
+        return pa.table({id_col: t[id_col], "n_hits": n_hits})
+
+    return ds.map_batches(probe, batch_format="pyarrow")
 
 
 def repetition_stats(

@@ -322,6 +322,35 @@ def test_decontaminate_drops_and_audits():
     assert len(decontaminate(ds, []).to_pandas()) == 4
 
 
+def test_top_terms_exact_with_tiebreak():
+    from openmrs_module_epts_etl_ray.stages.text import top_terms
+    ds = docs_ds(["b a a", "c b a", "d c b a"]).repartition(3)
+    out = top_terms(ds, k=3).to_pandas()
+    assert list(out["term"]) == ["a", "b", "c"]   # 4,3,2 — then d=1 cut
+    assert list(out["n"]) == [4, 3, 2]
+    # tie at the k-boundary resolves by term text ascending
+    tie = top_terms(docs_ds(["z y", "y z x"]), k=2).to_pandas()
+    assert list(tie["term"]) == ["y", "z"] and list(tie["n"]) == [2, 2]
+
+
+def test_decontaminate_ngrams_counts_overlaps():
+    from openmrs_module_epts_etl_ray.stages.text import decontaminate_ngrams
+    ds = docs_ds([
+        "a b c d e",       # grams "a b c","b c d","c d e" all occur in evals
+        "x y z",           # no overlap
+        "b c d x",         # only "b c d" hits
+        "short",           # <3 words, no grams
+        "",                # empty
+    ])
+    out = decontaminate_ngrams(
+        ds, ["q a b c d q", "zz c d e zz"], n=3).to_pandas() \
+        .set_index("doc_id")["n_hits"].to_dict()
+    assert out == {0: 3, 1: 0, 2: 1, 3: 0, 4: 0}
+    # eval text with <n words contributes nothing and doesn't crash
+    none = decontaminate_ngrams(ds, ["xy"], n=3).to_pandas()
+    assert none["n_hits"].sum() == 0
+
+
 def test_shuffle_rank_is_portable_permutation():
     import hashlib
 
