@@ -125,6 +125,12 @@ def term_doc_frequency(
     return broadcast_inner_join(keep, df_rel, ["term"])
 
 
+# snippet count at which decontaminate() switches from per-snippet
+# match_substring kernels to one RE2 alternation DFA; resolved at call
+# time (module constant, monkeypatch-able in tests / A-B runs)
+_DECON_REGEX_FROM = 64
+
+
 def top_terms(
     ds: rd.Dataset,
     k: int = 100,
@@ -169,13 +175,18 @@ def decontaminate(
     substring decontamination pass; ``invert=True`` returns the
     contaminated rows instead, for auditing).
 
-    The snippet list is broadcast ONCE (``ray.put``) and probed with one
-    vectorized ``match_substring`` pass per snippet — O(|snippets|) Arrow
-    kernels per batch, no Python per row, no shuffle. That is the right
-    shape for eval sets (10^2..10^4 snippets); a much larger contamination
-    corpus should go through an Aho-Corasick automaton built per actor
-    (``map_batches(Cls, concurrency=N)``) instead of this linear probe.
+    The snippet list is broadcast ONCE (``ray.put``) and probed per batch
+    with no Python per row and no shuffle. Small lists (< ``regex_from``)
+    run one vectorized ``match_substring`` kernel per snippet; larger
+    lists switch to a SINGLE ``match_substring_regex`` over an escaped
+    alternation — RE2 compiles the alternation into one DFA (the
+    Aho-Corasick shape), so the per-batch cost stops scaling with
+    |snippets| and the probe stays one kernel however large the
+    contamination corpus grows (RE2 program-size limits cap this around
+    10^5..10^6 snippet chars; shard the pattern above that).
     """
+    import re
+
     import pyarrow.compute as pc
     import ray
 
@@ -186,9 +197,13 @@ def decontaminate(
         import pyarrow as pa
         snips = ray.get(ref)
         text = pc.fill_null(t[text_col], "")
-        hit = pa.array(np.zeros(len(t), dtype=bool))
-        for s in snips:
-            hit = pc.or_(hit, pc.match_substring(text, s))
+        if len(snips) >= _DECON_REGEX_FROM:
+            pat = "|".join(re.escape(s) for s in snips)
+            hit = pc.match_substring_regex(text, pat)
+        else:
+            hit = pa.array(np.zeros(len(t), dtype=bool))
+            for s in snips:
+                hit = pc.or_(hit, pc.match_substring(text, s))
         return t.filter(hit if invert else pc.invert(hit))
 
     return ds.map_batches(keep, batch_format="pyarrow")

@@ -322,6 +322,20 @@ def test_decontaminate_drops_and_audits():
     assert len(decontaminate(ds, []).to_pandas()) == 4
 
 
+def test_decontaminate_regex_path_matches_per_snippet(monkeypatch):
+    from openmrs_module_epts_etl_ray.stages import text as tmod
+    texts = ["alpha beta gamma", "a.b(c)d", "needle in haystack",
+             "no match here", "regex specials .* should be literal"]
+    ds = docs_ds(texts)
+    snips = ["beta ga", "a.b(c)", ".*", "absent"]
+    monkeypatch.setattr(tmod, "_DECON_REGEX_FROM", 10**9)
+    per = sorted(tmod.decontaminate(ds, snips).to_pandas()["text"])
+    monkeypatch.setattr(tmod, "_DECON_REGEX_FROM", 1)
+    dfa = sorted(tmod.decontaminate(ds, snips).to_pandas()["text"])
+    # snippets are escaped, so ".*" only hits its literal occurrence
+    assert per == dfa == ["needle in haystack", "no match here"]
+
+
 def test_top_terms_exact_with_tiebreak():
     from openmrs_module_epts_etl_ray.stages.text import top_terms
     ds = docs_ds(["b a a", "c b a", "d c b a"]).repartition(3)
