@@ -48,7 +48,8 @@ BENCH_QUERIES = [
     "corpus_mixture", "quality_filter", "term_doc_freq",
     "dedup_passages", "decontaminate", "decontaminate_ngrams",
     "top_terms", "deterministic_shuffle",
-    "embedding_clusters", "semdedup_pairs", "repetition_stats",
+    "embedding_clusters", "embedding_kmeans", "semdedup_pairs",
+    "repetition_stats",
     "incremental_ingest", "redact_terms", "leakage_safe_split",
 ]
 

@@ -1405,6 +1405,16 @@ def q_decontaminate(sf_dir: str):
         }), batch_format="pyarrow")
 
 
+def q_embedding_kmeans(sf_dir: str):
+    """Distributed Lloyd k-means over the embeddings table (iterative
+    algorithm — rows-only driver check; exactness vs a pure-numpy Lloyd
+    with identical init is property-tested)."""
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+                     override_num_blocks=16)
+    assign, _ = similarity.kmeans(emb, k=8, iters=5)
+    return assign
+
+
 def q_top_terms(sf_dir: str):
     """Corpus-wide exact heavy hitters: top-100 whitespace tokens by
     count, tie-broken by term ascending. Partial counts fold inside each
@@ -1596,6 +1606,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "decontaminate_ngrams": q_decontaminate_ngrams,
     "top_terms": q_top_terms,
+    "embedding_kmeans": q_embedding_kmeans,
     "deterministic_shuffle": q_deterministic_shuffle,
     "media_features": q_media_features,
     "media_resize": q_media_resize,

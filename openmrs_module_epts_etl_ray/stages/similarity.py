@@ -259,3 +259,103 @@ def semdedup_pairs(
 
     return assigned.groupby("cluster_id").map_groups(
         pairs, batch_format="pandas")
+
+
+def _list_matrix(col: "pa.ChunkedArray") -> np.ndarray:
+    """Zero-copy-ish (d-dim list column) -> (n, d) float64 matrix via the
+    flattened value buffer; ``list_flatten`` is slice-safe."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    flat = pc.list_flatten(col)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    n = len(col)
+    return flat.to_numpy(zero_copy_only=False).astype(np.float64, copy=False) \
+        .reshape(n, -1)
+
+
+def kmeans(
+    ds: rd.Dataset,
+    *,
+    k: int = 8,
+    iters: int = 10,
+    tol: float = 0.0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    init_centroids: np.ndarray | None = None,
+) -> tuple[rd.Dataset, np.ndarray]:
+    """Distributed Lloyd k-means over an embedding column (squared
+    euclidean; ties break to the lowest cluster index via argmin).
+    Returns ``(assignments, centroids)`` — assignments is a Dataset of
+    ``(id, cluster)``, centroids the final (k, d) matrix.
+
+    Scale shape — an ITERATIVE algorithm with NO all-to-all exchange:
+
+    - the input is pinned once (``materialize``) and each Lloyd round is
+      one linear ``map_batches`` scan: assignment is a broadcast matmul
+      (centroids are k x d, riding the task closure), and per-cluster
+      (count, vector-sum) partials fold INSIDE the block via
+      sort + ``add.reduceat``;
+    - only k rows per block reach the driver per round (k * nblocks
+      total — centroid-sized, independent of n), which folds them and
+      re-broadcasts; an empty cluster keeps its previous centroid;
+    - early-exit when the max centroid L2 shift drops to ``tol``.
+
+    ``init_centroids`` defaults to the first ``k`` input vectors (block
+    order — deterministic for a parquet read); pass an explicit matrix
+    for reproducible experiments across differently-blocked inputs.
+    """
+    import pyarrow as pa
+
+    pinned = ds.map_batches(
+        lambda t: t.select([id_col, vec_col]), batch_format="pyarrow") \
+        .materialize()
+
+    if init_centroids is None:
+        head = pinned.take(k)
+        C = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in head])
+    else:
+        C = np.asarray(init_centroids, dtype=np.float64).copy()
+    if len(C) != k:
+        raise ValueError(f"need {k} initial centroids, got {len(C)}")
+
+    def partials(cent: np.ndarray):
+        half = 0.5 * (cent * cent).sum(axis=1)
+
+        def fn(t: pa.Table) -> pa.Table:
+            X = _list_matrix(t[vec_col])
+            a = np.argmax(X @ cent.T - half, axis=1)
+            order = np.argsort(a, kind="stable")
+            uniq, starts = np.unique(a[order], return_index=True)
+            sums = np.add.reduceat(X[order], starts, axis=0)
+            counts = np.diff(np.append(starts, len(a)))
+            return pa.table({
+                "cluster": uniq.astype(np.int64),
+                "n": counts.astype(np.int64),
+                "s": pa.array(list(sums), type=pa.list_(pa.float64())),
+            })
+        return fn
+
+    for _ in range(iters):
+        rows = pinned.map_batches(partials(C), batch_format="pyarrow").take_all()
+        sums = np.zeros_like(C)
+        counts = np.zeros(k, dtype=np.int64)
+        for r in rows:
+            sums[r["cluster"]] += np.asarray(r["s"])
+            counts[r["cluster"]] += r["n"]
+        new = np.where(counts[:, None] > 0, sums / np.maximum(counts, 1)[:, None], C)
+        shift = float(np.linalg.norm(new - C, axis=1).max())
+        C = new
+        if shift <= tol:
+            break
+
+    half = 0.5 * (C * C).sum(axis=1)
+    Cf = C
+
+    def assign(t: pa.Table) -> pa.Table:
+        X = _list_matrix(t[vec_col])
+        a = np.argmax(X @ Cf.T - half, axis=1)
+        return pa.table({id_col: t[id_col], "cluster": a.astype(np.int64)})
+
+    return pinned.map_batches(assign, batch_format="pyarrow"), C

@@ -92,3 +92,40 @@ def test_semdedup_pairs_equal_bruteforce_within_clusters(ray_session, seed):
             for a in range(40) for b in range(a + 1, 40)
             if cl[a] == cl[b] and S[a, b] >= thr}
     assert got_set == want
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(seed=st.integers(min_value=0, max_value=10 ** 6))
+def test_kmeans_matches_numpy_lloyd(ray_session, seed):
+    """Distributed Lloyd == single-process numpy Lloyd, same init, on
+    well-separated blobs (fp-fold-order robust by construction)."""
+    import numpy as np
+
+    from openmrs_module_epts_etl_ray.stages.similarity import kmeans
+
+    rng = np.random.default_rng(seed)
+    k, d, per = 3, 5, 20
+    centers = rng.normal(size=(k, d)) * 20          # far apart vs unit noise
+    V = np.concatenate([c + rng.normal(size=(per, d)) for c in centers])
+    perm = rng.permutation(len(V))
+    V = V[perm]
+    ids = np.arange(len(V))
+    init = V[:k].copy()
+
+    ds = rd.from_items([
+        {"vec_id": int(i), "embedding": list(map(float, v))}
+        for i, v in zip(ids, V)]).repartition(4)
+    got_ds, got_C = kmeans(ds, k=k, iters=7, init_centroids=init)
+    got = got_ds.to_pandas().set_index("vec_id")["cluster"].to_dict()
+
+    C = init.copy()
+    for _ in range(7):
+        a = ((V[:, None, :] - C[None]) ** 2).sum(-1).argmin(1)
+        for j in range(k):
+            if (a == j).any():
+                C[j] = V[a == j].mean(axis=0)
+    a = ((V[:, None, :] - C[None]) ** 2).sum(-1).argmin(1)
+    want = {int(i): int(c) for i, c in zip(ids, a)}
+    assert got == want
+    assert np.allclose(got_C, C, atol=1e-8)
