@@ -328,6 +328,72 @@ def read_lake(lake_root: str, include_deleted: bool = False) -> rd.Dataset:
     return ds.map_batches(clean, batch_format="pyarrow")
 
 
+def lookup_keys(
+    lake_root: str,
+    keys: list[tuple],
+    key_cols: tuple[str, ...] = ("repo", "path"),
+    *,
+    include_deleted: bool = False,
+) -> pa.Table:
+    """Point lookups on the lake WITHOUT a scan: each requested key is
+    routed to its hash bucket by the same rule the writer used
+    (``key_hash % num_buckets``, read from the lake's bucketing meta), so
+    only the probed buckets' committed state is read — O(sum of probed
+    bucket sizes), independent of lake size. Size ``num_buckets`` at
+    write time so a single bucket stays lookup-sized at your scale.
+
+    Returns the matching rows as one Arrow table (point lookups are
+    driver-scale by contract); tombstoned keys are omitted unless
+    ``include_deleted``. Reference parity: the per-record existence /
+    fetch probes the reference issues against the destination DB before
+    merging (SURVEY §2.5 unique-key probes) — here they become bucket
+    file reads instead of indexed SQL.
+    """
+    import numpy as np
+
+    from ..functions.hashing import KEY_SEP, _joined_keys, key_hash
+
+    def joined(t: pa.Table) -> pa.Array:
+        if len(key_cols) == 1:
+            j = pc.cast(t[key_cols[0]], pa.string())
+        else:
+            j = pc.binary_join_element_wise(
+                *[pc.cast(t[c], pa.string()) for c in key_cols],
+                pa.scalar(KEY_SEP, type=pa.string()))
+        return j.combine_chunks() if isinstance(j, pa.ChunkedArray) else j
+
+    log = CommitLog(lake_root)
+    nb = log.num_buckets()
+    if nb is None:
+        raise ValueError(f"{lake_root} has no bucketing meta (empty lake?)")
+    probe = pa.table({c: pa.array([k[i] for k in keys])
+                      for i, c in enumerate(key_cols)})
+    buckets = (key_hash(probe, key_cols) % np.uint64(nb)).astype(np.int64)
+    want = _joined_keys(probe, key_cols)
+
+    out, schema = [], None
+    for b in np.unique(buckets):
+        state = log.read_state(int(b))
+        if state.schema is not None and len(state.schema):
+            schema = state.schema
+        if len(state) == 0:
+            continue
+        wb = pa.array(sorted({str(w) for w in want[buckets == b]}),
+                      type=pa.string())
+        hit = state.filter(pc.is_in(joined(state), value_set=wb))
+        if not include_deleted and DELETED_COL in hit.column_names:
+            hit = hit.filter(pc.equal(hit[DELETED_COL], False)) \
+                .drop_columns([DELETED_COL])
+        if len(hit):
+            out.append(hit)
+    if not out:
+        if schema is not None and not include_deleted \
+                and DELETED_COL in schema.names:
+            schema = pa.schema([f for f in schema if f.name != DELETED_COL])
+        return schema.empty_table() if schema is not None else pa.table({})
+    return pa.concat_tables(out)
+
+
 def write_lineage(lineage: rd.Dataset, lake_root: str, run_id: str) -> None:
     """Persist the run's lineage rows under the lake (audit trail; reference:
     operation-history stage tables, ``common/model/SyncImportInfoDAO.java``)."""

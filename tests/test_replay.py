@@ -283,3 +283,30 @@ def test_actor_loss_rerun_converges(doc_events, tmp_path):
     # buckets commit now — state converges to the clean single-shot result
     replay(ds, lake, num_buckets=8, engine="push").materialize()
     assert final_shas(lake) == full
+
+
+def test_lookup_keys_point_reads_match_scan(doc_events, tmp_lake):
+    from openmrs_module_epts_etl_ray.pipelines.replay import lookup_keys
+
+    ds, tbl = doc_events
+    replay(ds, tmp_lake, num_buckets=16).materialize()
+    full = read_lake(tmp_lake).to_pandas()
+    live = {(r.repo, r.path): r.content_sha for r in full.itertuples()}
+    oracle = oracle_final_shas(tbl)
+    present = sorted(live)[:5]
+    deleted = sorted(set(zip(tbl["repo"].to_pylist(), tbl["path"].to_pylist()))
+                     - set(oracle))[:2]
+    absent = [("no-such-repo", "no/such/path")]
+
+    got = lookup_keys(tmp_lake, present + deleted + absent)
+    got_map = {(r.repo, r.path): r.content_sha for r in got.to_pandas().itertuples()}
+    assert got_map == {k: live[k] for k in present}
+
+    # tombstoned keys come back only with include_deleted
+    if deleted:
+        dead = lookup_keys(tmp_lake, deleted, include_deleted=True).to_pandas()
+        assert set(zip(dead["repo"], dead["path"])) == set(deleted)
+
+    # all-absent probe returns an empty, schema-stable table
+    empty = lookup_keys(tmp_lake, absent)
+    assert len(empty) == 0 and "repo" in empty.schema.names
