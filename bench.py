@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "embedding_clusters", "embedding_kmeans", "semdedup_pairs",
     "repetition_stats",
     "incremental_ingest", "redact_terms", "leakage_safe_split",
+    "langid", "fingerprints",
 ]
 
 

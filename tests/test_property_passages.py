@@ -129,3 +129,46 @@ def test_kmeans_matches_numpy_lloyd(ray_session, seed):
     want = {int(i): int(c) for i, c in zip(ids, a)}
     assert got == want
     assert np.allclose(got_C, C, atol=1e-8)
+
+
+_words = st.sampled_from(["a", "b", "c", "dd", "eee"])
+_texts = st.lists(
+    st.lists(_words, min_size=0, max_size=12).map(" ".join),
+    min_size=1, max_size=12)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(texts=_texts, evals=_texts, n=st.integers(min_value=2, max_value=4))
+def test_decontaminate_ngrams_matches_python_oracle(ray_session, texts, evals, n):
+    from openmrs_module_epts_etl_ray.stages.text import decontaminate_ngrams
+
+    def grams(s):
+        w = s.split(" ")
+        return [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
+
+    ev = {g for t in evals for g in grams(t)}
+    want = {i: sum(g in ev for g in grams(t)) for i, t in enumerate(texts)}
+
+    ds = rd.from_items([{"doc_id": i, "text": t}
+                        for i, t in enumerate(texts)]).repartition(3)
+    got = decontaminate_ngrams(ds, evals, n=n).to_pandas() \
+        .set_index("doc_id")["n_hits"].to_dict()
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(texts=_texts, k=st.integers(min_value=1, max_value=6))
+def test_top_terms_matches_python_oracle(ray_session, texts, k):
+    from collections import Counter
+
+    from openmrs_module_epts_etl_ray.stages.text import top_terms
+
+    c = Counter(w for t in texts for w in t.split(" "))
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    ds = rd.from_items([{"doc_id": i, "text": t}
+                        for i, t in enumerate(texts)]).repartition(3)
+    got = top_terms(ds, k=k).to_pandas()
+    assert list(zip(got["term"], got["n"])) == want
