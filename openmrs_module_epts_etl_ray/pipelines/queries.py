@@ -1418,9 +1418,10 @@ def q_embedding_kmeans(sf_dir: str):
 def q_top_terms(sf_dir: str):
     """Corpus-wide exact heavy hitters: top-100 whitespace tokens by
     count, tie-broken by term ascending. Partial counts fold inside each
-    block; only (term, count) pairs shuffle."""
-    docs = read_table(sf_dir, "documents", columns=["text"],
-                      override_num_blocks=32)
+    block; only (term, count) pairs shuffle. Byte-proportional block
+    count — the groupby+sort barriers multiply per-block overhead, so
+    forcing 32 micro-blocks on this input benched 3x slower."""
+    docs = read_table(sf_dir, "documents", columns=["text"])
     return text_stages.top_terms(docs, k=100)
 
 
