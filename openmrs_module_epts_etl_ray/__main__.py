@@ -1,0 +1,140 @@
+"""CLI entry point — the Ray-side analogue of the reference's command-line
+process starter (epts-etl runs as ``java -jar`` + a JSON process config;
+reference: ``Main.java`` / ``controller/ProcessStarter.java``). Usage:
+
+    python -m openmrs_module_epts_etl_ray run-config examples/etl_self_join.json
+    python -m openmrs_module_epts_etl_ray replay EVENT_DIR LAKE --num-buckets 128
+    python -m openmrs_module_epts_etl_ray tail EVENT_DIR LAKE --window 1000000
+    python -m openmrs_module_epts_etl_ray compact LAKE
+    python -m openmrs_module_epts_etl_ray lookup LAKE REPO PATH
+    python -m openmrs_module_epts_etl_ray query pricing_summary --sf-dir DIR --out OUT
+
+On a cluster the same invocations ship as ``ray job submit -- python -m
+openmrs_module_epts_etl_ray ...``. This module OWNS the Ray session
+(guarded init + shutdown); the library itself never calls ``ray.init``
+per the driver contract.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray():
+    import ray
+
+    if not ray.is_initialized():
+        # RAY_ADDRESS (preset to "local" in this environment, a cluster
+        # address under `ray job submit`) steers the connection
+        ray.init(include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _emit(obj) -> None:
+    print(json.dumps(obj, default=str))
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="openmrs_module_epts_etl_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    rc = sub.add_parser("run-config", help="run a JSON process config")
+    rc.add_argument("config")
+
+    rp = sub.add_parser("replay", help="replay an event log into a lake")
+    rp.add_argument("event_dir")
+    rp.add_argument("lake")
+    rp.add_argument("--num-buckets", type=int, default=64)
+    rp.add_argument("--engine", choices=["push", "sort"], default="push")
+    rp.add_argument("--lsn-lo", type=int, default=None)
+    rp.add_argument("--lsn-hi", type=int, default=None)
+    rp.add_argument("--dead-letter-dir", default=None)
+
+    tl = sub.add_parser("tail", help="replay in LSN windows until caught up")
+    tl.add_argument("event_dir")
+    tl.add_argument("lake")
+    tl.add_argument("--num-buckets", type=int, default=64)
+    tl.add_argument("--window", type=int, default=1_000_000)
+
+    cp = sub.add_parser("compact", help="compact a lake in place")
+    cp.add_argument("lake")
+
+    lk = sub.add_parser("lookup", help="point-lookup keys in a lake")
+    lk.add_argument("lake")
+    lk.add_argument("repo")
+    lk.add_argument("path")
+    lk.add_argument("--deleted", action="store_true")
+
+    q = sub.add_parser("query", help="run a catalog query over an sf dir")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    q.add_argument("--out", default=None,
+                   help="write result parquet here instead of printing a head")
+
+    args = p.parse_args(argv)
+    _init_ray()
+    import ray
+    import ray.data as rd
+
+    try:
+        if args.cmd == "run-config":
+            from .pipelines.config import run_config
+
+            _emit({"outputs": run_config(args.config)})
+        elif args.cmd == "replay":
+            from .pipelines.replay import replay
+
+            events = rd.read_parquet(args.event_dir)
+            rng = ((args.lsn_lo if args.lsn_lo is not None else -1, args.lsn_hi)
+                   if args.lsn_hi is not None else None)
+            lin = replay(events, args.lake, num_buckets=args.num_buckets,
+                         engine=args.engine, lsn_range=rng,
+                         dead_letter_dir=args.dead_letter_dir).materialize()
+            _emit({"buckets": lin.count(),
+                   "rows_applied": int(lin.sum("rows_applied") or 0)})
+        elif args.cmd == "tail":
+            from .pipelines.replay import replay_until_caught_up
+
+            wins = replay_until_caught_up(
+                rd.read_parquet(args.event_dir), args.lake,
+                num_buckets=args.num_buckets, window_size=args.window)
+            _emit({"windows": len(wins),
+                   "rows_applied": sum(int(w.sum("rows_applied") or 0)
+                                       for w in wins)})
+        elif args.cmd == "compact":
+            from .state.compaction import compact_lake
+
+            stats = compact_lake(args.lake)
+            _emit({"compacted": args.lake, "buckets": len(stats),
+                   "stats": stats.to_pylist()})
+        elif args.cmd == "lookup":
+            from .pipelines.replay import lookup_keys
+
+            t = lookup_keys(args.lake, [(args.repo, args.path)],
+                            include_deleted=args.deleted)
+            _emit({"rows": t.to_pylist()})
+        elif args.cmd == "query":
+            from .pipelines.queries import QUERIES
+
+            res = QUERIES[args.name](args.sf_dir)
+            if not isinstance(res, rd.Dataset):
+                import pyarrow as pa
+
+                res = rd.from_arrow(res if isinstance(res, pa.Table)
+                                    else pa.Table.from_pandas(res))
+            if args.out:
+                res.write_parquet(args.out)
+                _emit({"query": args.name, "out": args.out})
+            else:
+                _emit({"query": args.name, "head": res.take(5),
+                       "rows": res.count()})
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
