@@ -46,7 +46,8 @@ BENCH_QUERIES = [
     "config_join_extract", "cc_chain_clusters", "late_events",
     "cumulative_value", "pack_sequences", "bloom_reconcile_customers",
     "corpus_mixture", "quality_filter", "term_doc_freq",
-    "dedup_passages", "decontaminate", "decontaminate_ngrams",
+    "dedup_passages", "dedup_substrings", "decontaminate",
+    "decontaminate_ngrams",
     "top_terms", "deterministic_shuffle",
     "embedding_clusters", "embedding_kmeans", "semdedup_pairs",
     "repetition_stats",

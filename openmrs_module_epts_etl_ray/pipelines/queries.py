@@ -1405,6 +1405,23 @@ def q_decontaminate(sf_dir: str):
         }), batch_format="pyarrow")
 
 
+def q_dedup_substrings(sf_dir: str):
+    """ExactSubstr-style duplicated-span stats: per document, the count of
+    25-char window starts whose substring occurs >= 2 times in the corpus
+    and the characters covered by their union (the cleaned text itself is
+    brute-force-verified in tests; the oracle checks the two exact
+    counts). 8 blocks: the convolution pass needs parallelism (1 block
+    benched 8-9 s, 8 blocks ~2 s warm at sf0.1) but 32 micro-blocks pay
+    barrier overhead (~4 s); at real scale block count follows file
+    count."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      override_num_blocks=8)
+    out = dedup.exact_substring_dedup(docs, min_len=25)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "n_dup_starts", "n_dup_chars"]),
+        batch_format="pyarrow")
+
+
 def q_embedding_kmeans(sf_dir: str):
     """Distributed Lloyd k-means over the embeddings table (iterative
     algorithm — rows-only driver check; exactness vs a pure-numpy Lloyd
@@ -1608,6 +1625,7 @@ QUERIES = {
     "decontaminate_ngrams": q_decontaminate_ngrams,
     "top_terms": q_top_terms,
     "embedding_kmeans": q_embedding_kmeans,
+    "dedup_substrings": q_dedup_substrings,
     "deterministic_shuffle": q_deterministic_shuffle,
     "media_features": q_media_features,
     "media_resize": q_media_resize,
@@ -2190,6 +2208,39 @@ SELECT doc_id,
        CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
        CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped
 FROM rk GROUP BY doc_id
+"""
+
+# duplicated 25-gram starts per doc + the length of their interval union
+# (gaps-and-islands: starts <= 25 apart overlap/abut into one covered run)
+ORACLE_SQL["dedup_substrings"] = """
+WITH g AS (
+  SELECT doc_id, unnest(range(1, length(text) - 25 + 2)) AS i, text
+  FROM documents),
+w AS (SELECT doc_id, i, substr(text, i, 25) AS gram FROM g),
+dup AS (SELECT gram FROM w GROUP BY gram HAVING count(*) >= 2),
+d AS (SELECT w.doc_id, w.i FROM w JOIN dup USING (gram)),
+isl AS (
+  SELECT doc_id, i,
+         CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= 25
+              THEN 0 ELSE 1 END AS brk
+  FROM d),
+grp AS (
+  SELECT doc_id, i,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY i) AS isl_id
+  FROM isl),
+spans AS (
+  SELECT doc_id, min(i) AS s, max(i) AS e,
+         CAST(count(*) AS BIGINT) AS n
+  FROM grp GROUP BY doc_id, isl_id),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(n) AS BIGINT) AS n_dup_starts,
+         CAST(SUM(e - s + 25) AS BIGINT) AS n_dup_chars
+  FROM spans GROUP BY doc_id)
+SELECT doc.doc_id,
+       CAST(coalesce(a.n_dup_starts, 0) AS BIGINT) AS n_dup_starts,
+       CAST(coalesce(a.n_dup_chars, 0) AS BIGINT) AS n_dup_chars
+FROM documents doc LEFT JOIN agg a USING (doc_id)
 """
 
 ORACLE_SQL["top_terms"] = """

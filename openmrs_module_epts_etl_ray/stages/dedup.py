@@ -970,3 +970,218 @@ def passage_dedup(
     return winners.map_batches(winner_rows, batch_format="pyarrow") \
         .union(chunks.map_batches(chunk_rows, batch_format="pyarrow")) \
         .groupby("_dbucket").map_groups(reassemble, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup (ExactSubstr — Lee et al., "Deduplicating Training
+# Data Makes Language Models Better": remove every span of >= min_len chars
+# that occurs more than once anywhere in the corpus)
+# ---------------------------------------------------------------------------
+
+_SUBSTR_B1 = np.uint64(1099511628211)      # FNV prime
+_SUBSTR_B2 = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
+
+
+def exact_substring_dedup(
+    ds: rd.Dataset,
+    *,
+    min_len: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Char-level duplicated-span removal: every position covered by a
+    ``min_len``-gram that occurs >= 2 times ANYWHERE in the corpus is
+    dropped from every document (the symmetric remove-all-copies mode of
+    the ExactSubstr tool; a duplicated span of any length >= min_len is a
+    run of duplicated min_len-grams, so this removes exactly the
+    duplicated text). Output: one row per document —
+    ``(id, clean_text, n_dup_starts, n_dup_chars)``.
+
+    Identity is a 128-bit pair of rolling polynomial hashes (two
+    independent mod-2^64 convolutions) — no substring bytes travel; at
+    10^12 positions the collision odds are ~2^-80, documented in lieu of
+    the suffix-array tool's exactness. Byte-level spans: exact for ASCII
+    corpora (multibyte UTF-8 chars straddling a span boundary are dropped
+    byte-wise, decoded with errors='ignore').
+
+    Scale shape:
+
+    - hashing is one vectorized pass per batch: the batch's docs hash as
+      ONE concatenated byte stream (numpy uint64 convolve = the rolling
+      window, O(bytes x min_len) C work), doc-straddling windows masked
+      out by offset arithmetic;
+    - the exchange moves (h1, h2, packed-position) triples ONLY for
+      positions whose hash pair is UNIQUE within their block — a hash
+      pair seen >= 2 times in one block is already known-duplicated and
+      routes straight to reassembly, with a single flagged representative
+      sent to the hash exchange so other blocks' copies get marked (on a
+      dup-heavy corpus most volume short-circuits this way);
+    - dup positions come back as bare packed int64s cogrouped with the
+      doc text by DOC bucket (the passage_dedup shape — text crosses the
+      wire once); coverage is a per-doc diff-array cumsum, removal a
+      boolean byte compress.
+
+    Packed positions assume ``id < 2^31`` and byte offset < 2^32.
+    """
+    import pyarrow.compute as pc
+
+    L = int(min_len)
+    if L < 2:
+        raise ValueError("min_len must be >= 2")
+    n_coarse = 4 * _par()
+
+    def hash_positions(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t[text_col], "")
+        arr = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+        if not (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
+            arr = pc.cast(arr, pa.string())
+        _, offsets_buf, data_buf = arr.buffers()
+        odtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+        off = np.frombuffer(offsets_buf, dtype=odtype,
+                            count=len(arr) + 1 + arr.offset)[arr.offset:] \
+            .astype(np.int64)
+        flat = np.frombuffer(data_buf, dtype=np.uint8)[off[0]:off[-1]]
+        off = off - off[0]
+        lens = np.diff(off)
+        n_windows = len(flat) - L + 1
+        if n_windows <= 0:
+            return pa.table({"_h1": pa.array([], pa.uint64()),
+                             "_h2": pa.array([], pa.uint64()),
+                             "_packed": pa.array([], pa.int64()),
+                             "_multi": pa.array([], pa.bool_())})
+        fu = flat.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            p1 = _SUBSTR_B1 ** np.arange(L, dtype=np.uint64)
+            p2 = _SUBSTR_B2 ** np.arange(L, dtype=np.uint64)
+            h1 = np.convolve(fu, p1[::-1], mode="valid")
+            h2 = np.convolve(fu, p2[::-1], mode="valid")
+        pos = np.arange(n_windows, dtype=np.int64)
+        didx = np.searchsorted(off, pos, side="right") - 1
+        in_doc = pos - off[didx]
+        valid = in_doc <= lens[didx] - L
+        doc_ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        packed = doc_ids[didx[valid]] * np.int64(2 ** 32) + in_doc[valid]
+        h1, h2 = h1[valid], h2[valid]
+        # block-local pre-reduce: hash pairs seen >=2 here are already dup
+        key = np.stack([h1, h2], axis=1)
+        uniq, inv, counts = np.unique(key, axis=0, return_inverse=True,
+                                      return_counts=True)
+        multi = counts[inv] >= 2
+        keep = np.ones(len(h1), dtype=bool)
+        if multi.any():
+            # one flagged representative per multi pair rides the exchange
+            order = np.argsort(inv, kind="stable")
+            grp_first = order[np.searchsorted(inv[order],
+                                              np.arange(len(uniq)))]
+            rep = np.zeros(len(h1), dtype=bool)
+            rep[grp_first[counts >= 2]] = True
+            keep = ~multi | rep
+        return pa.table({
+            "_h1": h1[keep], "_h2": h2[keep],
+            "_packed": packed[keep],
+            "_multi": multi[keep],
+        }), pa.table({"_packed": packed[multi]})
+
+    # map_batches can't return two tables — run the hash pass once into a
+    # combined frame with a _local flag instead
+    def hash_pass(t: pa.Table) -> pa.Table:
+        out = hash_positions(t)
+        exch, local = out if isinstance(out, tuple) else (out, None)
+        n_e = len(exch)
+        parts = [pa.table({
+            "_h1": exch["_h1"], "_h2": exch["_h2"],
+            "_packed": exch["_packed"], "_multi": exch["_multi"],
+            "_local": pa.array(np.zeros(n_e, dtype=bool)),
+        })]
+        if local is not None and len(local):
+            z = np.zeros(len(local), dtype=np.uint64)
+            parts.append(pa.table({
+                "_h1": pa.array(z), "_h2": pa.array(z),
+                "_packed": local["_packed"],
+                "_multi": pa.array(np.ones(len(local), dtype=bool)),
+                "_local": pa.array(np.ones(len(local), dtype=bool)),
+            }))
+        return pa.concat_tables(parts)
+
+    # two branches (exchange + local dups) consume the hash relation; pin
+    # it rather than re-running the convolution pass (the doc text itself
+    # is NOT pinned — doc_rows re-reads the cheap input scan instead)
+    hashed = ds.map_batches(hash_pass, batch_format="pyarrow").materialize()
+
+    def split_local(t: pa.Table) -> pa.Table:
+        return t.filter(t["_local"]).select(["_packed"])
+
+    def split_exchange(df: pd.DataFrame) -> pd.DataFrame:
+        from pandas.util import hash_pandas_object
+        df = df[~df["_local"]]
+        h = hash_pandas_object(df["_h1"], index=False).to_numpy()
+        return df.assign(_coarse=(h % np.uint64(n_coarse)).astype(np.int64)) \
+            .drop(columns=["_local"])
+
+    def mark_dups(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby(["_h1", "_h2"], sort=False)
+        dup = grp["_packed"].transform("size").ge(2) | \
+            grp["_multi"].transform("any")
+        out = g.loc[dup & ~g["_multi"], ["_packed"]]
+        return out
+
+    dup_exchange = hashed.map_batches(split_exchange, batch_format="pandas") \
+        .groupby("_coarse").map_groups(mark_dups, batch_format="pandas")
+    dup_local = hashed.map_batches(split_local, batch_format="pyarrow")
+
+    def dup_rows(t: pa.Table) -> pa.Table:
+        p = t["_packed"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "_dbucket": (p // np.int64(2 ** 32)) % np.int64(n_coarse),
+            "_packed": p,
+            "_doc": np.full(len(p), -1, dtype=np.int64),
+            text_col: pa.nulls(len(p), pa.string()),
+        })
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        doc = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "_dbucket": doc % np.int64(n_coarse),
+            "_packed": doc * np.int64(2 ** 32),
+            "_doc": doc,
+            text_col: pc.fill_null(t[text_col], ""),
+        })
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        is_doc = g["_doc"].to_numpy() >= 0
+        dups = g.loc[~is_doc, "_packed"].to_numpy()
+        ddoc = dups // np.int64(2 ** 32)
+        doff = dups - ddoc * np.int64(2 ** 32)
+        order = np.argsort(ddoc, kind="stable")
+        ddoc, doff = ddoc[order], doff[order]
+        docs = g[is_doc]
+        out_id, out_text, out_starts, out_chars = [], [], [], []
+        for did, txt in zip(docs["_doc"].to_numpy(), docs[text_col]):
+            b = np.frombuffer(str(txt).encode("utf-8"), dtype=np.uint8)
+            lo = np.searchsorted(ddoc, did, side="left")
+            hi = np.searchsorted(ddoc, did, side="right")
+            offs = doff[lo:hi]
+            if len(offs) == 0:
+                out_id.append(did); out_text.append(str(txt))
+                out_starts.append(0); out_chars.append(0)
+                continue
+            diff = np.zeros(len(b) + 1, dtype=np.int64)
+            np.add.at(diff, offs, 1)
+            ends = np.minimum(offs + L, len(b))
+            np.add.at(diff, ends, -1)
+            covered = np.cumsum(diff[:-1]) > 0
+            clean = bytes(b[~covered]).decode("utf-8", "ignore")
+            out_id.append(did); out_text.append(clean)
+            out_starts.append(int(len(offs)))
+            out_chars.append(int(covered.sum()))
+        return pd.DataFrame({
+            id_col: np.asarray(out_id, dtype=np.int64),
+            "clean_text": out_text,
+            "n_dup_starts": np.asarray(out_starts, dtype=np.int64),
+            "n_dup_chars": np.asarray(out_chars, dtype=np.int64),
+        })
+
+    return dup_exchange.map_batches(dup_rows, batch_format="pyarrow") \
+        .union(dup_local.map_batches(dup_rows, batch_format="pyarrow"),
+               ds.map_batches(doc_rows, batch_format="pyarrow")) \
+        .groupby("_dbucket").map_groups(reassemble, batch_format="pandas")

@@ -435,3 +435,40 @@ def test_redact_terms_whole_word_only():
     out2 = redact_terms(rd.from_items([{"doc_id": 1, "text": "a.b ab axb"}]),
                         ["a.b"], "[X]").to_pandas()
     assert out2.loc[0, "text"] == "[X] ab axb"
+
+
+def _py_substr_dedup(texts, L):
+    from collections import Counter
+    grams = Counter()
+    for t in texts:
+        for i in range(len(t) - L + 1):
+            grams[t[i:i + L]] += 1
+    out = {}
+    for d, t in enumerate(texts):
+        starts = [i for i in range(len(t) - L + 1) if grams[t[i:i + L]] >= 2]
+        cov = [False] * len(t)
+        for s in starts:
+            for j in range(s, min(s + L, len(t))):
+                cov[j] = True
+        clean = "".join(c for c, m in zip(t, cov) if not m)
+        out[d] = (clean, len(starts), sum(cov))
+    return out
+
+
+def test_exact_substring_dedup_bruteforce():
+    from openmrs_module_epts_etl_ray.stages.dedup import exact_substring_dedup
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "xx the quick brown fox sat on a mat yy",   # shares a >=10 span
+        "completely unrelated content here",
+        "aaaaaaaaaaaaaaaaaaaaaa",                    # self-repetitive
+        "short",                                     # < L, no windows
+        "",
+    ]
+    L = 10
+    out = exact_substring_dedup(docs_ds(texts).repartition(3), min_len=L) \
+        .to_pandas().set_index("doc_id")
+    got = {int(i): (r["clean_text"], int(r["n_dup_starts"]),
+                    int(r["n_dup_chars"]))
+           for i, r in out.iterrows()}
+    assert got == _py_substr_dedup(texts, L)
