@@ -1548,6 +1548,95 @@ def q_semdedup_pairs(sf_dir: str):
         }), batch_format="pandas")
 
 
+def q_tfidf_terms(sf_dir: str):
+    """Per-document top-5 distinguishing terms scored ``tf / df``
+    (stages/text.py::tfidf_top_terms — keyword extraction): the df
+    relation is a vocab-sized broadcast probed with one hashed
+    ``index_in`` kernel; tf + ranking run inside the batch that exploded
+    the doc, where doc integrity is guaranteed (downstream blocks split)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      override_num_blocks=16).materialize()
+    return text_stages.tfidf_top_terms(docs, k=5)
+
+
+def q_quota_sample(sf_dir: str):
+    """Per-source document quota (stages/sampling.py::quota_sample): at
+    most 7 docs per source, chosen as the 7 smallest sha256(doc_id) — the
+    absolute-cap companion to the rate-based corpus mixture. Per-block
+    partial top-k bounds the exchange at k rows per (group, block)."""
+    from ..stages.sampling import quota_sample
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source"],
+                      override_num_blocks=16)
+    return quota_sample(docs, "doc_id", "source", 7)
+
+
+def q_user_event_pivot(sf_dir: str):
+    """Long→wide feature pivot (stages/pivot.py::pivot_counts): one row
+    per user with per-event-type int64 counts. The crosstab folds inside
+    each block (one bincount per category), so the groupby sums
+    pre-collapsed partials — at most one row per (user, block) moves."""
+    from ..stages.pivot import pivot_counts
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    return pivot_counts(ev, "user_id", "event_type",
+                        ["click", "view", "purchase", "signup", "error"])
+
+
+def q_lm_bigram_score(sf_dir: str):
+    """CCNet-shaped LM quality scoring (stages/lm.py): train a bigram
+    count model on the even-doc_id half of the corpus (partial
+    value_counts → vocab-sized groupby → one broadcast), score every
+    document shuffle-free. Integer outputs only here — the float
+    avg_logprob derives from the same counts and is property-tested
+    (libm ``ln`` is not byte-portable across engines)."""
+    from ..stages.lm import score_bigram_lm, train_bigram_model
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      override_num_blocks=16).materialize()
+    train = filter_expr(docs,
+                        lambda t: pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0))
+    model = train_bigram_model(train)
+    out = score_bigram_lm(docs, model)
+    return out.select_columns(["doc_id", "n_bigrams", "sum_count", "n_oov"])
+
+
+def q_asof_next_purchase(sf_dir: str):
+    """Forward as-of join with tolerance (stages/asof.py): for each
+    signup, the user's FIRST purchase within 7 days after it ("time to
+    first conversion") — unmatched signups null-backfill. Same bucketed
+    cogroup as the backward as-of; one shuffle."""
+    from ..stages.asof import asof_join
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "event_type", "ts", "value"])
+    signups = filter_expr(ev, lambda t: pc.equal(t["event_type"], "signup")) \
+        .map_batches(lambda t: pa.table({
+            "signup_id": t["event_id"], "user_id": t["user_id"], "ts": t["ts"]}),
+            batch_format="pyarrow")
+    purchases = filter_expr(ev, lambda t: pc.equal(t["event_type"], "purchase")) \
+        .map_batches(lambda t: pa.table({
+            "purchase_id": t["event_id"], "user_id": t["user_id"], "ts": t["ts"],
+            "purchase_value": pc.round(t["value"], 2)}), batch_format="pyarrow")
+    out = asof_join(signups, purchases, by="user_id", on="ts",
+                    right_cols=["purchase_id", "purchase_value"],
+                    right_order=["purchase_id"],
+                    direction="forward", tolerance=pd.Timedelta(days=7))
+    return out.map_batches(
+        lambda df: df[["signup_id", "user_id", "ts", "purchase_id",
+                       "purchase_value"]], batch_format="pandas")
+
+
+def q_price_histogram(sf_dir: str):
+    """Fixed-width numeric histogram (stages/selection.py::
+    numeric_histogram) over lineitem extended price: bins-sized exchange,
+    IEEE-portable bin rule floor(x / 5000)."""
+    from ..stages.selection import numeric_histogram
+
+    li = read_table(sf_dir, "lineitem", columns=["l_extendedprice"])
+    return numeric_histogram(li, "l_extendedprice", 5000.0)
+
+
 QUERIES = {
     "cdc_replay_lww": q_cdc_replay_lww,
     "cdc_replay_windowed": q_cdc_replay_windowed,
@@ -1630,6 +1719,12 @@ QUERIES = {
     "media_features": q_media_features,
     "media_resize": q_media_resize,
     "media_frames": q_media_frames,
+    "tfidf_terms": q_tfidf_terms,
+    "quota_sample": q_quota_sample,
+    "user_event_pivot": q_user_event_pivot,
+    "lm_bigram_score": q_lm_bigram_score,
+    "asof_next_purchase": q_asof_next_purchase,
+    "price_histogram": q_price_histogram,
 }
 
 ORACLE_SQL = {
@@ -2421,4 +2516,90 @@ SELECT doc_id,
             WHEN c_fr >= c_de THEN 'fr'
             ELSE 'de' END AS predicted_lang
 FROM c
+"""
+
+ORACLE_SQL["tfidf_terms"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY doc_id, term),
+dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+r AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfr.df,
+         CAST(tf.tf AS DOUBLE) / dfr.df AS score,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY CAST(tf.tf AS DOUBLE) / dfr.df DESC, tf.term ASC) AS rn
+  FROM tf JOIN dfr USING (term))
+SELECT doc_id, term, tf, df, score FROM r WHERE rn <= 5
+"""
+
+ORACLE_SQL["quota_sample"] = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY sha256(':' || CAST(doc_id AS VARCHAR))) AS rn
+  FROM documents) WHERE rn <= 7
+"""
+
+ORACLE_SQL["user_event_pivot"] = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+FROM events GROUP BY user_id
+"""
+
+# bigram at word i = words i..i+1 (list_slice is 1-based inclusive); the
+# model trains on even doc_ids; docs with <2 words emit no bigrams and
+# come back all-zero via the LEFT JOIN
+ORACLE_SQL["lm_bigram_score"] = """
+WITH w AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws
+           FROM documents),
+bg AS (
+  SELECT doc_id, array_to_string(list_slice(ws, i, i + 1), ' ') AS g
+  FROM (SELECT doc_id, ws,
+               unnest(range(1, greatest(len(ws) - 1, 0) + 1)) AS i
+        FROM w)),
+model AS (SELECT g, CAST(count(*) AS BIGINT) AS c
+          FROM bg WHERE doc_id % 2 = 0 GROUP BY g),
+sc AS (
+  SELECT bg.doc_id,
+         count(*) AS n_bigrams,
+         sum(coalesce(model.c, 0)) AS sum_count,
+         sum(CASE WHEN model.c IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM bg LEFT JOIN model ON bg.g = model.g
+  GROUP BY bg.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(sc.sum_count, 0) AS BIGINT) AS sum_count,
+       CAST(coalesce(sc.n_oov, 0) AS BIGINT) AS n_oov
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+"""
+
+ORACLE_SQL["asof_next_purchase"] = """
+WITH s AS (SELECT event_id AS signup_id, user_id, ts
+           FROM events WHERE event_type = 'signup'),
+p AS (SELECT event_id AS purchase_id, user_id, ts AS pts,
+             round(value, 2) AS purchase_value
+      FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT s.signup_id, p.purchase_id, p.purchase_value,
+         row_number() OVER (PARTITION BY s.signup_id
+                            ORDER BY p.pts ASC, p.purchase_id ASC) AS rn
+  FROM s JOIN p ON s.user_id = p.user_id
+              AND p.pts >= s.ts AND p.pts <= s.ts + INTERVAL 7 DAY)
+SELECT s.signup_id, s.user_id, s.ts, j.purchase_id, j.purchase_value
+FROM s LEFT JOIN j ON s.signup_id = j.signup_id AND j.rn = 1
+"""
+
+ORACLE_SQL["price_histogram"] = """
+SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY bin
 """

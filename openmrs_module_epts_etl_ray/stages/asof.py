@@ -97,15 +97,25 @@ def asof_join(
     suffix: str = "_right",
     num_buckets: int | None = None,
     right_order: list[str] | None = None,
+    direction: str = "backward",
+    tolerance=None,
 ) -> rd.Dataset:
-    """Left as-of join (backward): latest right row with ``right[on] <=
-    left[on]`` per ``by`` key; unmatched left rows null-backfill.
+    """Left as-of join: per ``by`` key attach the latest right row with
+    ``right[on] <= left[on]`` (``direction="backward"``, the default) or
+    the earliest with ``right[on] >= left[on]`` (``"forward"`` — "next
+    event after"); unmatched left rows null-backfill. ``tolerance`` (same
+    type as the ``on`` axis, e.g. ``pd.Timedelta``) bounds how far the
+    match may be — the windowed as-of of feature pipelines ("next purchase
+    within 7 days of signup").
 
     ``right_order``: extra right-side columns to break equal-``on`` ties
-    deterministically (the LAST row in ``[on] + right_order`` sort order
-    wins, matching a SQL ``ORDER BY on DESC, right_order DESC ... rn = 1``
-    restatement). Without it, equal-timestamp winners depend on block layout.
+    deterministically. Backward keeps the LAST row in ``[on] +
+    right_order`` ascending sort (SQL ``ORDER BY on DESC, ord DESC … rn =
+    1``); forward keeps the FIRST (SQL ``ORDER BY on ASC, ord ASC … rn =
+    1``). Without it, equal-timestamp winners depend on block layout.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
 
     if num_buckets is None:
         num_buckets = _default_buckets()
@@ -147,8 +157,8 @@ def asof_join(
                 out[name] = pd.Series(pd.NA, index=out.index, dtype=dt)
             return _zero_masked(out, out_extra_dtypes)
         r = r.sort_values(order, kind="stable")
-        merged = pd.merge_asof(l, r, on=on, by=by, direction="backward",
-                               suffixes=("", suffix))
+        merged = pd.merge_asof(l, r, on=on, by=by, direction=direction,
+                               tolerance=tolerance, suffixes=("", suffix))
         return _zero_masked(merged.astype(out_extra_dtypes), out_extra_dtypes)
 
     return tagged.repartition(num_buckets).groupby(BUCKET_COL).map_groups(

@@ -121,6 +121,53 @@ def deterministic_sample(
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def quota_sample(
+    ds: rd.Dataset,
+    key_col: str,
+    group_col: str,
+    k: int,
+    *,
+    seed: str = "",
+) -> rd.Dataset:
+    """Cap each group at ``k`` rows (the per-domain / per-source QUOTA of a
+    corpus-mixing pipeline: "at most k docs per domain"), chosen
+    deterministically as the ``k`` smallest ``sha256(seed || ':' || key)``
+    — a uniform, reproducible, coordination-free choice (the rate-based
+    sibling is :func:`stratified_sample`; this one bounds absolute counts).
+
+    Two-phase selection, the top-k-per-group shape that survives 100 TB:
+    each block keeps at most ``k`` rows per group locally (vectorized
+    sort + cumcount — no per-group Python), so the exchange moves at most
+    ``k × blocks`` rows per group, never the corpus; the final per-group
+    head(k) runs in a bucketed ``map_groups`` over that bounded partial.
+
+    Portable rule: ``row_number() OVER (PARTITION BY grp ORDER BY
+    sha256(seed || ':' || CAST(key AS VARCHAR))) <= k``.
+    """
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    prefix = f"{seed}:"
+
+    def keyed_head(df: pd.DataFrame) -> pd.DataFrame:
+        sha = sha256_hex(pa.array(
+            (prefix + df[key_col].astype(str)).to_numpy(), pa.string()))
+        df = df.assign(_sha=sha.to_numpy(zero_copy_only=False)) \
+               .sort_values([group_col, "_sha"], kind="stable")
+        keep = df.groupby(group_col, sort=False).cumcount() < k
+        return df[keep]
+
+    partial = ds.map_batches(keyed_head, batch_format="pandas")
+
+    def final_head(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.sort_values("_sha", kind="stable").head(k)
+        return out.drop(columns=["_sha"])
+
+    return partial.groupby(group_col).map_groups(
+        final_head, batch_format="pandas")
+
+
 def shuffle_rank(
     ds: rd.Dataset,
     key_col: str,

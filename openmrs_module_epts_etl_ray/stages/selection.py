@@ -117,3 +117,46 @@ def exact_quantile(ds: rd.Dataset, value_col: str, q: float,
     if not n:
         raise ValueError(f"no non-null values in {value_col!r}")
     return exact_order_stat(ds, value_col, int(np.floor(q * (n - 1))), **kw)
+
+
+def numeric_histogram(
+    ds: rd.Dataset,
+    value_col: str,
+    width: float,
+    *,
+    origin: float = 0.0,
+    bin_col: str = "bin",
+    count_col: str = "n",
+) -> rd.Dataset:
+    """Fixed-width histogram: one row per occupied bin, ``bin =
+    floor((x - origin) / width)`` (int64) with its count — the numeric
+    profiling primitive behind range partitioning, outlier gates, and
+    data-quality dashboards.
+
+    Bin ids are a single IEEE double subtract/divide/floor, so any engine
+    computes the identical bin for the identical input — the histogram is
+    byte-exact portable (unlike equi-DEPTH bins, which depend on order
+    statistics). Each block folds to (bin, count) partials via one
+    ``np.bincount``; the exchange is bins-sized, never row-sized. Nulls
+    are excluded (SQL GROUP BY drops them the same way).
+    """
+    from ray.data.aggregate import Sum
+
+    if width <= 0:
+        raise ValueError(f"width must be positive, got {width}")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].to_numpy(dtype=np.float64)
+        v = v[~np.isnan(v)]
+        b = np.floor((v - origin) / width).astype(np.int64)
+        if len(b) == 0:
+            return pd.DataFrame({bin_col: np.empty(0, np.int64),
+                                 count_col: np.empty(0, np.int64)})
+        lo = b.min()
+        c = np.bincount(b - lo)
+        occ = np.flatnonzero(c)
+        return pd.DataFrame({bin_col: (occ + lo).astype(np.int64),
+                             count_col: c[occ].astype(np.int64)})
+
+    return ds.map_batches(partial, batch_format="pandas") \
+             .groupby(bin_col).aggregate(Sum(count_col, alias_name=count_col))

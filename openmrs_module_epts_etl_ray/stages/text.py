@@ -131,6 +131,98 @@ def term_doc_frequency(
 _DECON_REGEX_FROM = 64
 
 
+def tfidf_top_terms(
+    ds: rd.Dataset,
+    k: int = 5,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+) -> rd.Dataset:
+    """Per-document top-``k`` distinguishing terms, scored ``tf / df``
+    (keyword extraction — the per-doc ranking companion to
+    :func:`term_doc_frequency`'s flat relation). Ties break by term
+    ascending; the score is a single IEEE double division of two int64
+    counts, so it is bit-identical in any engine (``tf * log(N/df)``
+    variants are NOT — ``log`` differs across libms).
+
+    Two passes over the corpus, both honest at 100 TB:
+
+    1. **df pass** — per-block (doc, term)-unique explode → per-term
+       partial counts → one vocab-sized groupby. The resulting df relation
+       is broadcast ONCE (``ray.put`` of an Arrow term array + an int64
+       ndarray, probed with one hashed ``index_in`` kernel per batch);
+       vocabulary is sublinear in corpus bytes, and ``min_df`` prunes the
+       long tail when it isn't.
+    2. **rank pass** — tf, the df probe, and the per-doc top-k selection
+       all run INSIDE one ``map_batches`` call, where a document's rows are
+       co-resident by construction. Ranking a downstream exploded relation
+       instead would be wrong at scale: Ray Data splits large map outputs
+       at ``target_max_block_size``, so doc integrity across blocks is not
+       guaranteed.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].fillna("").str.split(" ")
+        n = toks.str.len().fillna(0).astype(int).to_numpy()
+        flat = pd.DataFrame({
+            "_d": np.repeat(np.arange(len(df)), n),
+            "term": np.concatenate(
+                [t for t in toks if len(t)] or [np.array([], dtype=object)]),
+        })
+        out = flat.drop_duplicates().groupby("term", as_index=False,
+                                             sort=False).size() \
+                  .rename(columns={"size": "df"})[["term", "df"]]
+        out["df"] = out["df"].astype("int64")
+        return out
+
+    df_rel = ds.map_batches(df_partial, batch_format="pandas") \
+               .groupby("term").aggregate(Sum("df", alias_name="df"))
+    if min_df > 1:
+        df_rel = df_rel.map_batches(lambda d: d[d["df"] >= min_df],
+                                    batch_format="pandas")
+    vocab = pa.Table.from_pandas(df_rel.to_pandas())  # vocab-sized broadcast
+    terms_arr = vocab["term"].combine_chunks().cast(pa.string())
+    df_np = vocab["df"].to_numpy()
+    model_ref = ray.put((terms_arr, df_np))
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        terms_vs, dfs = ray.get(model_ref)
+        toks = df[text_col].fillna("").str.split(" ")
+        n = toks.str.len().fillna(0).astype(int).to_numpy()
+        flat = pd.DataFrame({
+            "_d": np.repeat(np.arange(len(df)), n),
+            "term": np.concatenate(
+                [t for t in toks if len(t)] or [np.array([], dtype=object)]),
+        })
+        tf = flat.groupby(["_d", "term"], as_index=False, sort=False) \
+                 .size().rename(columns={"size": "tf"})
+        idx = pc.index_in(pa.array(tf["term"], pa.string()),
+                          value_set=terms_vs)
+        valid = idx.is_valid().to_numpy(zero_copy_only=False)
+        tf = tf[valid]  # min_df-pruned terms drop out of the ranking
+        dfv = dfs[idx.to_numpy(zero_copy_only=False)[valid].astype(np.int64)]
+        tf = tf.assign(df=dfv, score=tf["tf"].to_numpy() / dfv)
+        tf = tf.sort_values(["_d", "score", "term"],
+                            ascending=[True, False, True], kind="stable")
+        keep = tf.groupby("_d", sort=False).cumcount() < k
+        out = tf[keep]
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy()[out["_d"].to_numpy()],
+            "term": out["term"].to_numpy(),
+            "tf": out["tf"].to_numpy().astype("int64"),
+            "df": out["df"].to_numpy().astype("int64"),
+            "score": out["score"].to_numpy(),
+        })
+
+    return ds.map_batches(rank, batch_format="pandas")
+
+
 def top_terms(
     ds: rd.Dataset,
     k: int = 100,
