@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "repetition_stats",
     "incremental_ingest", "redact_terms", "leakage_safe_split",
     "langid", "fingerprints",
+    "tfidf_terms", "quota_sample", "user_event_pivot", "lm_bigram_score",
+    "asof_next_purchase", "price_histogram", "event_gaps", "rollup_revenue",
 ]
 
 

@@ -1637,6 +1637,40 @@ def q_price_histogram(sf_dir: str):
     return numeric_histogram(li, "l_extendedprice", 5000.0)
 
 
+def q_event_gaps(sf_dir: str):
+    """Per-user inter-arrival gaps (stages/windows.py::lag_gaps — the LAG
+    window function): microseconds since the same user's previous event,
+    NULL for each user's first. One hash-bucket shuffle co-locates a
+    user's timeline; one vectorized sort + shifted compare per bucket."""
+    from ..stages.windows import lag_gaps
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    out = lag_gaps(ev, key_col="user_id", ts_col="ts",
+                   order_cols=["event_id"])
+    return out.select_columns(["event_id", "user_id", "ts", "gap_us"])
+
+
+def q_rollup_revenue(sf_dir: str):
+    """GROUP BY ROLLUP(event_type, day) in integer cents
+    (stages/pivot.py::rollup_sum): the corpus aggregates once at the
+    finest grain; subtotal and grand-total levels re-aggregate that
+    groups-sized relation, never the input."""
+    from ..stages.pivot import rollup_sum
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def base(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "day": pc.strftime(t["ts"], format="%Y-%m-%d"),
+            "cents": pa.array(
+                np.floor(t["value"].to_numpy() * 100).astype("int64")),
+        })
+
+    return rollup_sum(ev.map_batches(base, batch_format="pyarrow"),
+                      ["event_type", "day"], ["cents"])
+
+
 QUERIES = {
     "cdc_replay_lww": q_cdc_replay_lww,
     "cdc_replay_windowed": q_cdc_replay_windowed,
@@ -1725,6 +1759,8 @@ QUERIES = {
     "lm_bigram_score": q_lm_bigram_score,
     "asof_next_purchase": q_asof_next_purchase,
     "price_histogram": q_price_histogram,
+    "event_gaps": q_event_gaps,
+    "rollup_revenue": q_rollup_revenue,
 }
 
 ORACLE_SQL = {
@@ -2602,4 +2638,24 @@ ORACLE_SQL["price_histogram"] = """
 SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bin,
        CAST(count(*) AS BIGINT) AS n
 FROM lineitem GROUP BY bin
+"""
+
+ORACLE_SQL["event_gaps"] = """
+SELECT event_id, user_id, ts,
+       date_diff('microsecond',
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                 ts) AS gap_us
+FROM events
+"""
+
+ORACLE_SQL["rollup_revenue"] = """
+WITH base AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events)
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(day, 'ALL') AS day,
+       CAST(sum(cents) AS BIGINT) AS cents,
+       CAST(count(*) AS BIGINT) AS n
+FROM base GROUP BY ROLLUP (event_type, day)
 """

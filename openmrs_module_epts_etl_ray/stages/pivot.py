@@ -1,24 +1,59 @@
-"""Pivot (crosstab) aggregation: long event rows → one wide feature row per
-key (the feature-engineering step that turns an event log into per-entity
-training features: ``n_click, n_view, …`` per user).
+"""Pivot (crosstab) and rollup aggregation: long rows → wide feature rows /
+subtotal cubes (the feature-engineering + OLAP step of an event pipeline).
 
-Scale shape: the pivot is folded INSIDE each block first (one vectorized
-crosstab per batch), so the exchange moves at most one row per (key, block)
-— for a zipf-hot key that is the same partial-combine defense the LWW
-replay uses; the final ``groupby().aggregate(Sum…)`` runs over pre-collapsed
-partials. Counts are int64-exact, so the distributed sum is
-order-independent (float pivots would not hash-match across engines —
-derive them downstream).
-
-The category list is EXPLICIT: at 10^10 rows a driver-side distinct scan to
-discover columns is a full pass; real pipelines know their event taxonomy.
-Events outside ``categories`` still count toward ``n_events``.
+Scale shape shared by both operators: aggregation is folded INSIDE each
+block first (one vectorized crosstab / groupby-sum per batch), so the
+exchange moves at most one row per (key, block) — the same partial-combine
+defense the LWW replay uses for zipf-hot keys. The final reduce is a
+COARSE-BUCKET ``map_groups`` (hash the key into ~2×CPU buckets, one
+vectorized pandas fold per bucket): Ray 2.49's native
+``groupby().aggregate(Sum…)`` pays a sort-shuffle whose driver overhead
+dwarfs these partial relations (measured 10 s vs 0.3 s on a 15k-row
+partial at 32 cpus), and per-key ``map_groups`` would pay one Python call
+per key. Counts/measures are int64-exact, so the distributed sum is
+order-independent and engine-portable.
 """
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
 import ray.data as rd
+
+from ..functions.hashing import BUCKET_COL, add_bucket
+
+
+def _default_buckets() -> int:
+    try:
+        import ray
+        return max(16, int(ray.cluster_resources().get("CPU", 16)))
+    except Exception:
+        return 16
+
+
+def bucketed_sum(
+    ds: rd.Dataset,
+    keys: list[str],
+    cols: list[str],
+    *,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Distributed ``GROUP BY keys SUM(cols)`` over an already-partial
+    relation: ONE hash exchange on a coarse bucket of ``keys``, then one
+    vectorized pandas fold per bucket (no per-key Python, no sort)."""
+    nb = num_buckets or _default_buckets()
+
+    def tag(t):
+        return add_bucket(t, tuple(keys), nb)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop(columns=[BUCKET_COL]) \
+              .groupby(keys, as_index=False, sort=False)[cols].sum()
+        for c in cols:
+            g[c] = g[c].astype("int64")
+        return g
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+             .groupby(BUCKET_COL).map_groups(fold, batch_format="pandas")
 
 
 def pivot_counts(
@@ -30,9 +65,13 @@ def pivot_counts(
     prefix: str = "n_",
 ) -> rd.Dataset:
     """One row per ``key_col`` value with ``{prefix}{category}`` int64
-    count columns plus ``n_events`` (all rows, any category)."""
-    from ray.data.aggregate import Sum
+    count columns plus ``n_events`` (all rows, any category).
 
+    The category list is EXPLICIT: at 10^10 rows a driver-side distinct
+    scan to discover columns is a full pass; real pipelines know their
+    event taxonomy. Events outside ``categories`` still count toward
+    ``n_events``.
+    """
     if not categories:
         raise ValueError("categories must be non-empty")
     cols = [f"{prefix}{c}" for c in categories]
@@ -47,6 +86,70 @@ def pivot_counts(
                                    minlength=len(keys)).astype(np.int64)
         return pd.DataFrame(out)
 
-    agg = ds.map_batches(partial, batch_format="pandas").groupby(key_col) \
-            .aggregate(*[Sum(c, alias_name=c) for c in ["n_events"] + cols])
-    return agg
+    return bucketed_sum(ds.map_batches(partial, batch_format="pandas"),
+                        [key_col], ["n_events"] + cols)
+
+
+def rollup_sum(
+    ds: rd.Dataset,
+    dims: list[str],
+    measures: list[str],
+    *,
+    count_col: str = "n",
+    all_label: str = "ALL",
+) -> rd.Dataset:
+    """``GROUP BY ROLLUP(dims…)``: int64 measure sums + row counts at every
+    rollup level — finest ``(d1, …, dk)``, then ``(d1, …, d(k-1))``, … up
+    to the grand total, with rolled-up dimension columns set to
+    ``all_label`` (OLAP subtotal cubes, mixture dashboards).
+
+    The CORPUS is aggregated exactly once — per-block partials → one
+    coarse-bucket reduce at the finest grain; every coarser level
+    re-aggregates the finest RELATION (groups-sized, orders of magnitude
+    smaller), never the input. Measures must be int64 (pre-convert money
+    to cents): integer sums are associative, so the distributed tree
+    equals sequential SQL byte-for-byte; float rollups differ in the last
+    ulp. Dimensions must be non-null strings (``all_label`` shares the
+    column).
+    """
+    if not dims:
+        raise ValueError("dims must be non-empty")
+    cols = list(measures) + [count_col]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(dims, as_index=False, sort=False)[measures].sum()
+        g[count_col] = df.groupby(dims, sort=False).size().to_numpy()
+        for m in cols:
+            g[m] = g[m].astype("int64")
+        return g
+
+    finest = bucketed_sum(ds.map_batches(partial, batch_format="pandas"),
+                          dims, cols).materialize()
+
+    levels = [finest]
+    for depth in range(len(dims) - 1, -1, -1):
+        keep, rolled = dims[:depth], dims[depth:]
+
+        def relabel(df: pd.DataFrame, *, _rolled=rolled) -> pd.DataFrame:
+            return df.assign(**{d: all_label for d in _rolled})[dims + cols]
+
+        if keep:
+            lvl = bucketed_sum(finest, keep, cols) \
+                .map_batches(relabel, batch_format="pandas")
+        else:
+            def grand(df: pd.DataFrame) -> pd.DataFrame:
+                g = df[cols].sum().to_frame().T
+                for m in cols:
+                    g[m] = g[m].astype("int64")
+                return relabel(g)
+
+            # block partials -> one single-bucket fold (one row per block)
+            lvl = bucketed_sum(
+                finest.map_batches(grand, batch_format="pandas"),
+                dims, cols, num_buckets=1)
+        levels.append(lvl)
+
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out

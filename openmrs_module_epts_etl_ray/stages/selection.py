@@ -145,18 +145,20 @@ def numeric_histogram(
     if width <= 0:
         raise ValueError(f"width must be positive, got {width}")
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(df: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
         v = df[value_col].to_numpy(dtype=np.float64)
         v = v[~np.isnan(v)]
         b = np.floor((v - origin) / width).astype(np.int64)
         if len(b) == 0:
-            return pd.DataFrame({bin_col: np.empty(0, np.int64),
-                                 count_col: np.empty(0, np.int64)})
+            return pa.table({bin_col: np.empty(0, np.int64),
+                             count_col: np.empty(0, np.int64)})
         lo = b.min()
         c = np.bincount(b - lo)
         occ = np.flatnonzero(c)
-        return pd.DataFrame({bin_col: (occ + lo).astype(np.int64),
-                             count_col: c[occ].astype(np.int64)})
+        # Arrow partials — pandas blocks hit aggregate's per-row loop
+        return pa.table({bin_col: (occ + lo).astype(np.int64),
+                         count_col: c[occ].astype(np.int64)})
 
     return ds.map_batches(partial, batch_format="pandas") \
              .groupby(bin_col).aggregate(Sum(count_col, alias_name=count_col))

@@ -40,7 +40,9 @@ def tumbling_window_agg(
             [window_col] + key_cols, as_index=False)
         agg = g.agg(n=(ts_col, "size"),
                     **{f"sum_{c}": (c, "sum") for c in sum_cols})
-        return agg
+        # Arrow partials: Ray's sort-aggregate loops per group in Python on
+        # pandas blocks; (window x key) partials are the many-groups case
+        return pa.Table.from_pandas(agg, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pandas")
 
@@ -94,8 +96,9 @@ def hopping_window_agg(
         rep[window_col] = (base.to_numpy().repeat(k)
                            - offs * h.to_timedelta64())
         g = rep.groupby([window_col] + key_cols, as_index=False)
-        return g.agg(n=(ts_col, "size"),
-                     **{f"sum_{c}": (c, "sum") for c in sum_cols})
+        agg = g.agg(n=(ts_col, "size"),
+                    **{f"sum_{c}": (c, "sum") for c in sum_cols})
+        return pa.Table.from_pandas(agg, preserve_index=False)  # see above
 
     partials = ds.map_batches(partial, batch_format="pandas")
 
@@ -323,3 +326,62 @@ def grouped_topk(
     return ds.map_batches(partial, batch_format="pandas") \
         .groupby("_kc").map_groups(
             lambda g: topk(g.drop(columns=["_kc"])), batch_format="pandas")
+
+
+def lag_gaps(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    ts_col: str,
+    order_cols: list[str] | None = None,
+    out_col: str = "gap_us",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per-key LAG: append each row's distance (microseconds) to the SAME
+    key's previous row in ``(ts, order_cols)`` order — inter-arrival gaps,
+    "time since last event", dwell-time features. Each key's first row
+    gets a NULL gap (SQL ``date_diff('microsecond', lag(ts) OVER
+    (PARTITION BY key ORDER BY ts, …), ts)``).
+
+    One shuffle: hash-bucket by key (a key's timeline co-locates — the
+    same partitioning contract as the as-of join), then ONE vectorized
+    sort + shifted-compare per bucket; no per-key Python. Null slots carry
+    zeroed data bytes (explicit Arrow mask), so output is byte-canonical
+    across engines.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import BUCKET_COL, add_bucket
+
+    if num_buckets is None:
+        try:
+            import ray
+            num_buckets = max(16, int(ray.cluster_resources().get("CPU", 16)))
+        except Exception:
+            num_buckets = 16
+    order_cols = order_cols or []
+
+    def tag(t: pa.Table) -> pa.Table:
+        return add_bucket(t, (key_col,), num_buckets)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        keys = [(key_col, "ascending"), (ts_col, "ascending")] + \
+            [(c, "ascending") for c in order_cols]
+        t = t.take(pc.sort_indices(t, sort_keys=keys))
+        # normalize to us first: a ns-precision column cast straight to
+        # int64 would emit nanosecond gaps
+        ts = t[ts_col].combine_chunks().cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy()
+        kv = t[key_col].combine_chunks().to_numpy(zero_copy_only=False)
+        gap = np.zeros(len(t), np.int64)
+        has_prev = np.zeros(len(t), bool)
+        if len(t) > 1:
+            same = kv[1:] == kv[:-1]
+            gap[1:][same] = (ts[1:] - ts[:-1])[same]
+            has_prev[1:] = same
+        arr = pa.array(gap, pa.int64(), mask=~has_prev)
+        return t.drop_columns([BUCKET_COL]).append_column(out_col, arr)
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+             .groupby(BUCKET_COL) \
+             .map_groups(per_bucket, batch_format="pyarrow")

@@ -190,3 +190,56 @@ def test_numeric_histogram_matches_numpy(ray_session):
     assert got["bin"].tolist() == want.index.tolist()
     assert got["n"].tolist() == want.tolist()
     assert got["n"].sum() == len(clean)
+
+
+def test_lag_gaps_matches_pandas_shift(ray_session):
+    from openmrs_module_epts_etl_ray.stages.windows import lag_gaps
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 40, n).astype(np.int64),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 10**9, n), unit="us"),
+    })
+    got = lag_gaps(rd.from_pandas(df).repartition(7), key_col="user_id",
+                   ts_col="ts", order_cols=["event_id"]).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    want = df.sort_values(["user_id", "ts", "event_id"])
+    prev = want.groupby("user_id")["ts"].shift()
+    want = want.assign(
+        gap_us=(want["ts"] - prev).dt.total_seconds() * 1e6) \
+        .sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_series_equal(
+        got["gap_us"].astype("Float64"),
+        want["gap_us"].round().astype("Float64"), check_names=False)
+    # exactly one null gap per user (its first event)
+    assert got["gap_us"].isna().sum() == df["user_id"].nunique()
+
+
+def test_rollup_sum_matches_pandas(ray_session):
+    from openmrs_module_epts_etl_ray.stages.pivot import rollup_sum
+
+    rng = np.random.default_rng(11)
+    n = 2000
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], n),
+        "b": rng.choice(["p", "q"], n),
+        "v": rng.integers(-100, 100, n).astype(np.int64),
+    })
+    got = rollup_sum(rd.from_pandas(df).repartition(5), ["a", "b"], ["v"]) \
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+
+    fine = df.groupby(["a", "b"], as_index=False).agg(v=("v", "sum"),
+                                                      n=("v", "size"))
+    mid = df.groupby("a", as_index=False).agg(v=("v", "sum"), n=("v", "size"))
+    mid["b"] = "ALL"
+    grand = pd.DataFrame({"a": ["ALL"], "b": ["ALL"],
+                          "v": [df["v"].sum()], "n": [len(df)]})
+    want = pd.concat([fine, mid, grand], ignore_index=True)[
+        ["a", "b", "v", "n"]].sort_values(["a", "b"]).reset_index(drop=True)
+    for c in ["v", "n"]:
+        want[c] = want[c].astype("int64")
+    pd.testing.assert_frame_equal(got[["a", "b", "v", "n"]].astype(
+        {"v": "int64", "n": "int64"}), want)
