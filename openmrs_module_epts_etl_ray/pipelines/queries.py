@@ -2659,3 +2659,88 @@ SELECT coalesce(event_type, 'ALL') AS event_type,
        CAST(count(*) AS BIGINT) AS n
 FROM base GROUP BY ROLLUP (event_type, day)
 """
+
+
+def q_rolling_spend(sf_dir: str):
+    """Trailing 4-event spend per user (stages/windows.py::rolling_sum —
+    the ROWS-frame window function): integer-cent prefix sums per hash
+    bucket, one shuffle, byte-exact vs sequential SQL."""
+    from ..stages.windows import rolling_sum
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+
+    def base(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "ts": t["ts"],
+            "cents": pa.array(
+                np.floor(t["value"].to_numpy() * 100).astype("int64")),
+        })
+
+    out = rolling_sum(ev.map_batches(base, batch_format="pyarrow"),
+                      key_col="user_id", ts_col="ts", value_col="cents",
+                      frame=4, order_cols=["event_id"])
+    return out.select_columns(["event_id", "user_id", "roll_sum"])
+
+
+def q_lineitem_long(sf_dir: str):
+    """UNPIVOT lineitem's four measures into long (key, name, value) rows
+    (stages/pivot.py::unpivot_longer): stateless zero-shuffle melt, the
+    inverse of the pivot operator."""
+    from ..stages.pivot import unpivot_longer
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_linenumber", "l_quantity",
+                             "l_extendedprice", "l_discount", "l_tax"])
+    return unpivot_longer(
+        li, ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+
+
+def q_dominant_event_type(sf_dir: str):
+    """Per-user modal event type (stages/pivot.py::grouped_mode): two
+    group-sized exchanges, deterministic count-desc/category-asc winner."""
+    from ..stages.pivot import grouped_mode
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    return grouped_mode(ev, "user_id", "event_type")
+
+
+QUERIES["rolling_spend"] = q_rolling_spend
+QUERIES["lineitem_long"] = q_lineitem_long
+QUERIES["dominant_event_type"] = q_dominant_event_type
+
+ORACLE_SQL["rolling_spend"] = """
+WITH base AS (
+  SELECT event_id, user_id, ts,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events)
+SELECT event_id, user_id,
+       CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_sum
+FROM base
+"""
+
+ORACLE_SQL["lineitem_long"] = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS name,
+       CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+       CAST(l_extendedprice AS DOUBLE) FROM lineitem
+UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount',
+       CAST(l_discount AS DOUBLE) FROM lineitem
+UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax',
+       CAST(l_tax AS DOUBLE) FROM lineitem
+"""
+
+ORACLE_SQL["dominant_event_type"] = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+            ORDER BY n DESC, event_type) AS rn
+  FROM c)
+SELECT user_id, event_type AS top_cat, n FROM r WHERE rn = 1
+"""

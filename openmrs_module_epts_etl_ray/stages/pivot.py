@@ -153,3 +153,93 @@ def rollup_sum(
     for lvl in levels[1:]:
         out = out.union(lvl)
     return out
+
+
+def unpivot_longer(
+    ds: rd.Dataset,
+    id_cols: list[str],
+    value_cols: list[str],
+    *,
+    name_col: str = "name",
+    value_col: str = "value",
+) -> rd.Dataset:
+    """UNPIVOT / melt: wide rows → one long row per (id, value column) —
+    the inverse of :func:`pivot_counts` (SQL ``UNPIVOT`` / a UNION ALL of
+    per-column selects). Turns per-entity feature tables back into long
+    metric logs for windowing/aggregation stages.
+
+    Stateless per-block flat map, zero shuffles: each block emits
+    ``len(value_cols)`` column-stacked slices (Arrow concat of zero-copy
+    column takes; the only new buffer is the constant ``name`` column).
+    ``value_cols`` are cast to a common type (float64 by default when
+    mixed) because the long column must be single-typed.
+    """
+    import pyarrow as pa
+
+    if not value_cols:
+        raise ValueError("value_cols must be non-empty")
+
+    def melt(t: pa.Table) -> pa.Table:
+        vt = pa.unify_schemas(
+            [pa.schema([(value_col, t.schema.field(c).type)])
+             for c in value_cols],
+            promote_options="permissive").field(value_col).type
+        n = len(t)
+        parts = []
+        for c in value_cols:
+            cols = {k: t[k] for k in id_cols}
+            cols[name_col] = pa.array(np.full(n, c, dtype=object),
+                                      type=pa.string())
+            cols[value_col] = t[c].cast(vt)
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
+def grouped_mode(
+    ds: rd.Dataset,
+    key_col: str,
+    cat_col: str,
+    *,
+    out_cat: str = "top_cat",
+    count_col: str = "n",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per-key modal category: the most frequent ``cat_col`` value per
+    ``key_col``, ties broken by lexicographically smallest category (SQL
+    ``row_number() OVER (PARTITION BY key ORDER BY count DESC, cat)`` = 1)
+    — dominant-event-type / primary-language style features.
+
+    Two exchanges, both on pre-collapsed relations: per-block (key, cat)
+    counts → :func:`bucketed_sum` on (key, cat); then one coarse key-hash
+    exchange where each bucket resolves its keys' argmax in ONE vectorized
+    sort + first-of-key mask (no per-key Python). The raw table never
+    shuffles.
+    """
+    nb = num_buckets or _default_buckets()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby([key_col, cat_col], as_index=False, sort=False) \
+              .size().rename(columns={"size": count_col})
+        g[count_col] = g[count_col].astype("int64")
+        return g
+
+    counts = bucketed_sum(ds.map_batches(partial, batch_format="pandas"),
+                          [key_col, cat_col], [count_col])
+
+    def tag(t):
+        return add_bucket(t, (key_col,), nb)
+
+    def argmax(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL]).sort_values(
+            [key_col, count_col, cat_col],
+            ascending=[True, False, True], kind="stable")
+        first = np.r_[True, df[key_col].to_numpy()[1:]
+                      != df[key_col].to_numpy()[:-1]]
+        out = df.loc[first, [key_col, cat_col, count_col]]
+        return out.rename(columns={cat_col: out_cat})
+
+    return counts.map_batches(tag, batch_format="pyarrow") \
+                 .groupby(BUCKET_COL).map_groups(argmax,
+                                                 batch_format="pandas")

@@ -385,3 +385,65 @@ def lag_gaps(
     return ds.map_batches(tag, batch_format="pyarrow") \
              .groupby(BUCKET_COL) \
              .map_groups(per_bucket, batch_format="pyarrow")
+
+
+def rolling_sum(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    frame: int = 4,
+    order_cols: list[str] | None = None,
+    out_col: str = "roll_sum",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per-key moving-window sum over the last ``frame`` rows (SQL
+    ``sum(v) OVER (PARTITION BY key ORDER BY ts, … ROWS BETWEEN frame-1
+    PRECEDING AND CURRENT ROW)``) — trailing spend / rate features.
+
+    Same single-shuffle contract as :func:`lag_gaps`: hash-bucket by key,
+    then per bucket ONE vectorized pass — sort (key, ts, order), int64
+    prefix sum, window sum = ``cum[i+1] - cum[max(i-frame+1, key_start)]``
+    with the key start resolved by a running maximum over first-of-key
+    positions (no per-key Python). ``value_col`` must be integral (convert
+    money to cents upstream): integer prefix sums are exact, so the result
+    is byte-identical to sequential SQL.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import BUCKET_COL, add_bucket
+
+    if frame < 1:
+        raise ValueError(f"frame must be >= 1, got {frame}")
+    if num_buckets is None:
+        try:
+            import ray
+            num_buckets = max(16, int(ray.cluster_resources().get("CPU", 16)))
+        except Exception:
+            num_buckets = 16
+    order_cols = order_cols or []
+
+    def tag(t: pa.Table) -> pa.Table:
+        return add_bucket(t, (key_col,), num_buckets)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        keys = [(key_col, "ascending"), (ts_col, "ascending")] + \
+            [(c, "ascending") for c in order_cols]
+        t = t.take(pc.sort_indices(t, sort_keys=keys))
+        n = len(t)
+        v = t[value_col].combine_chunks().cast(pa.int64()).to_numpy()
+        kv = t[key_col].combine_chunks().to_numpy(zero_copy_only=False)
+        cum = np.zeros(n + 1, np.int64)
+        np.cumsum(v, out=cum[1:])
+        idx = np.arange(n)
+        first = np.r_[True, kv[1:] != kv[:-1]] if n else np.zeros(0, bool)
+        key_start = np.maximum.accumulate(np.where(first, idx, 0))
+        lo = np.maximum(idx - frame + 1, key_start)
+        out = cum[idx + 1] - cum[lo]
+        return t.drop_columns([BUCKET_COL]) \
+                .append_column(out_col, pa.array(out, pa.int64()))
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+             .groupby(BUCKET_COL) \
+             .map_groups(per_bucket, batch_format="pyarrow")

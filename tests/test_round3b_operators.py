@@ -243,3 +243,58 @@ def test_rollup_sum_matches_pandas(ray_session):
         want[c] = want[c].astype("int64")
     pd.testing.assert_frame_equal(got[["a", "b", "v", "n"]].astype(
         {"v": "int64", "n": "int64"}), want)
+
+
+def test_rolling_sum_matches_pandas_rolling(ray_session):
+    from openmrs_module_epts_etl_ray.stages.windows import rolling_sum
+
+    rng = np.random.default_rng(13)
+    n = 2500
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 30, n).astype(np.int64),
+        "ts": pd.to_datetime("2024-03-01")
+        + pd.to_timedelta(rng.integers(0, 10**8, n), unit="us"),
+        "cents": rng.integers(-500, 500, n).astype(np.int64),
+    })
+    got = rolling_sum(rd.from_pandas(df).repartition(6), key_col="user_id",
+                      ts_col="ts", value_col="cents", frame=5,
+                      order_cols=["event_id"]).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    want = df.sort_values(["user_id", "ts", "event_id"])
+    want = want.assign(roll_sum=want.groupby("user_id")["cents"]
+                       .rolling(5, min_periods=1).sum()
+                       .reset_index(level=0, drop=True).astype("int64")) \
+        .sort_values("event_id").reset_index(drop=True)
+    assert got["roll_sum"].tolist() == want["roll_sum"].tolist()
+
+
+def test_unpivot_longer_roundtrip(ray_session):
+    from openmrs_module_epts_etl_ray.stages.pivot import unpivot_longer
+
+    df = pd.DataFrame({
+        "id": [1, 2, 3],
+        "a": np.array([1, 2, 3], np.int64),
+        "b": np.array([0.5, 1.5, 2.5], np.float64),
+    })
+    got = unpivot_longer(rd.from_pandas(df), ["id"], ["a", "b"]) \
+        .to_pandas().sort_values(["id", "name"]).reset_index(drop=True)
+    assert len(got) == 6
+    assert got["value"].dtype == np.float64  # common promoted type
+    assert got.loc[(got["id"] == 2) & (got["name"] == "a"),
+                   "value"].iloc[0] == 2.0
+    assert got.loc[(got["id"] == 3) & (got["name"] == "b"),
+                   "value"].iloc[0] == 2.5
+
+
+def test_grouped_mode_deterministic_ties(ray_session):
+    from openmrs_module_epts_etl_ray.stages.pivot import grouped_mode
+
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 1, 2, 2, 3],
+        "c": ["b", "b", "a", "a", "z", "y", "q"],  # k=1 tie a/b -> a wins
+    })
+    got = grouped_mode(rd.from_pandas(df).repartition(3), "k", "c") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    assert got["top_cat"].tolist() == ["a", "y", "q"]
+    assert got["n"].tolist() == [2, 1, 1]
