@@ -55,7 +55,7 @@ BENCH_QUERIES = [
     "langid", "fingerprints",
     "tfidf_terms", "quota_sample", "user_event_pivot", "lm_bigram_score",
     "asof_next_purchase", "price_histogram", "event_gaps", "rollup_revenue",
-    "rolling_spend", "lineitem_long", "dominant_event_type",
+    "rolling_spend", "lineitem_long", "dominant_event_type", "activity_reconcile",
 ]
 
 

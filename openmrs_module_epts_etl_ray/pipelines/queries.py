@@ -2744,3 +2744,48 @@ r AS (
   FROM c)
 SELECT user_id, event_type AS top_cat, n FROM r WHERE rn = 1
 """
+
+
+def q_activity_reconcile(sf_dir: str):
+    """Two-sided account/activity reconciliation (stages/joins.py::
+    full_outer_join — J8 in both directions at once): per-user event spend
+    FULL OUTER JOIN customer balances; users without an account and
+    customers without activity both survive with the other side null."""
+    from ..stages.joins import full_outer_join
+    from ..stages.pivot import bucketed_sum
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "value"])
+
+    def base(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "cents": pa.array(
+                np.floor(t["value"].to_numpy() * 100).astype("int64")),
+            "n_events": pa.array(np.ones(len(t), np.int64)),
+        })
+
+    agg = bucketed_sum(ev.map_batches(base, batch_format="pyarrow"),
+                       ["user_id"], ["cents", "n_events"])
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+
+    def ren(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["user_id", "c_acctbal"])
+
+    return full_outer_join(agg, cust.map_batches(ren, batch_format="pyarrow"),
+                           ["user_id"]) \
+        .select_columns(["user_id", "cents", "n_events", "c_acctbal"])
+
+
+QUERIES["activity_reconcile"] = q_activity_reconcile
+
+ORACLE_SQL["activity_reconcile"] = """
+WITH a AS (
+  SELECT user_id,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id)
+SELECT coalesce(a.user_id, c.c_custkey) AS user_id,
+       a.cents, a.n_events, c.c_acctbal
+FROM a FULL OUTER JOIN customer c ON a.user_id = c.c_custkey
+"""

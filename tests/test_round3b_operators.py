@@ -298,3 +298,16 @@ def test_grouped_mode_deterministic_ties(ray_session):
         .to_pandas().sort_values("k").reset_index(drop=True)
     assert got["top_cat"].tolist() == ["a", "y", "q"]
     assert got["n"].tolist() == [2, 1, 1]
+
+
+def test_full_outer_join_coalesces_keys(ray_session):
+    from openmrs_module_epts_etl_ray.stages.joins import full_outer_join
+
+    l = rd.from_pandas(pd.DataFrame({"k": [1, 2, 3], "a": [10, 20, 30]}))
+    r = rd.from_pandas(pd.DataFrame({"k": [2, 3, 4], "b": [200, 300, 400]}))
+    out = full_outer_join(l, r, ["k"]).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert out["k"].tolist() == [1, 2, 3, 4]  # keys total on both sides
+    assert out["k"].notna().all()
+    assert pd.isna(out.loc[0, "b"]) and pd.isna(out.loc[3, "a"])
+    assert out.loc[1, "a"] == 20 and out.loc[1, "b"] == 200
