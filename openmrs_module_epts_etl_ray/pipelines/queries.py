@@ -2789,3 +2789,72 @@ SELECT coalesce(a.user_id, c.c_custkey) AS user_id,
        a.cents, a.n_events, c.c_acctbal
 FROM a FULL OUTER JOIN customer c ON a.user_id = c.c_custkey
 """
+
+
+def q_purchase_pagerank(sf_dir: str):
+    """PageRank over the customer->supplier purchase graph
+    (stages/graph.py::pagerank, broadcast engine — 8 damped power
+    iterations): edges never leave their blocks; each iteration ships only
+    block-distinct dst contributions through one coarse-bucket exchange.
+    Ranks are quantized to 1e-9 so the float-summation order (Ray block
+    order vs SQL GROUP BY order) cannot flip the oracle hash."""
+    from ..stages.graph import pagerank
+    from ..stages.joins import broadcast_inner_join
+    from ..stages.pivot import distinct_keys
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    ords = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    joined = broadcast_inner_join(li, ords, ["l_orderkey"],
+                                  right_on=("o_orderkey",))
+
+    def edge(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": t["o_custkey"].cast(pa.int64()),
+            # suppliers share the customer key range; shift to disambiguate
+            "dst": pc.add(t["l_suppkey"].cast(pa.int64()),
+                          pa.scalar(1_000_000, pa.int64())),
+        })
+
+    edges = distinct_keys(joined.map_batches(edge, batch_format="pyarrow"),
+                          ["src", "dst"])
+    pr = pagerank(edges, damping=0.85, iterations=8)
+
+    def quantize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t["node"],
+            "rank_e9": pa.array(
+                np.floor(t["rank"].to_numpy() * 1e9).astype("int64")),
+        })
+
+    return pr.map_batches(quantize, batch_format="pyarrow")
+
+
+QUERIES["purchase_pagerank"] = q_purchase_pagerank
+
+_PR_STEPS = ["r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)"]
+for _k in range(8):
+    _PR_STEPS.append(f"""r{_k + 1} AS (
+  SELECT n.node,
+         (1.0 - 0.85) / nn.n
+         + 0.85 * (coalesce(c.contrib, 0) + dang.s / nn.n) AS rank
+  FROM nodes n
+  CROSS JOIN nn
+  CROSS JOIN (SELECT coalesce(sum(rank), 0) AS s FROM r{_k}
+              WHERE node NOT IN (SELECT node FROM deg)) dang
+  LEFT JOIN (SELECT e.dst AS node, sum(r.rank / d.deg) AS contrib
+             FROM edges e JOIN r{_k} r ON e.src = r.node
+                          JOIN deg d ON e.src = d.node
+             GROUP BY e.dst) c ON n.node = c.node)""")
+_PR_CTES = ",\n".join(_PR_STEPS)
+
+ORACLE_SQL["purchase_pagerank"] = f"""
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS deg
+        FROM edges GROUP BY src),
+{_PR_CTES}
+SELECT node, CAST(floor(rank * 1e9) AS BIGINT) AS rank_e9 FROM r8
+"""

@@ -36,10 +36,13 @@ def bucketed_sum(
     cols: list[str],
     *,
     num_buckets: int | None = None,
+    int_cols: bool = True,
 ) -> rd.Dataset:
     """Distributed ``GROUP BY keys SUM(cols)`` over an already-partial
     relation: ONE hash exchange on a coarse bucket of ``keys``, then one
-    vectorized pandas fold per bucket (no per-key Python, no sort)."""
+    vectorized pandas fold per bucket (no per-key Python, no sort).
+    ``int_cols=False`` keeps float measures as float64 (last-ulp
+    order-dependence accepted — e.g. PageRank contributions)."""
     nb = num_buckets or _default_buckets()
 
     def tag(t):
@@ -48,11 +51,36 @@ def bucketed_sum(
     def fold(df: pd.DataFrame) -> pd.DataFrame:
         g = df.drop(columns=[BUCKET_COL]) \
               .groupby(keys, as_index=False, sort=False)[cols].sum()
-        for c in cols:
-            g[c] = g[c].astype("int64")
+        if int_cols:
+            for c in cols:
+                g[c] = g[c].astype("int64")
         return g
 
     return ds.map_batches(tag, batch_format="pyarrow") \
+             .groupby(BUCKET_COL).map_groups(fold, batch_format="pandas")
+
+
+def distinct_keys(
+    ds: rd.Dataset,
+    keys: list[str],
+    *,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Distributed ``SELECT DISTINCT keys``: per-block drop_duplicates
+    partials, one coarse-bucket exchange, vectorized dedup per bucket."""
+    nb = num_buckets or _default_buckets()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df[keys].drop_duplicates()
+
+    def tag(t):
+        return add_bucket(t, tuple(keys), nb)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop(columns=[BUCKET_COL]).drop_duplicates()
+
+    return ds.map_batches(partial, batch_format="pandas") \
+             .map_batches(tag, batch_format="pyarrow") \
              .groupby(BUCKET_COL).map_groups(fold, batch_format="pandas")
 
 

@@ -311,3 +311,40 @@ def test_full_outer_join_coalesces_keys(ray_session):
     assert out["k"].notna().all()
     assert pd.isna(out.loc[0, "b"]) and pd.isna(out.loc[3, "a"])
     assert out.loc[1, "a"] == 20 and out.loc[1, "b"] == 200
+
+
+def _numpy_pagerank(edges_df, damping, iters):
+    nodes = np.unique(np.concatenate([edges_df["src"], edges_df["dst"]]))
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    si = np.array([idx[v] for v in edges_df["src"]])
+    di = np.array([idx[v] for v in edges_df["dst"]])
+    deg = np.bincount(si, minlength=n)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.bincount(di, weights=r[si] / deg[si], minlength=n)
+        dangling = r[deg == 0].sum()
+        r = (1 - damping) / n + damping * (contrib + dangling / n)
+    return dict(zip(nodes.tolist(), r.tolist()))
+
+
+def test_pagerank_both_engines_match_numpy(ray_session):
+    from openmrs_module_epts_etl_ray.stages.graph import pagerank
+
+    rng = np.random.default_rng(21)
+    m = 4000
+    edges = pd.DataFrame({
+        "src": rng.integers(0, 120, m).astype(np.int64),
+        "dst": rng.integers(0, 150, m).astype(np.int64),
+    })
+    edges = edges[edges["src"] != edges["dst"]].reset_index(drop=True)
+    want = _numpy_pagerank(edges, 0.85, 8)
+
+    for eng in ["broadcast", "join"]:
+        got = pagerank(rd.from_pandas(edges).repartition(5),
+                       damping=0.85, iterations=8, engine=eng) \
+            .to_pandas().set_index("node")["rank"].to_dict()
+        assert set(got) == set(want), eng
+        assert abs(sum(got.values()) - 1.0) < 1e-6, eng
+        for k, v in want.items():
+            assert abs(got[k] - v) < 1e-9, (eng, k)
