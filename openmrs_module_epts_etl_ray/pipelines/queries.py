@@ -2858,3 +2858,281 @@ deg AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS deg
 {_PR_CTES}
 SELECT node, CAST(floor(rank * 1e9) AS BIGINT) AS rank_e9 FROM r8
 """
+
+
+# ---------------------------------------------------------------------------
+# History / analytics batch (round 3): SCD2, time travel, funnel, cohorts,
+# grouped correlation, distributed NTILE, EXCEPT
+# ---------------------------------------------------------------------------
+
+def q_scd2_history(sf_dir: str):
+    """SCD Type-2 materialization of the CDC event log
+    (stages/history.py::scd2_history): every non-delete version with its
+    validity interval; a trailing delete closes the last version. The
+    interval form of the reference's stage-area timeline
+    (common/model/EtlStageRecordVO.java:36-67)."""
+    from ..stages.history import scd2_history
+
+    events = events_from_documents(sf_dir)
+    hist = scd2_history(events, ("repo", "path"), "lsn")
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "repo": t["repo"],
+            "path": t["path"],
+            "valid_from": t["lsn"],
+            "valid_to": t["valid_to"],
+            "is_current": t["is_current"],
+            "commit": t["commit"],
+            "content_sha": sha256_hex(t["content"]),
+        })
+
+    return hist.map_batches(project, batch_format="pyarrow")
+
+
+def q_time_travel_snapshot(sf_dir: str):
+    """Snapshot-at-LSN (time travel): the table state as of LSN 5000 —
+    prefix-filter the log, then the same LWW compaction as the live state
+    (stages/lww.py::lww_final_state). The read-side counterpart of the
+    commit-log lake's monotone watermark."""
+    events = events_from_documents(sf_dir)
+    asof = events.filter(expr="lsn <= 5000")
+    state = lww_final_state(asof, key_cols=("repo", "path"), lsn_col="lsn",
+                            num_buckets=16)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "repo": t["repo"],
+            "path": t["path"],
+            "last_lsn": t["lsn"],
+            "commit": t["commit"],
+            "lang": t["lang"],
+            "content_sha": sha256_hex(t["content"]),
+        })
+
+    return state.map_batches(project, batch_format="pyarrow")
+
+
+def q_event_funnel(sf_dir: str):
+    """Sequential conversion funnel view→click→purchase over the events
+    stream (stages/history.py::funnel_counts): strictly-ordered reach
+    times, one entity-key exchange, vectorized per bucket."""
+    from ..stages.history import funnel_counts
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_type"])
+    return funnel_counts(ev, key_col="user_id", ts_col="ts",
+                         type_col="event_type",
+                         steps=["view", "click", "purchase"])
+
+
+def q_retention_cohorts(sf_dir: str):
+    """Weekly cohort retention matrix (stages/history.py::
+    retention_cohorts): users cohorted by first-event week; distinct
+    active (user, week) pairs counted at (cohort, offset)."""
+    from ..stages.history import retention_cohorts
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    out = retention_cohorts(ev, key_col="user_id", ts_col="ts")
+
+    def ren(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["cohort_week", "week_offset", "n_users"])
+
+    return out.map_batches(ren, batch_format="pyarrow")
+
+
+def q_qty_discount_corr(sf_dir: str):
+    """Per-(returnflag, linestatus) Pearson correlation + OLS slope of
+    quantity vs discount (stages/stats.py::grouped_corr): exact int64
+    moment partials per block — six numbers per group cross the wire —
+    then one fixed IEEE-double finalization, quantized to 1e-9."""
+    from ..stages.stats import grouped_corr
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_linestatus",
+                             "l_quantity", "l_discount"])
+
+    def base(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "x": pa.array(np.rint(t["l_quantity"].to_numpy())
+                          .astype(np.int64)),
+            "y": pa.array(np.rint(t["l_discount"].to_numpy() * 100)
+                          .astype(np.int64)),
+        })
+
+    return grouped_corr(li.map_batches(base, batch_format="pyarrow"),
+                        ["l_returnflag", "l_linestatus"], "x", "y")
+
+
+def q_ntile_spend(sf_dir: str):
+    """Customer spend quartiles — SQL NTILE(4) with NO global sort
+    (stages/selection.py::ntile_assign): tile boundaries are integer
+    order statistics found by counts-only refinement; rows then
+    self-assign by threshold compare. Tie-break (custkey) is packed into
+    the low bits of the composite key, kept exact by the int64-domain
+    selection (a float packing would collapse past 2^53)."""
+    from ..stages.pivot import bucketed_sum
+    from ..stages.selection import ntile_assign
+
+    ords = read_table(sf_dir, "orders",
+                      columns=["o_custkey", "o_totalprice"])
+
+    def base(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": t["o_custkey"],
+            "cents": pa.array(
+                np.floor(t["o_totalprice"].to_numpy() * 100)
+                .astype(np.int64)),
+        })
+
+    spend = bucketed_sum(ords.map_batches(base, batch_format="pyarrow"),
+                         ["o_custkey"], ["cents"])
+
+    def pack(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy()
+        if len(ck) and ck.max() >= (1 << 22):
+            raise ValueError("custkey exceeds the 22-bit tie-break width")
+        packed = ck - t["cents"].to_numpy() * (1 << 22)
+        return t.append_column("packed", pa.array(packed, pa.int64()))
+
+    packed = spend.map_batches(pack, batch_format="pyarrow").materialize()
+    out = ntile_assign(packed, "packed", 4)
+    return out.select_columns(["o_custkey", "cents", "tile"])
+
+
+def q_except_extracts(sf_dir: str):
+    """SQL EXCEPT between two extracts (§2.7 distinct + J6 anti-join
+    composed): distinct urgent-order (custkey, status) pairs minus pairs
+    that also appear on a big-ticket order."""
+    from ..stages.joins import anti_join
+    from ..stages.pivot import distinct_keys
+
+    ords = read_table(sf_dir, "orders",
+                      columns=["o_custkey", "o_orderstatus",
+                               "o_orderpriority", "o_totalprice"])
+    urgent = distinct_keys(
+        ords.filter(expr="o_orderpriority == '1-URGENT'")
+            .select_columns(["o_custkey", "o_orderstatus"]),
+        ["o_custkey", "o_orderstatus"])
+    big = ords.filter(expr="o_totalprice > 150000.0") \
+              .select_columns(["o_custkey", "o_orderstatus"])
+    return anti_join(urgent, big, ["o_custkey", "o_orderstatus"])
+
+
+QUERIES["scd2_history"] = q_scd2_history
+QUERIES["time_travel_snapshot"] = q_time_travel_snapshot
+QUERIES["event_funnel"] = q_event_funnel
+QUERIES["retention_cohorts"] = q_retention_cohorts
+QUERIES["qty_discount_corr"] = q_qty_discount_corr
+QUERIES["ntile_spend"] = q_ntile_spend
+QUERIES["except_extracts"] = q_except_extracts
+
+_EV_CTE = """
+WITH v(v) AS (SELECT * FROM (VALUES (0),(1),(2),(3)) t(v)),
+ev AS (
+  SELECT 'r' || CAST(d.doc_id % 97 AS VARCHAR) AS repo,
+         'f/' || CAST(d.doc_id AS VARCHAR) AS path,
+         CAST(d.doc_id * 10 + v.v AS BIGINT) AS lsn,
+         substring(sha256('c' || CAST(d.doc_id * 10 + v.v AS VARCHAR)), 1, 40) AS commit,
+         CASE WHEN v.v = d.doc_id % 4 AND d.doc_id % 7 = 0 THEN 'delete'
+              WHEN v.v = 0 THEN 'insert' ELSE 'update' END AS op,
+         CASE WHEN v.v = d.doc_id % 4 AND d.doc_id % 7 = 0 THEN NULL
+              ELSE d.lang END AS lang,
+         CASE WHEN v.v = d.doc_id % 4 AND d.doc_id % 7 = 0 THEN NULL
+              ELSE d.text || '::v' || CAST(v.v AS VARCHAR) END AS content
+  FROM documents d JOIN v ON v.v <= d.doc_id % 4
+)"""
+
+ORACLE_SQL["scd2_history"] = _EV_CTE + """,
+led AS (
+  SELECT repo, path, lsn, op, commit, content,
+         lead(lsn) OVER (PARTITION BY repo, path ORDER BY lsn) AS valid_to
+  FROM ev)
+SELECT repo, path, lsn AS valid_from, valid_to,
+       valid_to IS NULL AS is_current,
+       commit, sha256(content) AS content_sha
+FROM led WHERE op <> 'delete'
+"""
+
+ORACLE_SQL["time_travel_snapshot"] = _EV_CTE + """,
+pre AS (SELECT * FROM ev WHERE lsn <= 5000),
+w AS (SELECT repo, path, MAX(lsn) AS last_lsn FROM pre GROUP BY repo, path)
+SELECT e.repo, e.path, w.last_lsn, e.commit, e.lang,
+       sha256(e.content) AS content_sha
+FROM pre e JOIN w ON e.repo = w.repo AND e.path = w.path
+                 AND e.lsn = w.last_lsn
+WHERE e.op <> 'delete'
+"""
+
+ORACLE_SQL["event_funnel"] = """
+WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+s1 AS (SELECT e.user_id, min(e.ts) AS t
+       FROM events e JOIN s0 ON e.user_id = s0.user_id
+       WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ts) AS t
+       FROM events e JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1)
+SELECT CAST(0 AS BIGINT) AS step, 'view' AS stage,
+       CAST((SELECT count(*) FROM s0) AS BIGINT) AS n_users
+UNION ALL SELECT 1, 'click', CAST((SELECT count(*) FROM s1) AS BIGINT)
+UNION ALL SELECT 2, 'purchase', CAST((SELECT count(*) FROM s2) AS BIGINT)
+"""
+
+ORACLE_SQL["retention_cohorts"] = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '1970-01-01', ts) // 7 AS period
+  FROM events),
+c AS (SELECT user_id, min(period) AS cohort FROM uw GROUP BY 1)
+SELECT CAST(c.cohort AS BIGINT) AS cohort_week,
+       CAST(uw.period - c.cohort AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM uw JOIN c ON uw.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+ORACLE_SQL["qty_discount_corr"] = """
+WITH b AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity) AS BIGINT) AS x,
+         CAST(round(l_discount * 100) AS BIGINT) AS y
+  FROM lineitem),
+s AS (
+  SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM b GROUP BY 1, 2)
+SELECT l_returnflag, l_linestatus, n,
+  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+       ELSE CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+            / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+               * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 1e9) AS BIGINT)
+  END AS corr_e9,
+  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+       ELSE CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+            / CAST(n * sxx - sx * sx AS DOUBLE) * 1e9) AS BIGINT)
+  END AS slope_e9
+FROM s
+"""
+
+ORACLE_SQL["ntile_spend"] = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1)
+SELECT o_custkey, cents,
+       CAST(ntile(4) OVER (ORDER BY cents DESC, o_custkey) AS BIGINT)
+         AS tile
+FROM spend
+"""
+
+ORACLE_SQL["except_extracts"] = """
+SELECT o_custkey, o_orderstatus FROM orders
+WHERE o_orderpriority = '1-URGENT'
+EXCEPT
+SELECT o_custkey, o_orderstatus FROM orders WHERE o_totalprice > 150000
+"""

@@ -1,0 +1,200 @@
+"""Event-history operators: SCD Type-2 intervals, funnels, retention.
+
+``scd2_history`` materializes the full slowly-changing-dimension history
+of a CDC event log — the interval form of the reference's stage-area
+record timeline (``common/model/EtlStageRecordVO.java:36-67`` keeps every
+version row; the reference's merge keeps only the newest,
+``model/EtlDatabaseObject.java:614-726``; SCD2 is the "keep them all,
+with validity" middle ground a warehouse destination needs).
+
+``funnel_counts`` / ``retention_cohorts`` are the event-analytics
+extensions (training-data / product-analytics side of the engine): both
+follow the engine's standard single-exchange contract — hash-bucket by
+the entity key so each entity's timeline co-locates, ONE vectorized
+pandas/numpy pass per bucket, then a tiny (groups-sized) exchange to fold
+per-bucket partials. No per-entity Python in any hot path.
+
+Partitioning assumption (all three): entity keys hash-distribute evenly;
+a single entity's history fits one task (same contract as the as-of join
+and ``stages/windows.py``).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..functions.hashing import BUCKET_COL, add_bucket, key_codes
+
+
+def _default_buckets() -> int:
+    try:
+        import ray
+        return max(16, int(ray.cluster_resources().get("CPU", 16)))
+    except Exception:
+        return 16
+
+
+def scd2_history(
+    ds: rd.Dataset,
+    key_cols: tuple[str, ...],
+    lsn_col: str = "lsn",
+    *,
+    op_col: str = "op",
+    valid_to_col: str = "valid_to",
+    current_col: str = "is_current",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """SCD Type-2 history: one row per non-delete event, closed by the
+    key's NEXT event.
+
+    Appends ``valid_to`` = the same key's next event LSN (NULL while the
+    version is still open) and ``is_current`` = whether the version is the
+    key's live state. A delete event contributes no row of its own but
+    CLOSES its predecessor (the predecessor gets ``valid_to`` = the delete
+    LSN and ``is_current = false``) — so keys whose history ends in a
+    delete have no current row, matching the tombstone semantics of
+    ``stages/lww.py::lww_final_state``.
+
+    One hash exchange on the key; per bucket one lexsort + shifted
+    compare (the LEAD window function, computed the same way
+    ``lag_gaps`` computes LAG). ``valid_to``'s null slots carry zeroed
+    data bytes so output is byte-canonical across engines.
+    """
+    nb = num_buckets or _default_buckets()
+    key_cols = tuple(key_cols)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return add_bucket(t, key_cols, nb)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        t = t.drop_columns([BUCKET_COL])
+        if t[lsn_col].null_count:
+            raise ValueError(f"null {lsn_col!r} in event input")
+        codes, _ = key_codes(t, key_cols)
+        lsn = t[lsn_col].to_numpy()
+        order = np.lexsort((lsn, codes))
+        t = t.take(pa.array(order))
+        codes = codes[order]
+        lsn = lsn[order]
+
+        n = len(t)
+        nxt = np.zeros(n, np.int64)
+        has_next = np.zeros(n, bool)
+        if n > 1:
+            same = codes[1:] == codes[:-1]
+            nxt[:-1][same] = lsn[1:][same]
+            has_next[:-1] = same
+        t = t.append_column(
+            valid_to_col, pa.array(nxt, pa.int64(), mask=~has_next))
+        t = t.append_column(
+            current_col, pa.array(~has_next))
+        if op_col in t.column_names:
+            t = t.filter(pc.not_equal(t[op_col], "delete"))
+        return t
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+             .groupby(BUCKET_COL) \
+             .map_groups(per_bucket, batch_format="pyarrow")
+
+
+def funnel_counts(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Sequential conversion funnel: for each entity, step ``i`` is
+    reached when an event of type ``steps[i]`` occurs STRICTLY AFTER the
+    entity's step-``i-1`` reach time (reach time = earliest such event).
+    Returns one row per step: ``(step:int64, stage:string, n_users:int64)``.
+
+    Per bucket the whole chain is vectorized: a groupby-min per step with
+    the previous step's reach time mapped onto candidate rows (no
+    per-entity Python); the cross-bucket fold exchanges ``len(steps)``
+    rows per bucket.
+    """
+    if len(steps) < 1:
+        raise ValueError("funnel needs at least one step")
+    nb = num_buckets or _default_buckets()
+
+    def tag(t: pa.Table) -> pa.Table:
+        return add_bucket(t, (key_col,), nb)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        counts = []
+        first = g[g[type_col] == steps[0]]
+        cur = first.groupby(key_col)[ts_col].min()
+        counts.append(len(cur))
+        for s in steps[1:]:
+            sub = g[g[type_col] == s]
+            prev = sub[key_col].map(cur)
+            sub = sub[sub[ts_col] > prev]  # NaT/never-reached compares False
+            cur = sub.groupby(key_col)[ts_col].min()
+            counts.append(len(cur))
+        return pd.DataFrame({
+            "step": np.arange(len(steps), dtype=np.int64),
+            "stage": steps,
+            "n_users": np.asarray(counts, np.int64),
+        })
+
+    partials = ds.map_batches(tag, batch_format="pyarrow") \
+                 .groupby(BUCKET_COL) \
+                 .map_groups(per_bucket, batch_format="pandas")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["step", "stage"], as_index=False)["n_users"].sum()
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    # len(steps) × num_buckets rows total: one tiny final fold
+    return partials.repartition(1).map_batches(fold, batch_format="pandas")
+
+
+def retention_cohorts(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    ts_col: str,
+    period_us: int = 7 * 86_400_000_000,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Cohort retention matrix: entities are cohorted by the period
+    (default: epoch week) of their FIRST event; each (entity, active
+    period) pair counts once toward ``(cohort, offset)`` where ``offset``
+    = active period − cohort period. Returns
+    ``(cohort:int64, offset:int64, n_users:int64)``.
+
+    One entity-key exchange; per bucket distinct (entity, period) pairs
+    and the per-entity min fold are single pandas passes; the cross-bucket
+    exchange carries only (cohort, offset, count) partials.
+    """
+    from .pivot import bucketed_sum
+
+    nb = num_buckets or _default_buckets()
+
+    def tag(t: pa.Table) -> pa.Table:
+        per = t[ts_col].combine_chunks().cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy() // period_us
+        t = pa.table({key_col: t[key_col], "period": pa.array(per, pa.int64())})
+        return add_bucket(t, (key_col,), nb)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[[key_col, "period"]].drop_duplicates()
+        cohort = d.groupby(key_col)["period"].transform("min")
+        out = pd.DataFrame({
+            "cohort": cohort.astype("int64"),
+            "offset": (d["period"] - cohort).astype("int64"),
+        })
+        p = out.groupby(["cohort", "offset"], as_index=False).size()
+        return p.rename(columns={"size": "n_users"})
+
+    partials = ds.map_batches(tag, batch_format="pyarrow") \
+                 .groupby(BUCKET_COL) \
+                 .map_groups(per_bucket, batch_format="pandas")
+    return bucketed_sum(partials, ["cohort", "offset"], ["n_users"])

@@ -119,6 +119,119 @@ def exact_quantile(ds: rd.Dataset, value_col: str, q: float,
     return exact_order_stat(ds, value_col, int(np.floor(q * (n - 1))), **kw)
 
 
+def exact_order_stat_int(
+    ds: rd.Dataset,
+    value_col: str,
+    k: int,
+    *,
+    num_buckets: int = 4096,
+    max_rounds: int = 16,
+) -> int:
+    """The (0-based) rank-``k`` smallest value of an INT64 ``value_col``.
+
+    Same counts-only refinement as :func:`exact_order_stat`, but the
+    candidate interval is integer ``[lo, hi]`` with integer bucket edges —
+    exact over the full int64 domain, where the float variant loses
+    distinctions past 2^53 (packed composite sort keys live up there).
+    Nulls are excluded."""
+    from ray.data.aggregate import Max, Min
+
+    bounds = ds.aggregate(Min(value_col), Max(value_col))
+    lo, hi = bounds[f"min({value_col})"], bounds[f"max({value_col})"]
+    if lo is None:
+        raise ValueError(f"no non-null values in {value_col!r}")
+    lo, hi = int(lo), int(hi)
+    if k < 0:
+        raise ValueError(f"rank must be non-negative, got {k}")
+
+    for _ in range(max_rounds):
+        if lo == hi:
+            return lo
+        span = hi - lo + 1
+        nb = min(num_buckets, span)
+        width = -(-span // nb)  # ceil
+
+        def hist(df: pd.DataFrame, *, _lo=lo, _hi=hi, _w=width,
+                 _nb=nb) -> pd.DataFrame:
+            v = df[value_col].dropna().to_numpy(dtype=np.int64)
+            v = v[(v >= _lo) & (v <= _hi)]
+            counts = np.bincount((v - _lo) // _w, minlength=_nb)
+            nz = np.flatnonzero(counts)
+            return pd.DataFrame({"b": nz.astype(np.int64),
+                                 "c": counts[nz].astype(np.int64)})
+
+        counts = np.zeros(nb, dtype=np.int64)
+        for part in ds.map_batches(hist, batch_format="pandas") \
+                      .iter_batches(batch_format="pandas"):
+            np.add.at(counts, part["b"].to_numpy(), part["c"].to_numpy())
+        cum = np.cumsum(counts)
+        if k >= cum[-1]:
+            raise ValueError(f"rank {k} >= population {cum[-1]}")
+        b = int(np.searchsorted(cum, k, side="right"))
+        k -= int(cum[b - 1]) if b else 0
+        lo, hi = lo + b * width, min(lo + (b + 1) * width - 1, hi)
+        if counts[b] <= _COLLECT_CAP:
+            break
+
+    fl, fh = lo, hi
+
+    def sliver(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].dropna().to_numpy(dtype=np.int64)
+        return pd.DataFrame({value_col: v[(v >= fl) & (v <= fh)]})
+
+    vals = np.concatenate(
+        [b[value_col].to_numpy() for b in
+         ds.map_batches(sliver, batch_format="pandas")
+           .iter_batches(batch_format="pandas")] or
+        [np.empty(0, np.int64)])
+    return int(np.partition(vals, k)[k])
+
+
+def ntile_assign(
+    ds: rd.Dataset,
+    value_col: str,
+    k: int,
+    *,
+    out_col: str = "tile",
+    **order_stat_kw,
+) -> rd.Dataset:
+    """SQL ``NTILE(k) OVER (ORDER BY value_col)`` — WITHOUT a global sort.
+
+    Requires DISTINCT int64 values (pack tie-breaks into the low bits of
+    a composite key upstream; :func:`exact_order_stat_int` keeps the full
+    64-bit width exact). With distinct values, NTILE's rank rule
+    (the first ``n % k`` tiles take ``n // k + 1`` rows) collapses to
+    k−1 VALUE thresholds at the tile-boundary order statistics
+    ``u_i = i*(n//k) + min(i, n%k)``; each row's tile is then
+    ``1 + #{thresholds < value}`` — a stateless vectorized
+    ``searchsorted`` per block. Total cost: k−1 counts-only selection
+    passes + one map; nothing row-sized moves.
+
+    ``ds`` is re-executed per threshold — pass a materialized dataset.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    n = int(ds.count())
+    if n == 0:
+        return ds.map_batches(
+            lambda df: df.assign(**{out_col: np.empty(0, np.int64)}),
+            batch_format="pandas")
+    q, r = divmod(n, k)
+    ranks = [i * q + min(i, r) for i in range(1, k)
+             if i * q + min(i, r) < n]
+    thresholds = np.array(
+        sorted(exact_order_stat_int(ds, value_col, u - 1, **order_stat_kw)
+               for u in ranks),
+        dtype=np.int64)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].to_numpy(dtype=np.int64)
+        tile = 1 + np.searchsorted(thresholds, v, side="left")
+        return df.assign(**{out_col: tile.astype(np.int64)})
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
 def numeric_histogram(
     ds: rd.Dataset,
     value_col: str,

@@ -1,0 +1,96 @@
+"""Grouped second-moment statistics (Pearson correlation, OLS slope).
+
+The partial-combine showcase of SURVEY §2.7 applied to bivariate moments:
+every block folds to per-group ``(n, Σx, Σy, Σx², Σy², Σxy)`` partials —
+six int64 values per (block, group) — so the exchange is groups-sized no
+matter how many rows feed it, and integer sums make the reduction exactly
+associative (float moments would drift with the combine-tree shape; the
+reason ``stages/scan.py::running_sum`` demands integer inputs).
+
+The final correlation / slope is computed ONCE per group from the exact
+sums using a FIXED IEEE-double expression — ``num / (sqrt(d1) * sqrt(d2))``
+with each int converted to double exactly once — so any engine (this one,
+the DuckDB oracle) lands on the identical double, and the quantized
+``*_e9`` outputs hash-match byte-for-byte.
+
+Inputs must be int64-encodable (quantize currency to cents upstream).
+Overflow headroom: |x|,|y| ≤ 2¹⁵ supports ~2³² rows per group before
+Σx² approaches int64 range; the per-group finalization uses Python
+arbitrary-precision ints, so only the partials themselves bound scale.
+
+Reference analogue: none (training-data / feature-quality extension —
+e.g. the price↔discount sanity screens of a tabular-corpus profiler).
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..functions.hashing import BUCKET_COL, add_bucket
+
+
+def _default_buckets() -> int:
+    try:
+        import ray
+        return max(16, int(ray.cluster_resources().get("CPU", 16)))
+    except Exception:
+        return 16
+
+
+def grouped_corr(
+    ds: rd.Dataset,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    *,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per-group n, Pearson correlation and OLS slope (y on x), the
+    latter two quantized to 1e-9 (``corr_e9``/``slope_e9`` int64;
+    NULL when the group's x — or, for corr, y — is constant)."""
+    nb = num_buckets or _default_buckets()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[x_col].to_numpy(dtype=np.int64)
+        y = df[y_col].to_numpy(dtype=np.int64)
+        p = pd.DataFrame({
+            **{c: df[c] for c in group_cols},
+            "n": np.ones(len(df), np.int64),
+            "sx": x, "sy": y, "sxx": x * x, "syy": y * y, "sxy": x * y,
+        })
+        return p.groupby(group_cols, as_index=False, sort=False).sum()
+
+    def tag(t: pa.Table) -> pa.Table:
+        return add_bucket(t, tuple(group_cols), nb)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop(columns=[BUCKET_COL]) \
+              .groupby(group_cols, as_index=False, sort=False).sum()
+        corr, slope = [], []
+        for n, sx, sy, sxx, syy, sxy in zip(
+                g["n"], g["sx"], g["sy"], g["sxx"], g["syy"], g["sxy"]):
+            # python ints: n*sxx etc. cannot overflow at any group size
+            n, sx, sy = int(n), int(sx), int(sy)
+            sxx, syy, sxy = int(sxx), int(syy), int(sxy)
+            num = float(n * sxy - sx * sy)
+            d1, d2 = n * sxx - sx * sx, n * syy - sy * sy
+            slope.append(None if d1 == 0
+                         else math.floor(num / float(d1) * 1e9))
+            corr.append(None if d1 == 0 or d2 == 0
+                        else math.floor(
+                            num / (math.sqrt(float(d1)) * math.sqrt(float(d2)))
+                            * 1e9))
+        out = g[group_cols].copy()
+        out["n"] = g["n"].astype("int64")
+        out["corr_e9"] = pd.array(corr, dtype="Int64")
+        out["slope_e9"] = pd.array(slope, dtype="Int64")
+        return out
+
+    return ds.map_batches(partial, batch_format="pandas") \
+             .map_batches(tag, batch_format="pyarrow") \
+             .groupby(BUCKET_COL) \
+             .map_groups(finalize, batch_format="pandas")

@@ -1,0 +1,200 @@
+"""Round-3 history/analytics batch: SCD2 intervals, time travel, funnel,
+retention cohorts, grouped correlation, int-domain order stat, NTILE."""
+import datetime
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+
+def _ts(day, hour=0):
+    return datetime.datetime(2024, 1, day, hour)
+
+
+# ---------------------------------------------------------------------------
+# scd2_history
+# ---------------------------------------------------------------------------
+
+def _events():
+    # key a: insert(1) update(3) update(7)           -> open history
+    # key b: insert(2) delete(5)                     -> closed, no current
+    # key c: insert(4)                               -> single open version
+    return pd.DataFrame({
+        "k": ["a", "a", "b", "c", "b", "a"],
+        "lsn": [1, 3, 2, 4, 5, 7],
+        "op": ["insert", "update", "insert", "insert", "delete", "update"],
+        "payload": ["a1", "a3", "b2", "c4", None, "a7"],
+    })
+
+
+def test_scd2_intervals():
+    from openmrs_module_epts_etl_ray.stages.history import scd2_history
+
+    ds = rd.from_pandas(_events()).repartition(3)
+    out = scd2_history(ds, ("k",), "lsn").to_pandas() \
+        .sort_values(["k", "lsn"]).reset_index(drop=True)
+    assert out["lsn"].tolist() == [1, 3, 7, 2, 4]
+    vt = [None if pd.isna(x) else int(x) for x in out["valid_to"]]
+    assert vt == [3, 7, None, 5, None]
+    assert out["is_current"].tolist() == [False, False, True, False, True]
+    # the delete event emits no row; b has no current version
+    assert not ((out["k"] == "b") & out["is_current"]).any()
+
+
+def test_scd2_partition_invariance():
+    from openmrs_module_epts_etl_ray.stages.history import scd2_history
+
+    ev = _events().sample(frac=1, random_state=7)
+    a = scd2_history(rd.from_pandas(ev).repartition(1), ("k",), "lsn") \
+        .to_pandas().sort_values(["k", "lsn"]).reset_index(drop=True)
+    b = scd2_history(rd.from_pandas(ev).repartition(5), ("k",), "lsn",
+                     num_buckets=3) \
+        .to_pandas().sort_values(["k", "lsn"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# funnel_counts
+# ---------------------------------------------------------------------------
+
+def test_funnel_strict_order():
+    from openmrs_module_epts_etl_ray.stages.history import funnel_counts
+
+    ev = pd.DataFrame({
+        # u1 converts fully; u2 clicks BEFORE viewing (not counted) and at
+        # the same instant as the view (strictly-after ⇒ not counted);
+        # u3 views only; u4 purchases without viewing (not in funnel)
+        "u": [1, 1, 1, 2, 2, 2, 3, 4],
+        "ts": [_ts(1), _ts(2), _ts(3),
+               _ts(1), _ts(2), _ts(2),
+               _ts(5), _ts(6)],
+        "t": ["view", "click", "purchase",
+              "click", "view", "click",
+              "view", "purchase"],
+    })
+    out = funnel_counts(rd.from_pandas(ev).repartition(3),
+                        key_col="u", ts_col="ts", type_col="t",
+                        steps=["view", "click", "purchase"]) \
+        .to_pandas().sort_values("step")
+    assert out["n_users"].tolist() == [3, 1, 1]
+
+
+# ---------------------------------------------------------------------------
+# retention_cohorts
+# ---------------------------------------------------------------------------
+
+def test_retention_cohorts():
+    from openmrs_module_epts_etl_ray.stages.history import retention_cohorts
+
+    ev = pd.DataFrame({
+        "u": [1, 1, 1, 2, 2, 3],
+        # u1 active weeks w, w+1; u2 active w+1 only (twice, counts once);
+        # u3 active w
+        "ts": [_ts(1), _ts(2), _ts(9), _ts(8), _ts(10), _ts(3)],
+    })
+    out = retention_cohorts(rd.from_pandas(ev).repartition(2),
+                            key_col="u", ts_col="ts") \
+        .to_pandas().sort_values(["cohort", "offset"]).reset_index(drop=True)
+    got = {(r.cohort, r.offset): r.n_users for r in out.itertuples()}
+    base = min(c for c, _ in got)
+    assert got == {(base, 0): 2, (base, 1): 1, (base + 1, 0): 1}
+
+
+# ---------------------------------------------------------------------------
+# grouped_corr
+# ---------------------------------------------------------------------------
+
+def test_grouped_corr_matches_numpy():
+    from openmrs_module_epts_etl_ray.stages.stats import grouped_corr
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    df = pd.DataFrame({
+        "g": rng.integers(0, 4, n),
+        "x": rng.integers(0, 50, n),
+        "y": rng.integers(0, 11, n),
+    })
+    # make one group perfectly correlated and one constant-x
+    df.loc[df["g"] == 2, "y"] = df.loc[df["g"] == 2, "x"] * 2 + 1
+    df.loc[df["g"] == 3, "x"] = 7
+
+    out = grouped_corr(rd.from_pandas(df).repartition(6), ["g"], "x", "y") \
+        .to_pandas().set_index("g").sort_index()
+    for g, sub in df.groupby("g"):
+        if sub["x"].nunique() == 1:
+            assert pd.isna(out.loc[g, "corr_e9"])
+            assert pd.isna(out.loc[g, "slope_e9"])
+            continue
+        want = np.corrcoef(sub["x"], sub["y"])[0, 1]
+        got = out.loc[g, "corr_e9"] / 1e9
+        assert abs(got - want) < 2e-9
+        slope = np.polyfit(sub["x"], sub["y"], 1)[0]
+        assert abs(out.loc[g, "slope_e9"] / 1e9 - slope) < 1e-6
+    # perfect linear group: corr = 1.0 up to the sqrt rounding of the
+    # fixed double expression (floor then lands on 1e9 or 1e9-1)
+    assert out.loc[2, "corr_e9"] in (10 ** 9, 10 ** 9 - 1)
+
+
+def test_grouped_corr_partition_invariance():
+    from openmrs_module_epts_etl_ray.stages.stats import grouped_corr
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 3, 1000),
+        "x": rng.integers(-20, 20, 1000),
+        "y": rng.integers(-5, 6, 1000),
+    })
+    outs = []
+    for parts in (1, 7):
+        outs.append(
+            grouped_corr(rd.from_pandas(df).repartition(parts),
+                         ["g"], "x", "y")
+            .to_pandas().sort_values("g").reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+# ---------------------------------------------------------------------------
+# exact_order_stat_int / ntile_assign
+# ---------------------------------------------------------------------------
+
+def test_order_stat_int_matches_sort():
+    from openmrs_module_epts_etl_ray.stages.selection import (
+        exact_order_stat_int)
+
+    rng = np.random.default_rng(5)
+    v = rng.integers(-10**6, 10**6, 5000)
+    ds = rd.from_pandas(pd.DataFrame({"v": v})).repartition(4).materialize()
+    s = np.sort(v)
+    for k in [0, 1, 999, 2500, 4999]:
+        assert exact_order_stat_int(ds, "v", k) == s[k]
+
+
+def test_order_stat_int_past_2_53():
+    """Values beyond float53 must stay exact (the packed-key regime)."""
+    from openmrs_module_epts_etl_ray.stages.selection import (
+        exact_order_stat_int)
+
+    base = 1 << 60
+    v = np.array([base + 3, base + 1, base + 2, base, base + 4])
+    ds = rd.from_pandas(pd.DataFrame({"v": v})).materialize()
+    assert exact_order_stat_int(ds, "v", 2) == base + 2
+
+
+def test_ntile_matches_duckdb():
+    import duckdb
+
+    from openmrs_module_epts_etl_ray.stages.selection import ntile_assign
+
+    rng = np.random.default_rng(9)
+    for n, k in [(17, 4), (100, 3), (5, 8), (64, 1)]:
+        v = rng.permutation(np.arange(n) * 13 - 50)  # distinct, negatives
+        df = pd.DataFrame({"v": v})
+        got = ntile_assign(
+            rd.from_pandas(df).repartition(3).materialize(), "v", k) \
+            .to_pandas().sort_values("v").reset_index(drop=True)
+        want = duckdb.sql(
+            f"SELECT v, ntile({k}) OVER (ORDER BY v) AS tile FROM df "
+            "ORDER BY v").df()
+        assert got["tile"].tolist() == want["tile"].tolist(), (n, k)
