@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "tfidf_terms", "quota_sample", "user_event_pivot", "lm_bigram_score",
     "asof_next_purchase", "price_histogram", "event_gaps", "rollup_revenue",
     "rolling_spend", "lineitem_long", "dominant_event_type", "activity_reconcile",
+    "purchase_pagerank", "scd2_history", "time_travel_snapshot",
+    "event_funnel", "retention_cohorts", "qty_discount_corr", "ntile_spend",
 ]
 
 
