@@ -3136,3 +3136,93 @@ WHERE o_orderpriority = '1-URGENT'
 EXCEPT
 SELECT o_custkey, o_orderstatus FROM orders WHERE o_totalprice > 150000
 """
+
+
+def q_order_window_overlaps(sf_dir: str):
+    """Interval-overlap join (stages/intervals.py::interval_overlap_join —
+    a join class Ray Data lacks): order service windows vs a sampled set
+    of long campaign windows, paired when the ranges intersect. Grid-cell
+    co-location with canonical-cell emission — each pair materializes in
+    exactly one cell, no dedup exchange."""
+    from ..stages.intervals import interval_overlap_join
+
+    DAY = 86_400_000_000
+
+    ords = read_table(sf_dir, "orders",
+                      columns=["o_orderkey", "o_orderdate"])
+
+    def win(t: pa.Table, days_fn, key_name: str) -> pa.Table:
+        k = t["o_orderkey"].to_numpy()
+        s = t["o_orderdate"].combine_chunks().cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy()
+        return pa.table({
+            key_name: pa.array(k),
+            "s": pa.array(s, pa.int64()),
+            "e": pa.array(s + days_fn(k) * DAY, pa.int64()),
+        })
+
+    left = ords.map_batches(
+        lambda t: win(t, lambda k: (k % 7) + 1, "l_orderkey"),
+        batch_format="pyarrow")
+    def right_win(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.array(t["o_orderkey"].to_numpy() % 101 == 0))
+        return win(t, lambda k: np.full(len(k), 14), "r_orderkey")
+
+    right = ords.map_batches(right_win, batch_format="pyarrow")
+
+    pairs = interval_overlap_join(
+        left, right,
+        left_start="s", left_end="e", right_start="s", right_end="e",
+        cell_width=32 * DAY)
+    return pairs.select_columns(["l_orderkey", "r_orderkey"])
+
+
+def q_value_outliers(sf_dir: str):
+    """Robust per-type outlier gate (stages/stats.py::mad_outliers):
+    events whose value deviates from the type median by > 5 MADs —
+    medians by the engine's discrete quantile rule, thresholds broadcast
+    back over a stateless filter."""
+    from ..stages.stats import mad_outliers
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value"])
+    out = mad_outliers(ev, ["event_type"], "value", k=5.0)
+    return out.select_columns(["event_id", "event_type", "value"])
+
+
+QUERIES["order_window_overlaps"] = q_order_window_overlaps
+QUERIES["value_outliers"] = q_value_outliers
+
+ORACLE_SQL["order_window_overlaps"] = """
+WITH l AS (
+  SELECT o_orderkey AS l_orderkey, o_orderdate AS s,
+         o_orderdate + ((o_orderkey % 7) + 1) * INTERVAL 1 DAY AS e
+  FROM orders),
+r AS (
+  SELECT o_orderkey AS r_orderkey, o_orderdate AS s,
+         o_orderdate + 14 * INTERVAL 1 DAY AS e
+  FROM orders WHERE o_orderkey % 101 = 0)
+SELECT l.l_orderkey, r.r_orderkey
+FROM l JOIN r ON l.s <= r.e AND r.s <= l.e
+"""
+
+ORACLE_SQL["value_outliers"] = """
+WITH s AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events),
+med AS (SELECT event_type, value AS med FROM s WHERE rn = (n - 1) // 2 + 1),
+d AS (
+  SELECT e.event_id, e.event_type, e.value, abs(e.value - m.med) AS dev
+  FROM events e JOIN med m USING (event_type)),
+s2 AS (
+  SELECT event_type, dev,
+         row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM d),
+mad AS (SELECT event_type, dev AS mad FROM s2 WHERE rn = (n - 1) // 2 + 1)
+SELECT d.event_id, d.event_type, d.value
+FROM d JOIN mad USING (event_type)
+WHERE d.dev > 5 * mad.mad
+"""

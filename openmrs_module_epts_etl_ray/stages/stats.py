@@ -41,6 +41,74 @@ def _default_buckets() -> int:
         return 16
 
 
+def mad_outliers(
+    ds: rd.Dataset,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    k: float = 5.0,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Rows whose ``value_col`` deviates from their group's median by more
+    than ``k`` times the group's median absolute deviation (MAD) — the
+    robust outlier gate (median/MAD shrug off the very outliers a
+    mean/stddev screen would absorb).
+
+    Medians use the discrete rule ``sorted[(n-1)//2]`` (the engine's
+    portable quantile rule — never interpolation-dependent), computed per
+    group from a (group, value)-only projection: two groups-sized
+    exchanges of just the value column, then the thresholds (a few rows)
+    broadcast back over a stateless filter — the full rows never shuffle.
+    One group's values sit in one task; at extreme per-group cardinality
+    substitute the mergeable sketch (``grouped_percentiles_approx``) for
+    the exact medians.
+    """
+    import ray
+
+    from ..functions.hashing import BUCKET_COL, add_bucket
+
+    nb = num_buckets or _default_buckets()
+
+    def med_of(d: rd.Dataset, col: str, out: str) -> pd.DataFrame:
+        def tag(t: pa.Table) -> pa.Table:
+            return add_bucket(t, tuple(group_cols), nb)
+
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            def disc_median(s: pd.Series) -> float:
+                v = np.sort(s.to_numpy(dtype=np.float64))
+                return float(v[(len(v) - 1) // 2])
+            m = g.drop(columns=[BUCKET_COL]) \
+                 .groupby(group_cols, as_index=False)[col].agg(disc_median)
+            return m.rename(columns={col: out})
+
+        return d.map_batches(tag, batch_format="pyarrow") \
+                .groupby(BUCKET_COL).map_groups(fold, batch_format="pandas") \
+                .to_pandas()
+
+    proj = ds.select_columns(group_cols + [value_col]).materialize()
+    med = med_of(proj, value_col, "_med")
+
+    med_ref = ray.put(med)
+
+    def add_dev(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(ray.get(med_ref), on=group_cols, how="left")
+        m["_dev"] = (m[value_col] - m["_med"]).abs()
+        return m.drop(columns=["_med"])
+
+    dev = proj.map_batches(add_dev, batch_format="pandas")
+    mad = med_of(dev.select_columns(group_cols + ["_dev"]), "_dev", "_mad")
+
+    thr = med.merge(mad, on=group_cols)
+    thr_ref = ray.put(thr)
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(ray.get(thr_ref), on=group_cols, how="left")
+        keep = (m[value_col] - m["_med"]).abs() > k * m["_mad"]
+        return df[keep.to_numpy()]
+
+    return ds.map_batches(flag, batch_format="pandas")
+
+
 def grouped_corr(
     ds: rd.Dataset,
     group_cols: list[str],

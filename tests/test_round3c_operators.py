@@ -198,3 +198,81 @@ def test_ntile_matches_duckdb():
             f"SELECT v, ntile({k}) OVER (ORDER BY v) AS tile FROM df "
             "ORDER BY v").df()
         assert got["tile"].tolist() == want["tile"].tolist(), (n, k)
+
+
+# ---------------------------------------------------------------------------
+# interval_overlap_join
+# ---------------------------------------------------------------------------
+
+def test_interval_overlap_matches_bruteforce():
+    from openmrs_module_epts_etl_ray.stages.intervals import (
+        interval_overlap_join)
+
+    rng = np.random.default_rng(13)
+    nl, nr = 300, 80
+    ls = rng.integers(0, 1000, nl)
+    rs = rng.integers(0, 1000, nr)
+    l = pd.DataFrame({"lid": np.arange(nl), "s": ls,
+                      "e": ls + rng.integers(0, 40, nl)})
+    r = pd.DataFrame({"rid": np.arange(nr), "s": rs,
+                      "e": rs + rng.integers(0, 60, nr)})
+    want = {(a.lid, b.rid)
+            for a in l.itertuples() for b in r.itertuples()
+            if a.s <= b.e and b.s <= a.e}
+
+    for w in (7, 32, 5000):  # cell smaller, comparable, larger than span
+        out = interval_overlap_join(
+            rd.from_pandas(l).repartition(3), rd.from_pandas(r).repartition(2),
+            left_start="s", left_end="e", right_start="s", right_end="e",
+            cell_width=w).to_pandas()
+        got = list(zip(out["lid"], out["rid"]))
+        assert len(got) == len(set(got)), f"duplicate pairs at w={w}"
+        assert set(got) == want, f"pair set mismatch at w={w}"
+
+
+def test_interval_overlap_bucket_post_and_empty():
+    from openmrs_module_epts_etl_ray.stages.intervals import (
+        interval_overlap_join)
+
+    l = pd.DataFrame({"lid": [1, 2], "s": [0, 100], "e": [10, 110]})
+    r = pd.DataFrame({"rid": [7], "s": [5], "e": [6]})
+    out = interval_overlap_join(
+        rd.from_pandas(l), rd.from_pandas(r),
+        left_start="s", left_end="e", right_start="s", right_end="e",
+        cell_width=8,
+        bucket_post=lambda df: df.groupby("lid", as_index=False).size()) \
+        .to_pandas()
+    assert dict(zip(out["lid"], out["size"])) == {1: 1}
+
+
+# ---------------------------------------------------------------------------
+# mad_outliers
+# ---------------------------------------------------------------------------
+
+def test_mad_outliers_matches_bruteforce():
+    from openmrs_module_epts_etl_ray.stages.stats import mad_outliers
+
+    rng = np.random.default_rng(21)
+    n = 2000
+    df = pd.DataFrame({
+        "rid": np.arange(n),
+        "g": rng.integers(0, 3, n),
+        "v": np.round(rng.normal(50, 5, n), 2),
+    })
+    spikes = rng.choice(n, 25, replace=False)
+    df.loc[spikes, "v"] = 500.0
+
+    out = mad_outliers(rd.from_pandas(df).repartition(5), ["g"], "v", k=5.0) \
+        .to_pandas()
+
+    def disc_med(v):
+        v = np.sort(np.asarray(v, np.float64))
+        return v[(len(v) - 1) // 2]
+
+    want = set()
+    for g, sub in df.groupby("g"):
+        med = disc_med(sub["v"])
+        mad = disc_med((sub["v"] - med).abs())
+        want |= set(sub.loc[(sub["v"] - med).abs() > 5.0 * mad, "rid"])
+    assert set(out["rid"]) == want
+    assert set(df.loc[sorted(spikes), "rid"]) <= want
