@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "rolling_spend", "lineitem_long", "dominant_event_type", "activity_reconcile",
     "purchase_pagerank", "scd2_history", "time_travel_snapshot",
     "event_funnel", "retention_cohorts", "qty_discount_corr", "ntile_spend",
+    "order_window_overlaps", "value_outliers", "spend_gini", "weekly_growth",
 ]
 
 

@@ -3226,3 +3226,113 @@ SELECT d.event_id, d.event_type, d.value
 FROM d JOIN mad USING (event_type)
 WHERE d.dev > 5 * mad.mad
 """
+
+
+def q_spend_gini(sf_dir: str):
+    """Per-nation Gini concentration of customer spend (stages/stats.py::
+    grouped_gini): per-customer totals first (facts collapse before any
+    sort), nation attached by broadcast join, exact integer rank-weighted
+    numerator, one double division."""
+    from ..stages.joins import broadcast_inner_join
+    from ..stages.pivot import bucketed_sum
+    from ..stages.stats import grouped_gini
+
+    ords = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def base(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": t["o_custkey"],
+            "cents": pa.array(
+                np.floor(t["o_totalprice"].to_numpy() * 100).astype(np.int64)),
+        })
+
+    spend = bucketed_sum(ords.map_batches(base, batch_format="pyarrow"),
+                         ["o_custkey"], ["cents"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    tagged = broadcast_inner_join(spend, cust, ["o_custkey"],
+                                  right_on=("c_custkey",))
+    return grouped_gini(tagged, ["c_nationkey"], "cents")
+
+
+def q_weekly_growth(sf_dir: str):
+    """Week-over-week revenue growth per event type (stages/windows.py::
+    grouped_shift — the generic LAG): weekly cents rollup, previous week
+    attached within the type partition, growth quantized to 1e-9; first
+    weeks stay NULL."""
+    from ..stages.pivot import bucketed_sum
+    from ..stages.windows import grouped_shift
+
+    WEEK = 7 * 86_400_000_000
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def base(t: pa.Table) -> pa.Table:
+        us = t["ts"].combine_chunks().cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy()
+        return pa.table({
+            "event_type": t["event_type"],
+            "week": pa.array(us // WEEK, pa.int64()),
+            "cents": pa.array(
+                np.floor(t["value"].to_numpy() * 100).astype(np.int64)),
+        })
+
+    wk = bucketed_sum(ev.map_batches(base, batch_format="pyarrow"),
+                      ["event_type", "week"], ["cents"])
+    lagged = grouped_shift(wk, key_cols=("event_type",), order_cols=["week"],
+                           value_col="cents", periods=1,
+                           out_col="prev_cents")
+
+    def growth(df: pd.DataFrame) -> pd.DataFrame:
+        prev = df["prev_cents"].to_numpy(dtype="float64", na_value=np.nan)
+        cur = df["cents"].to_numpy(dtype="float64")
+        ok = ~np.isnan(prev) & (prev != 0)
+        g = np.zeros(len(df), np.int64)
+        g[ok] = np.floor((cur[ok] - prev[ok]) / prev[ok] * 1e9).astype(np.int64)
+        df = df.copy()
+        df["growth_e9"] = pd.arrays.IntegerArray(g, mask=~ok)
+        return df
+
+    return lagged.map_batches(growth, batch_format="pandas")
+
+
+QUERIES["spend_gini"] = q_spend_gini
+QUERIES["weekly_growth"] = q_weekly_growth
+
+ORACLE_SQL["spend_gini"] = """
+WITH spend AS (
+  SELECT c.c_nationkey, o.o_custkey,
+         CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2),
+r AS (
+  SELECT c_nationkey, cents,
+         row_number() OVER (PARTITION BY c_nationkey ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY c_nationkey) AS n,
+         sum(cents) OVER (PARTITION BY c_nationkey) AS tot
+  FROM spend)
+SELECT c_nationkey, CAST(max(n) AS BIGINT) AS n,
+       CAST(floor(CAST(sum((2 * rn - n - 1) * cents) AS DOUBLE)
+            / CAST(max(n) * max(tot) AS DOUBLE) * 1e9) AS BIGINT) AS gini_e9
+FROM r GROUP BY c_nationkey
+"""
+
+ORACLE_SQL["weekly_growth"] = """
+WITH w AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01', ts) // 7 AS BIGINT)
+           AS week,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2),
+l AS (
+  SELECT event_type, week, cents,
+         lag(cents) OVER (PARTITION BY event_type ORDER BY week)
+           AS prev_cents
+  FROM w)
+SELECT event_type, week, cents, prev_cents,
+       CASE WHEN prev_cents IS NULL OR prev_cents = 0 THEN NULL
+            ELSE CAST(floor(CAST(cents - prev_cents AS DOUBLE)
+                 / CAST(prev_cents AS DOUBLE) * 1e9) AS BIGINT)
+       END AS growth_e9
+FROM l
+"""

@@ -387,6 +387,74 @@ def lag_gaps(
              .map_groups(per_bucket, batch_format="pyarrow")
 
 
+def grouped_shift(
+    ds: rd.Dataset,
+    *,
+    key_cols: tuple[str, ...],
+    order_cols: list[str],
+    value_col: str,
+    periods: int = 1,
+    out_col: str = "lag",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Generic per-key LAG/LEAD: append the value ``periods`` rows back
+    (``periods > 0``) or ahead (``< 0``) within the same key in
+    ``order_cols`` order — SQL ``lag(value, p) OVER (PARTITION BY key
+    ORDER BY …)``. Rows without a shifted partner get NULL (zeroed data
+    bytes, byte-canonical). Same single hash-bucket exchange and
+    one-lexsort-per-bucket contract as :func:`lag_gaps`, generalized to
+    any column and offset (the period-over-period growth primitive)."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import BUCKET_COL, add_bucket, key_codes
+
+    if periods == 0:
+        raise ValueError("periods must be non-zero")
+    if num_buckets is None:
+        try:
+            import ray
+            num_buckets = max(16, int(ray.cluster_resources().get("CPU", 16)))
+        except Exception:
+            num_buckets = 16
+    key_cols = tuple(key_cols)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return add_bucket(t, key_cols, num_buckets)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        t = t.drop_columns([BUCKET_COL])
+        codes, _ = key_codes(t, key_cols)
+        order_vals = [t[c].combine_chunks().to_numpy(zero_copy_only=False)
+                      for c in order_cols]
+        order = np.lexsort(tuple(reversed(order_vals)) + (codes,))
+        t = t.take(pa.array(order))
+        codes = codes[order]
+        col = t[value_col].combine_chunks()
+        n = len(t)
+        p = abs(periods)
+        idx = np.arange(n)
+        src = idx - p if periods > 0 else idx + p
+        valid = (src >= 0) & (src < n)
+        valid[valid] &= codes[src[valid]] == codes[idx[valid]]
+        src = np.where(valid, src, 0)
+        shifted = col.take(pa.array(src))
+        # re-mask: partnerless rows are NULL with zeroed payload bytes
+        vals = shifted.to_numpy(zero_copy_only=False)
+        if col.null_count == 0 and vals.dtype.kind in "iuf":
+            vals = vals.copy()
+            vals[~valid] = 0
+            arr = pa.array(vals, type=col.type, mask=~valid)
+        else:
+            arr = pa.array(
+                [v if ok else None for v, ok in zip(vals, valid)],
+                type=col.type)
+        return t.append_column(out_col, arr)
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+             .groupby(BUCKET_COL) \
+             .map_groups(per_bucket, batch_format="pyarrow")
+
+
 def rolling_sum(
     ds: rd.Dataset,
     *,

@@ -276,3 +276,71 @@ def test_mad_outliers_matches_bruteforce():
         want |= set(sub.loc[(sub["v"] - med).abs() > 5.0 * mad, "rid"])
     assert set(out["rid"]) == want
     assert set(df.loc[sorted(spikes), "rid"]) <= want
+
+
+# ---------------------------------------------------------------------------
+# grouped_shift / grouped_gini
+# ---------------------------------------------------------------------------
+
+def test_grouped_shift_matches_pandas():
+    from openmrs_module_epts_etl_ray.stages.windows import grouped_shift
+
+    rng = np.random.default_rng(17)
+    n = 500
+    df = pd.DataFrame({
+        "k": rng.integers(0, 9, n),
+        "o": rng.permutation(n),
+        "v": rng.integers(-100, 100, n),
+    })
+    for p in (1, 3, -2):
+        out = grouped_shift(rd.from_pandas(df).repartition(4),
+                            key_cols=("k",), order_cols=["o"],
+                            value_col="v", periods=p) \
+            .to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+        want = df.sort_values(["k", "o"]).reset_index(drop=True)
+        want["lag"] = want.groupby("k")["v"].shift(p)
+        got = [None if pd.isna(x) else int(x) for x in out["lag"]]
+        exp = [None if pd.isna(x) else int(x) for x in want["lag"]]
+        assert got == exp, f"periods={p}"
+
+
+def test_grouped_shift_string_values():
+    from openmrs_module_epts_etl_ray.stages.windows import grouped_shift
+
+    df = pd.DataFrame({"k": [1, 1, 2], "o": [1, 2, 1],
+                       "v": ["a", "b", "c"]})
+    out = grouped_shift(rd.from_pandas(df), key_cols=("k",),
+                        order_cols=["o"], value_col="v") \
+        .to_pandas().sort_values(["k", "o"])
+    assert out["lag"].tolist() == [None, "a", None]
+
+
+def test_grouped_gini_known_values():
+    from openmrs_module_epts_etl_ray.stages.stats import grouped_gini
+
+    df = pd.DataFrame({
+        "g": ["eq"] * 4 + ["tot"] * 4 + ["zero"] * 2,
+        "v": [5, 5, 5, 5,          # perfect equality -> 0
+              0, 0, 0, 100,        # one holder -> (n-1)/n = 0.75
+              0, 0],               # zero total -> NULL
+    })
+    out = grouped_gini(rd.from_pandas(df).repartition(3), ["g"], "v") \
+        .to_pandas().set_index("g")
+    assert out.loc["eq", "gini_e9"] == 0
+    assert out.loc["tot", "gini_e9"] == 750_000_000
+    assert pd.isna(out.loc["zero", "gini_e9"])
+    assert out["n"].tolist() == [4, 4, 2] or set(out["n"]) == {4, 2}
+
+
+def test_grouped_gini_partition_invariance():
+    from openmrs_module_epts_etl_ray.stages.stats import grouped_gini
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 5, 800),
+        "v": rng.integers(0, 10**6, 800),
+    })
+    outs = [grouped_gini(rd.from_pandas(df).repartition(p), ["g"], "v")
+            .to_pandas().sort_values("g").reset_index(drop=True)
+            for p in (1, 6)]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
