@@ -3336,3 +3336,87 @@ SELECT event_type, week, cents, prev_cents,
        END AS growth_e9
 FROM l
 """
+
+
+def q_event_transitions(sf_dir: str):
+    """Per-user event-type transition matrix (Markov-chain features):
+    previous type attached by stages/windows.py::grouped_shift (dictionary
+    indices shift, no per-row Python), then a (prev, next) count rollup —
+    one entity exchange plus a 25-row fold."""
+    from ..stages.pivot import bucketed_sum
+    from ..stages.windows import grouped_shift
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "ts", "event_type"])
+    lagged = grouped_shift(ev, key_cols=("user_id",),
+                           order_cols=["ts", "event_id"],
+                           value_col="event_type", periods=1,
+                           out_col="prev_type")
+
+    def pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["prev_type"]))
+        return pa.table({
+            "prev_type": t["prev_type"],
+            "next_type": t["event_type"],
+            "n": pa.array(np.ones(len(t), np.int64)),
+        })
+
+    return bucketed_sum(lagged.map_batches(pairs, batch_format="pyarrow"),
+                        ["prev_type", "next_type"], ["n"])
+
+
+QUERIES["event_transitions"] = q_event_transitions
+
+ORACLE_SQL["event_transitions"] = """
+WITH l AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events)
+SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+FROM l WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def q_pareto_orders(sf_dir: str):
+    """Price/recency Pareto frontier of orders (stages/selection.py::
+    pareto_skyline_2d): cheapest-for-their-recency distinct points via the
+    associative local-skyline reduce — the exchange is skyline-sized."""
+    from ..stages.selection import pareto_skyline_2d
+
+    DAY_US = 86_400_000_000
+
+    ords = read_table(sf_dir, "orders",
+                      columns=["o_totalprice", "o_orderdate"])
+
+    def base(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "price_cents": pa.array(
+                np.floor(t["o_totalprice"].to_numpy() * 100)
+                .astype(np.int64)),
+            "order_day": pa.array(
+                t["o_orderdate"].combine_chunks()
+                .cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+                // DAY_US, pa.int64()),
+        })
+
+    return pareto_skyline_2d(ords.map_batches(base, batch_format="pyarrow"),
+                             "price_cents", "order_day")
+
+
+QUERIES["pareto_orders"] = q_pareto_orders
+
+ORACLE_SQL["pareto_orders"] = """
+WITH pts AS (
+  SELECT DISTINCT CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+         CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
+           AS order_day
+  FROM orders),
+w AS (
+  SELECT price_cents, order_day,
+         max(order_day) OVER (ORDER BY price_cents ASC, order_day DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+  FROM pts)
+SELECT price_cents, order_day FROM w WHERE mx IS NULL OR order_day > mx
+"""

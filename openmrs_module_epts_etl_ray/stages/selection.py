@@ -232,6 +232,49 @@ def ntile_assign(
     return ds.map_batches(assign, batch_format="pandas")
 
 
+def pareto_skyline_2d(
+    ds: rd.Dataset,
+    x_col: str,
+    y_col: str,
+) -> rd.Dataset:
+    """2-D Pareto frontier: the distinct ``(x, y)`` points not dominated
+    by any other (dominator: ``x' <= x AND y' >= y`` with one strict) —
+    minimize x, maximize y (flip signs upstream for other orientations).
+    Both columns int64.
+
+    The skyline filter is ASSOCIATIVE (a locally dominated point is
+    globally dominated, and its dominator survives into the local
+    skyline or is itself dominated by one that does), so: one vectorized
+    local skyline per block — sort (x asc, y desc), keep points whose y
+    exceeds the running max of all better-priced predecessors — then the
+    tiny candidate union reduces through the SAME kernel in one task.
+    Nothing row-sized shuffles; the exchange is skyline-sized.
+
+    Reference analogue: none (analytics extension — cost/recency
+    frontiers, price-quality efficient sets).
+    """
+    def local(t: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+        x = t[x_col].combine_chunks().cast(pa.int64()).to_numpy()
+        y = t[y_col].combine_chunks().cast(pa.int64()).to_numpy()
+        if len(x) == 0:
+            return pa.table({x_col: np.empty(0, np.int64),
+                             y_col: np.empty(0, np.int64)})
+        order = np.lexsort((-y, x))
+        xs, ys = x[order], y[order]
+        # distinct points (lexsort-boundary dedup)
+        first = np.r_[True, (xs[1:] != xs[:-1]) | (ys[1:] != ys[:-1])]
+        xs, ys = xs[first], ys[first]
+        mx = np.maximum.accumulate(ys)
+        keep = np.r_[True, ys[1:] > mx[:-1]]
+        return pa.table({x_col: xs[keep], y_col: ys[keep]})
+
+    candidates = ds.map_batches(local, batch_format="pyarrow")
+    return candidates.repartition(1) \
+                     .map_batches(local, batch_format="pyarrow",
+                                  batch_size=None)
+
+
 def numeric_histogram(
     ds: rd.Dataset,
     value_col: str,

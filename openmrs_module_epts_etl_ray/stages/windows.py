@@ -444,6 +444,16 @@ def grouped_shift(
             vals = vals.copy()
             vals[~valid] = 0
             arr = pa.array(vals, type=col.type, mask=~valid)
+        elif col.null_count == 0:
+            # strings/binary: shift dictionary INDICES (ints), then one
+            # masked take from the dictionary — no per-row Python
+            enc = col.dictionary_encode()
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            ind = enc.indices.to_numpy().astype(np.int64)[src]
+            arr = enc.dictionary.take(pa.array(ind, mask=~valid))
+            if arr.type != col.type:
+                arr = arr.cast(col.type)
         else:
             arr = pa.array(
                 [v if ok else None for v, ok in zip(vals, valid)],

@@ -344,3 +344,25 @@ def test_grouped_gini_partition_invariance():
             .to_pandas().sort_values("g").reset_index(drop=True)
             for p in (1, 6)]
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+# ---------------------------------------------------------------------------
+# pareto_skyline_2d
+# ---------------------------------------------------------------------------
+
+def test_pareto_skyline_matches_bruteforce():
+    from openmrs_module_epts_etl_ray.stages.selection import pareto_skyline_2d
+
+    rng = np.random.default_rng(31)
+    n = 400
+    df = pd.DataFrame({"x": rng.integers(0, 50, n),
+                       "y": rng.integers(0, 50, n)})
+    pts = set(zip(df["x"], df["y"]))
+    want = {(x, y) for (x, y) in pts
+            if not any((a <= x and b >= y and (a < x or b > y))
+                       for (a, b) in pts)}
+    out = pareto_skyline_2d(rd.from_pandas(df).repartition(5), "x", "y") \
+        .to_pandas()
+    got = set(zip(out["x"], out["y"]))
+    assert got == want
+    assert len(out) == len(got)  # no duplicate emission
