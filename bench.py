@@ -59,7 +59,7 @@ BENCH_QUERIES = [
     "purchase_pagerank", "scd2_history", "time_travel_snapshot",
     "event_funnel", "retention_cohorts", "qty_discount_corr", "ntile_spend",
     "order_window_overlaps", "value_outliers", "spend_gini", "weekly_growth",
-    "event_transitions", "pareto_orders",
+    "event_transitions", "pareto_orders", "priority_status_assoc",
 ]
 
 

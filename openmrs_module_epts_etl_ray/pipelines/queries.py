@@ -3420,3 +3420,40 @@ w AS (
   FROM pts)
 SELECT price_cents, order_day FROM w WHERE mx IS NULL OR order_day > mx
 """
+
+
+def q_priority_status_assoc(sf_dir: str):
+    """Chi-square association between order priority and status
+    (stages/stats.py::category_assoc): per-cell observed/expected/χ²
+    contribution, per-cell quantization — no float summation order
+    anywhere in the contract."""
+    from ..stages.stats import category_assoc
+
+    ords = read_table(sf_dir, "orders",
+                      columns=["o_orderpriority", "o_orderstatus"])
+    return category_assoc(ords, "o_orderpriority", "o_orderstatus")
+
+
+QUERIES["priority_status_assoc"] = q_priority_status_assoc
+
+ORACLE_SQL["priority_status_assoc"] = """
+WITH c AS (
+  SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2),
+m AS (
+  SELECT o_orderpriority, o_orderstatus, n,
+         sum(n) OVER (PARTITION BY o_orderpriority) AS ra,
+         sum(n) OVER (PARTITION BY o_orderstatus) AS cb,
+         sum(n) OVER () AS tot
+  FROM c),
+e AS (
+  SELECT o_orderpriority, o_orderstatus, n,
+         CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(tot AS DOUBLE)
+           AS ex
+  FROM m)
+SELECT o_orderpriority, o_orderstatus, n,
+       CAST(floor(ex * 1e6) AS BIGINT) AS expected_e6,
+       CAST(floor((CAST(n AS DOUBLE) - ex) * (CAST(n AS DOUBLE) - ex)
+            / ex * 1e6) AS BIGINT) AS contrib_e6
+FROM e
+"""

@@ -41,6 +41,57 @@ def _default_buckets() -> int:
         return 16
 
 
+def category_assoc(
+    ds: rd.Dataset,
+    a_col: str,
+    b_col: str,
+    *,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Chi-square association table between two categoricals: one row per
+    observed ``(a, b)`` cell with its count, expected count and χ²
+    contribution (both quantized to 1e-6 — per-CELL quantization, so no
+    float summation order exists anywhere; sum ``contrib_e6`` for the
+    statistic, compare against the (|A|−1)(|B|−1) dof).
+
+    The raw rows fold to cell counts per block (ones through
+    ``bucketed_sum`` — a |A|×|B|-sized exchange); marginals and the fixed
+    IEEE-double expression ``(n − e)²/e`` with ``e = (rowtot·coltot)/N``
+    evaluate in one task over the tiny cell relation.
+    """
+    from .pivot import bucketed_sum
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({
+            a_col: t[a_col],
+            b_col: t[b_col],
+            "n": pa.array(np.ones(len(t), np.int64)),
+        })
+
+    cells = bucketed_sum(ds.map_batches(ones, batch_format="pyarrow"),
+                         [a_col, b_col], ["n"],
+                         num_buckets=num_buckets)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].astype("int64")
+        ra = df.groupby(a_col)["n"].transform("sum").astype("int64")
+        cb = df.groupby(b_col)["n"].transform("sum").astype("int64")
+        tot = int(n.sum())
+        # double(ra) * double(cb) / double(tot): each factor converts
+        # BEFORE multiplying — overflow-proof at any N and the exact
+        # expression the SQL oracle states
+        e = ra.astype("float64") * cb.astype("float64") / float(tot)
+        d = n.astype("float64") - e
+        out = df[[a_col, b_col]].copy()
+        out["n"] = n
+        out["expected_e6"] = np.floor(e * 1e6).astype("int64")
+        out["contrib_e6"] = np.floor(d * d / e * 1e6).astype("int64")
+        return out
+
+    return cells.repartition(1).map_batches(finalize, batch_format="pandas",
+                                            batch_size=None)
+
+
 def grouped_gini(
     ds: rd.Dataset,
     group_cols: list[str],

@@ -366,3 +366,32 @@ def test_pareto_skyline_matches_bruteforce():
     got = set(zip(out["x"], out["y"]))
     assert got == want
     assert len(out) == len(got)  # no duplicate emission
+
+
+# ---------------------------------------------------------------------------
+# category_assoc
+# ---------------------------------------------------------------------------
+
+def test_category_assoc_matches_crosstab():
+    from openmrs_module_epts_etl_ray.stages.stats import category_assoc
+
+    rng = np.random.default_rng(41)
+    n = 3000
+    df = pd.DataFrame({
+        "a": rng.choice(["p", "q", "r"], n, p=[0.5, 0.3, 0.2]),
+        "b": rng.choice(["x", "y"], n, p=[0.6, 0.4]),
+    })
+    out = category_assoc(rd.from_pandas(df).repartition(4), "a", "b") \
+        .to_pandas().set_index(["a", "b"]).sort_index()
+
+    ct = pd.crosstab(df["a"], df["b"])
+    tot = ct.to_numpy().sum()
+    for (a, b), row in out.iterrows():
+        obs = ct.loc[a, b]
+        exp = float(ct.loc[a].sum()) * float(ct[b].sum()) / float(tot)
+        assert row["n"] == obs
+        assert abs(row["expected_e6"] / 1e6 - exp) < 2e-6
+        want_contrib = (obs - exp) ** 2 / exp
+        assert abs(row["contrib_e6"] / 1e6 - want_contrib) < 2e-6
+    # total cell count covers the full population
+    assert out["n"].sum() == n
