@@ -3457,3 +3457,36 @@ SELECT o_orderpriority, o_orderstatus, n,
             / ex * 1e6) AS BIGINT) AS contrib_e6
 FROM e
 """
+
+
+def q_props_rollup(sf_dir: str):
+    """JSON event-properties extraction + rollup (stages/json_fields.py::
+    extract_json_fields — the reference's stage-record JSON column made
+    columnar): the flat fast path is one RE2 kernel per field, fused into
+    the read; then a per-type integer rollup."""
+    from ..stages.json_fields import extract_json_fields
+    from ..stages.pivot import bucketed_sum
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "props"])
+    ext = extract_json_fields(ev, "props", {"k": pa.int64()})
+
+    def base(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "sum_k": t["k"],
+            "n_with_k": pc.cast(pc.is_valid(t["k"]), pa.int64()),
+        })
+
+    return bucketed_sum(ext.map_batches(base, batch_format="pyarrow"),
+                        ["event_type"], ["sum_k", "n_with_k"])
+
+
+QUERIES["props_rollup"] = q_props_rollup
+
+ORACLE_SQL["props_rollup"] = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(count(json_extract(props, '$.k')) AS BIGINT) AS n_with_k
+FROM events GROUP BY 1
+"""

@@ -395,3 +395,46 @@ def test_category_assoc_matches_crosstab():
         assert abs(row["contrib_e6"] / 1e6 - want_contrib) < 2e-6
     # total cell count covers the full population
     assert out["n"].sum() == n
+
+
+# ---------------------------------------------------------------------------
+# extract_json_fields
+# ---------------------------------------------------------------------------
+
+def test_extract_json_fields_flat():
+    from openmrs_module_epts_etl_ray.stages.json_fields import (
+        extract_json_fields)
+
+    df = pd.DataFrame({
+        "rid": [1, 2, 3, 4, 5],
+        "doc": ['{"k": 87, "s": "ab"}', '{"k": -3.5}', None,
+                '{"s": "x y"}', '{}'],
+    })
+    out = extract_json_fields(
+        rd.from_pandas(df).repartition(2), "doc",
+        {"k": pa.float64(), "s": pa.string()}) \
+        .to_pandas().sort_values("rid")
+    ks = [None if pd.isna(x) else x for x in out["k"]]
+    assert ks == [87.0, -3.5, None, None, None]
+    ss = [None if pd.isna(x) else x for x in out["s"]]
+    assert ss == ["ab", None, None, "x y", None]
+    assert "doc" not in out.columns  # json col dropped by default
+
+
+def test_extract_json_fields_strict_escapes():
+    from openmrs_module_epts_etl_ray.stages.json_fields import (
+        extract_json_fields)
+
+    df = pd.DataFrame({
+        "rid": [1, 2],
+        "doc": ['{"s": "plain"}', '{"s": "a\\"b"}'],
+    })
+    fast = extract_json_fields(rd.from_pandas(df), "doc",
+                               {"s": pa.string()}).to_pandas() \
+        .sort_values("rid")
+    # the fast path cannot see through the escape: NULL, not wrong data
+    assert fast["s"].tolist()[0] == "plain" and pd.isna(fast["s"].iloc[1])
+    strict = extract_json_fields(rd.from_pandas(df), "doc",
+                                 {"s": pa.string()}, strict=True) \
+        .to_pandas().sort_values("rid")
+    assert strict["s"].tolist() == ["plain", 'a"b']
