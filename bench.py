@@ -60,7 +60,7 @@ BENCH_QUERIES = [
     "event_funnel", "retention_cohorts", "qty_discount_corr", "ntile_spend",
     "order_window_overlaps", "value_outliers", "spend_gini", "weekly_growth",
     "event_transitions", "pareto_orders", "priority_status_assoc",
-    "props_rollup",
+    "props_rollup", "snapshot_diff", "fk_orphans",
 ]
 
 

@@ -2891,12 +2891,12 @@ def q_scd2_history(sf_dir: str):
 
 
 def q_time_travel_snapshot(sf_dir: str):
-    """Snapshot-at-LSN (time travel): the table state as of LSN 5000 —
+    """Snapshot-at-LSN (time travel): the table state as of LSN 2500 —
     prefix-filter the log, then the same LWW compaction as the live state
     (stages/lww.py::lww_final_state). The read-side counterpart of the
     commit-log lake's monotone watermark."""
     events = events_from_documents(sf_dir)
-    asof = events.filter(expr="lsn <= 5000")
+    asof = events.filter(expr="lsn <= 2500")
     state = lww_final_state(asof, key_cols=("repo", "path"), lsn_col="lsn",
                             num_buckets=16)
 
@@ -3057,7 +3057,7 @@ FROM led WHERE op <> 'delete'
 """
 
 ORACLE_SQL["time_travel_snapshot"] = _EV_CTE + """,
-pre AS (SELECT * FROM ev WHERE lsn <= 5000),
+pre AS (SELECT * FROM ev WHERE lsn <= 2500),
 w AS (SELECT repo, path, MAX(lsn) AS last_lsn FROM pre GROUP BY repo, path)
 SELECT e.repo, e.path, w.last_lsn, e.commit, e.lang,
        sha256(e.content) AS content_sha
@@ -3489,4 +3489,122 @@ SELECT event_type,
          AS sum_k,
        CAST(count(json_extract(props, '$.k')) AS BIGINT) AS n_with_k
 FROM events GROUP BY 1
+"""
+
+
+def q_snapshot_diff(sf_dir: str):
+    """Diff between two LSN snapshots of the CDC table (time-travel read
+    composed with the reconciliation join): keys classified added /
+    removed / changed / unchanged between the lsn<=2500 state and the
+    final state — the audit report of an incremental load."""
+    from ..stages.joins import full_outer_join
+
+    events = events_from_documents(sf_dir).materialize()
+
+    def state(ds, prefix: str):
+        st = lww_final_state(ds, key_cols=("repo", "path"), lsn_col="lsn",
+                             num_buckets=16)
+
+        def project(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "repo": t["repo"],
+                "path": t["path"],
+                f"{prefix}_lsn": t["lsn"],
+                f"{prefix}_sha": sha256_hex(t["content"]),
+            })
+
+        return st.map_batches(project, batch_format="pyarrow")
+
+    old = state(events.filter(expr="lsn <= 2500"), "old")
+    new = state(events, "new")
+    joined = full_outer_join(old, new, ["repo", "path"])
+
+    def classify(t: pa.Table) -> pa.Table:
+        old_null = pc.is_null(t["old_sha"])
+        new_null = pc.is_null(t["new_sha"])
+        kind = pc.if_else(
+            old_null, pa.scalar("added"),
+            pc.if_else(new_null, pa.scalar("removed"),
+                       pc.if_else(pc.equal(t["old_sha"], t["new_sha"]),
+                                  pa.scalar("unchanged"),
+                                  pa.scalar("changed"))))
+        return pa.table({
+            "repo": t["repo"],
+            "path": t["path"],
+            "kind": kind,
+            "old_lsn": t["old_lsn"],
+            "new_lsn": t["new_lsn"],
+        })
+
+    return joined.map_batches(classify, batch_format="pyarrow")
+
+
+def q_fk_orphans(sf_dir: str):
+    """Referential-integrity audit across FK edges (J8 composed per edge):
+    child keys with no parent, one count per relation — the reference's
+    missing-records validation as one report."""
+    from ..stages.joins import bloom_anti_join
+    from ..stages.pivot import distinct_keys
+
+    ords = read_table(sf_dir, "orders", columns=["o_custkey"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey"])
+    okeys = read_table(sf_dir, "orders", columns=["o_orderkey"])
+
+    def ren(ds, old, new):
+        return ds.map_batches(lambda t: t.rename_columns([new]),
+                              batch_format="pyarrow")
+
+    o1 = bloom_anti_join(distinct_keys(ords, ["o_custkey"]),
+                         ren(cust, "c_custkey", "o_custkey"), ["o_custkey"])
+    o2 = bloom_anti_join(distinct_keys(li, ["l_orderkey"]),
+                         ren(okeys, "o_orderkey", "l_orderkey"),
+                         ["l_orderkey"])
+    n1, n2 = o1.count(), o2.count()
+    return pa.table({
+        "relation": pa.array(["orders->customer", "lineitem->orders"]),
+        "n_orphans": pa.array([n1, n2], pa.int64()),
+    })
+
+
+QUERIES["snapshot_diff"] = q_snapshot_diff
+QUERIES["fk_orphans"] = q_fk_orphans
+
+ORACLE_SQL["snapshot_diff"] = _EV_CTE + """,
+w_old AS (SELECT repo, path, MAX(lsn) AS lsn FROM ev WHERE lsn <= 2500
+          GROUP BY repo, path),
+s_old AS (SELECT e.repo, e.path, e.lsn AS old_lsn,
+                 sha256(e.content) AS old_sha
+          FROM ev e JOIN w_old w ON e.repo = w.repo AND e.path = w.path
+                                AND e.lsn = w.lsn
+          WHERE e.op <> 'delete'),
+w_new AS (SELECT repo, path, MAX(lsn) AS lsn FROM ev GROUP BY repo, path),
+s_new AS (SELECT e.repo, e.path, e.lsn AS new_lsn,
+                 sha256(e.content) AS new_sha
+          FROM ev e JOIN w_new w ON e.repo = w.repo AND e.path = w.path
+                                AND e.lsn = w.lsn
+          WHERE e.op <> 'delete')
+SELECT coalesce(o.repo, n.repo) AS repo,
+       coalesce(o.path, n.path) AS path,
+       CASE WHEN o.old_sha IS NULL THEN 'added'
+            WHEN n.new_sha IS NULL THEN 'removed'
+            WHEN o.old_sha = n.new_sha THEN 'unchanged'
+            ELSE 'changed' END AS kind,
+       o.old_lsn, n.new_lsn
+FROM s_old o FULL OUTER JOIN s_new n
+  ON o.repo = n.repo AND o.path = n.path
+"""
+
+ORACLE_SQL["fk_orphans"] = """
+SELECT 'orders->customer' AS relation,
+       CAST((SELECT count(*) FROM (
+         SELECT DISTINCT o_custkey FROM orders
+         WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)))
+         AS BIGINT) AS n_orphans
+UNION ALL
+SELECT 'lineitem->orders',
+       CAST((SELECT count(*) FROM (
+         SELECT DISTINCT l_orderkey FROM lineitem
+         WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)))
+         AS BIGINT)
 """
