@@ -3608,3 +3608,99 @@ SELECT 'lineitem->orders',
          WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)))
          AS BIGINT)
 """
+
+
+def q_normalize_docs(sf_dir: str):
+    """Text canonicalization before dedup (stages/text.py::normalize_text):
+    lowercase -> NFC -> whitespace collapse -> trim, plus the sha256 of the
+    canonical form — the normalization every exact/near dedup assumes."""
+    from ..stages.text import normalize_text
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return normalize_text(docs, "text")
+
+
+def q_fuzzy_customer_pairs(sf_dir: str):
+    """Fuzzy duplicate-key detection (stages/dedup.py::fuzzy_pairs): all
+    customer pairs whose names are at Levenshtein distance <= 1, exact
+    distance attached. SymSpell deletion-neighborhood banding; verified
+    distance, not LSH-approximate."""
+    from ..stages.dedup import fuzzy_pairs
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    return fuzzy_pairs(cust, name_col="c_name", id_col="c_custkey")
+
+
+def q_multi_stream_merge(sf_dir: str):
+    """K-way CDC stream merge (stages/lww.py::multi_stream_lww): two replica
+    event streams (split of the events table) merged to final per-user state;
+    max ts wins, LSN ties broken by stream priority then event_id."""
+    import pyarrow.compute as pc
+
+    from ..stages.lww import multi_stream_lww
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    ev = read_table(sf_dir, "events", columns=cols)
+    prim = ev.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["event_id"], 1), 0)),
+        batch_format="pyarrow")
+    repl = ev.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["event_id"], 1), 1)),
+        batch_format="pyarrow")
+    out = multi_stream_lww([(prim, 0), (repl, 1)], ["user_id"], "ts",
+                           "event_id")
+    return out.select_columns(["user_id", "ts", "event_type", "value",
+                               "stream"])
+
+
+def q_pseudonymize_events(sf_dir: str):
+    """Stable keyed pseudonymization (stages/transforms.py::pseudonymize):
+    user_id replaced by a salted sha256 prefix; joins on the pseudonym still
+    line up, the raw id never reaches the sink."""
+    from ..stages.transforms import pseudonymize
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "event_type"])
+    return pseudonymize(ev, ["user_id"], salt="s1")
+
+
+QUERIES["normalize_docs"] = q_normalize_docs
+QUERIES["fuzzy_customer_pairs"] = q_fuzzy_customer_pairs
+QUERIES["multi_stream_merge"] = q_multi_stream_merge
+QUERIES["pseudonymize_events"] = q_pseudonymize_events
+
+ORACLE_SQL["normalize_docs"] = r"""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(nfc_normalize(lower(coalesce(text, ''))),
+                             '\s+', ' ', 'g')) AS text
+  FROM documents)
+SELECT doc_id, text, sha256(text) AS norm_sha FROM n
+"""
+
+ORACLE_SQL["fuzzy_customer_pairs"] = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+ORACLE_SQL["multi_stream_merge"] = """
+SELECT user_id, ts, event_type, value, stream
+FROM (
+  SELECT user_id, ts, event_type, value,
+         CAST(event_id % 2 AS BIGINT) AS stream,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id % 2 ASC,
+                                     event_id ASC) AS rn
+  FROM events)
+WHERE rn = 1
+"""
+
+ORACLE_SQL["pseudonymize_events"] = """
+SELECT event_id,
+       event_type,
+       substring(sha256('s1:' || CAST(user_id AS VARCHAR)), 1, 16)
+         AS user_id_pseudo
+FROM events
+"""

@@ -273,3 +273,66 @@ def lww_final_state(
         return t
 
     return collapsed.groupby(BUCKET_COL).map_groups(final, batch_format="pyarrow")
+
+
+def multi_stream_lww(
+    streams,
+    key_cols,
+    lsn_col: str,
+    seq_col: str,
+    *,
+    stream_col: str = "stream",
+    num_buckets: int = 32,
+):
+    """K-way merge of several CDC streams (replica binlogs / shard WALs that
+    may carry overlapping writes for the same key) into one final state:
+    per key the winner is the row with the highest LSN; an LSN tie across
+    streams is broken by stream priority (lower = more authoritative, e.g.
+    primary over replica), then by ``seq_col`` ascending — fully
+    deterministic regardless of arrival order.  This is the reference's
+    multi-origin conflict rule (record-origin + update timestamp,
+    ``SURVEY.md §2.12``) lifted to stream granularity.
+
+    ``streams`` is ``[(dataset, priority_int), ...]``.  Shape mirrors
+    ``lww_final_state``: tag + union (no barrier), per-block partial winner
+    before the one hash-bucket exchange — hot keys collapse to one row per
+    upstream block per stream, so a mega-key never concentrates raw events
+    on one reducer.
+    """
+    import pandas as pd
+    import ray.data as rd  # noqa: F401  (type context)
+
+    from ..functions.hashing import key_hash
+
+    key_cols = list(key_cols)
+    by = [lsn_col, stream_col, seq_col]
+    asc = [False, True, True]
+
+    def _tag(priority: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                stream_col, pa.array(np.full(len(t), priority, np.int64)))
+        return f
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        w = df.sort_values(by, ascending=asc, kind="stable") \
+              .drop_duplicates(key_cols, keep="first")
+        t = pa.Table.from_pandas(w, preserve_index=False)
+        b = (key_hash(t, tuple(key_cols)) % np.uint64(num_buckets)
+             ).astype(np.int64)
+        return w.assign(**{BUCKET_COL: b})
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(by, ascending=asc, kind="stable") \
+                .drop_duplicates(key_cols, keep="first") \
+                .drop(columns=[BUCKET_COL])
+
+    tagged = [ds.map_batches(_tag(p), batch_format="pyarrow",
+                             zero_copy_batch=True)
+              for ds, p in streams]
+    uni = tagged[0]
+    if len(tagged) > 1:
+        uni = uni.union(*tagged[1:])
+    collapsed = uni.map_batches(_partial, batch_format="pandas")
+    return collapsed.groupby(BUCKET_COL).map_groups(
+        _final, batch_format="pandas")

@@ -459,3 +459,63 @@ def redact_terms(
         return pa.table(cols)
 
     return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+def normalize_text(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    *,
+    out_col: str | None = None,
+    sha_col: str = "norm_sha",
+    lowercase: bool = True,
+) -> rd.Dataset:
+    """Canonicalize text before dedup/fingerprinting: lowercase -> Unicode
+    NFC -> collapse runs of whitespace to one space -> trim, then append the
+    sha256 of the canonical form.  This is the normalization pass every
+    exact/near dedup assumes upstream (two byte-distinct crawls of the same
+    page should collapse to one ``norm_sha``).
+
+    Per-batch Arrow kernels (``utf8_lower`` / ``replace_substring_regex`` —
+    Arrow and DuckDB both run RE2, so the rule is oracle-portable against
+    ``trim(regexp_replace(nfc_normalize(lower(t)), '\\s+', ' ', 'g'))``) —
+    stateless, no shuffle, scales linearly with input bytes.
+
+    NFC caveat: pyarrow 16.1's ``utf8_normalize(form="NFC")`` does NOT
+    compose (its NFC output equals its NFD output — 'é' stays 'e'+U+0301),
+    so it cannot match DuckDB/Python NFC. ASCII strings are NFC-invariant,
+    so the batch is split with ``string_is_ascii`` (vectorized): ASCII rows
+    skip normalization entirely; only the non-ASCII minority pays a
+    ``unicodedata.normalize`` call per row (C implementation)."""
+    import unicodedata
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import sha256_hex
+
+    dst = out_col or text_col
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = pc.fill_null(t[text_col], "")
+        if lowercase:
+            s = pc.utf8_lower(s)
+        non_ascii = pc.invert(pc.string_is_ascii(s))
+        if pc.any(non_ascii).as_py():
+            mask = non_ascii.combine_chunks() if isinstance(
+                non_ascii, pa.ChunkedArray) else non_ascii
+            sa = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+            idx = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+            fixed = pa.array(
+                [unicodedata.normalize("NFC", v)
+                 for v in sa.take(pa.array(idx)).to_pylist()],
+                type=sa.type)
+            s = pc.replace_with_mask(sa, mask, fixed)
+        s = pc.replace_substring_regex(s, r"\s+", " ")
+        s = pc.utf8_trim_whitespace(s)
+        cols = {c: t[c] for c in t.column_names}
+        cols[dst] = s
+        cols[sha_col] = sha256_hex(s)
+        return pa.table(cols)
+
+    return ds.map_batches(canon, batch_format="pyarrow")

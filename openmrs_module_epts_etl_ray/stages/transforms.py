@@ -85,3 +85,41 @@ def filter_expr(ds: rd.Dataset, predicate: Callable[[pa.Table], pa.Array], **kwa
     return ds.map_batches(
         lambda t: t.filter(predicate(t)), batch_format="pyarrow", zero_copy_batch=True, **kwargs
     )
+
+
+def pseudonymize(
+    ds: rd.Dataset,
+    key_cols: list[str],
+    *,
+    salt: str,
+    width: int = 16,
+    suffix: str = "_pseudo",
+) -> rd.Dataset:
+    """Stable keyed pseudonymization (GDPR-style subject-key scrubbing): each
+    key column is replaced by the first ``width`` hex chars of
+    ``sha256(salt || ':' || value)``.  Same salt => same pseudonym across
+    tables and across runs, so joins keyed on the pseudonym still line up,
+    but the raw identifier never reaches the sink.  The reference scrubs
+    identity via its anonymous/skip field mappings
+    (``etl/conf/FieldsMapping.java:66-84`` mapToNullValue); hashing keeps
+    referential integrity, which null-out destroys.
+
+    Stateless per-batch Arrow kernels: cast -> binary_join_element_wise ->
+    buffer-direct sha256 -> utf8_slice_codeunits; no shuffle.  Portable rule:
+    ``substr(sha256(concat(salt, ':', CAST(col AS VARCHAR))), 1, width)``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import sha256_hex
+
+    def scrub(t: pa.Table) -> pa.Table:
+        cols = {c: t[c] for c in t.column_names}
+        for c in key_cols:
+            joined = pc.binary_join_element_wise(
+                pa.scalar(f"{salt}:"), pc.cast(t[c], pa.string()), "")
+            cols.pop(c, None)
+            cols[c + suffix] = pc.utf8_slice_codeunits(
+                sha256_hex(joined), 0, width)
+        return pa.table(cols)
+
+    return ds.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True)

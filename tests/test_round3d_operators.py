@@ -1,0 +1,159 @@
+"""Round-3d operators: text normalization, fuzzy (edit<=1) pairs,
+multi-stream LSN merge, keyed pseudonymization."""
+import itertools
+import random
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+
+def _lev(a: str, b: str) -> int:
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                     prev + (ca != cb))
+    return dp[-1]
+
+
+# ---------------------------------------------------------------------------
+# normalize_text
+# ---------------------------------------------------------------------------
+
+def test_normalize_text_rules():
+    from openmrs_module_epts_etl_ray.stages.text import normalize_text
+
+    vals = ["  Hello\t\nWORLD  ", "Café vs Café", "a  b   c",
+            "", None, "MiXeD CaSe"]
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": range(len(vals)),
+                                      "text": vals}))
+    out = normalize_text(ds, "text").to_pandas().sort_values("doc_id")
+    assert out["text"].tolist() == [
+        "hello world", "café vs café", "a b c", "", "",
+        "mixed case"]
+    # composed and decomposed forms collapse to ONE canonical sha
+    caf = out.loc[out["doc_id"] == 1, "text"].iloc[0]
+    assert "́" not in caf  # NFC composed
+    import hashlib
+    assert out["norm_sha"].tolist() == [
+        hashlib.sha256(t.encode()).hexdigest() for t in out["text"]]
+
+
+def test_normalize_text_idempotent():
+    from openmrs_module_epts_etl_ray.stages.text import normalize_text
+
+    vals = ["Some Text", "déjà  vu", "x \t y"]
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": range(3), "text": vals}))
+    once = normalize_text(ds, "text").to_pandas().sort_values("doc_id")
+    twice = normalize_text(
+        rd.from_pandas(once[["doc_id", "text"]]), "text"
+    ).to_pandas().sort_values("doc_id")
+    assert once["text"].tolist() == twice["text"].tolist()
+    assert once["norm_sha"].tolist() == twice["norm_sha"].tolist()
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_pairs
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("seed,alpha,kmax", [(3, "abc", 5), (7, "abcdef", 8),
+                                             (11, "ab", 4)])
+def test_fuzzy_pairs_match_bruteforce(seed, alpha, kmax):
+    from openmrs_module_epts_etl_ray.stages.dedup import fuzzy_pairs
+
+    random.seed(seed)
+    names = list({"".join(random.choices(alpha, k=random.randint(0, kmax)))
+                  for _ in range(120)})
+    names += names[:4]  # exact dups under distinct ids => dist 0 pairs
+    df = pd.DataFrame({"id": range(len(names)), "name": names})
+    out = fuzzy_pairs(rd.from_pandas(df), name_col="name", id_col="id",
+                      max_bucket=100000).to_pandas()
+    got = set(map(tuple, out[["id_a", "id_b", "dist"]].to_numpy()))
+    want = {(i, j, _lev(names[i], names[j]))
+            for i, j in itertools.combinations(range(len(names)), 2)
+            if _lev(names[i], names[j]) <= 1}
+    assert got == want
+    assert (out["id_a"] < out["id_b"]).all()
+
+
+def test_fuzzy_pairs_long_names_keep_exact_recall():
+    from openmrs_module_epts_etl_ray.stages.dedup import fuzzy_pairs
+
+    long = "x" * 200
+    df = pd.DataFrame({"id": [1, 2, 3, 4],
+                       "name": [long, long, long + "y", "ab"]})
+    out = fuzzy_pairs(rd.from_pandas(df), name_col="name", id_col="id",
+                      max_len=64).to_pandas()
+    got = set(map(tuple, out[["id_a", "id_b", "dist"]].to_numpy()))
+    # identity variants still collide => exact dup found even past max_len
+    assert (1, 2, 0) in got
+
+
+# ---------------------------------------------------------------------------
+# multi_stream_lww
+# ---------------------------------------------------------------------------
+
+def test_multi_stream_lww_priority_tiebreak():
+    from openmrs_module_epts_etl_ray.stages.lww import multi_stream_lww
+
+    prim = pd.DataFrame({"k": ["a", "b"], "lsn": [5, 3],
+                         "seq": [10, 11], "v": ["p_a", "p_b"]})
+    repl = pd.DataFrame({"k": ["a", "b", "c"], "lsn": [5, 9, 1],
+                         "seq": [20, 21, 22], "v": ["r_a", "r_b", "r_c"]})
+    out = multi_stream_lww(
+        [(rd.from_pandas(prim), 0), (rd.from_pandas(repl), 1)],
+        ["k"], "lsn", "seq").to_pandas().sort_values("k")
+    # a: lsn tie 5 == 5 -> primary (stream 0) wins
+    # b: replica has higher lsn -> replica wins
+    # c: only replica
+    assert out["v"].tolist() == ["p_a", "r_b", "r_c"]
+    assert out["stream"].tolist() == [0, 1, 1]
+
+
+def test_multi_stream_lww_matches_single_stream_sort():
+    from openmrs_module_epts_etl_ray.stages.lww import multi_stream_lww
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 97, n).astype(str),
+        "lsn": rng.integers(0, 50, n),
+        "seq": np.arange(n),
+        "v": rng.integers(0, 1 << 30, n),
+    })
+    streams = [(rd.from_pandas(df[df["seq"] % 3 == r].copy()), r)
+               for r in range(3)]
+    out = multi_stream_lww(streams, ["k"], "lsn", "seq") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    ref = df.assign(stream=(df["seq"] % 3).astype(np.int64)) \
+        .sort_values(["lsn", "stream", "seq"],
+                     ascending=[False, True, True], kind="stable") \
+        .drop_duplicates("k").sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out[["k", "lsn", "seq", "v", "stream"]],
+        ref[["k", "lsn", "seq", "v", "stream"]])
+
+
+# ---------------------------------------------------------------------------
+# pseudonymize
+# ---------------------------------------------------------------------------
+
+def test_pseudonymize_stable_and_join_safe():
+    from openmrs_module_epts_etl_ray.stages.transforms import pseudonymize
+
+    df = pd.DataFrame({"user_id": [1, 2, 1, None], "x": [10, 20, 30, 40]})
+    out = pseudonymize(rd.from_pandas(df), ["user_id"], salt="s1") \
+        .to_pandas().sort_values("x")
+    p = out["user_id_pseudo"].tolist()
+    assert p[0] == p[2] and p[0] != p[1]          # stable, distinct
+    assert p[3] is None or pd.isna(p[3])           # null in -> null out
+    assert "user_id" not in out.columns
+    import hashlib
+    assert p[0] == hashlib.sha256(b"s1:1").hexdigest()[:16]
+    # different salt => unlinkable pseudonyms
+    out2 = pseudonymize(rd.from_pandas(df), ["user_id"], salt="s2") \
+        .to_pandas().sort_values("x")
+    assert out2["user_id_pseudo"].iloc[0] != p[0]
