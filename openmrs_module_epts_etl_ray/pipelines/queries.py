@@ -3493,50 +3493,16 @@ FROM events GROUP BY 1
 
 
 def q_snapshot_diff(sf_dir: str):
-    """Diff between two LSN snapshots of the CDC table (time-travel read
-    composed with the reconciliation join): keys classified added /
-    removed / changed / unchanged between the lsn<=2500 state and the
-    final state — the audit report of an incremental load."""
-    from ..stages.joins import full_outer_join
+    """Diff between two LSN snapshots of the CDC table
+    (stages/history.py::snapshot_diff): keys classified added / removed /
+    changed / unchanged between the lsn<=2500 state and the final state —
+    the audit report of an incremental load, in ONE exchange (the old and
+    new winners are elected in the same bucket pass; the previous
+    two-lww-passes + full-outer-join shape paid three)."""
+    from ..stages.history import snapshot_diff
 
-    events = events_from_documents(sf_dir).materialize()
-
-    def state(ds, prefix: str):
-        st = lww_final_state(ds, key_cols=("repo", "path"), lsn_col="lsn",
-                             num_buckets=16)
-
-        def project(t: pa.Table) -> pa.Table:
-            return pa.table({
-                "repo": t["repo"],
-                "path": t["path"],
-                f"{prefix}_lsn": t["lsn"],
-                f"{prefix}_sha": sha256_hex(t["content"]),
-            })
-
-        return st.map_batches(project, batch_format="pyarrow")
-
-    old = state(events.filter(expr="lsn <= 2500"), "old")
-    new = state(events, "new")
-    joined = full_outer_join(old, new, ["repo", "path"])
-
-    def classify(t: pa.Table) -> pa.Table:
-        old_null = pc.is_null(t["old_sha"])
-        new_null = pc.is_null(t["new_sha"])
-        kind = pc.if_else(
-            old_null, pa.scalar("added"),
-            pc.if_else(new_null, pa.scalar("removed"),
-                       pc.if_else(pc.equal(t["old_sha"], t["new_sha"]),
-                                  pa.scalar("unchanged"),
-                                  pa.scalar("changed"))))
-        return pa.table({
-            "repo": t["repo"],
-            "path": t["path"],
-            "kind": kind,
-            "old_lsn": t["old_lsn"],
-            "new_lsn": t["new_lsn"],
-        })
-
-    return joined.map_batches(classify, batch_format="pyarrow")
+    events = events_from_documents(sf_dir)
+    return snapshot_diff(events, 2500, num_buckets=16)
 
 
 def q_fk_orphans(sf_dir: str):

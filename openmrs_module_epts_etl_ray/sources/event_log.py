@@ -95,10 +95,16 @@ def _doc_events_batch(batch: pa.Table) -> pa.Table:
 
 
 def events_from_documents(sf_dir: str) -> rd.Dataset:
-    """Deterministic CDC event log derived from ``documents.parquet``."""
-    docs = rd.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
-    )
+    """Deterministic CDC event log derived from ``documents.parquet``.
+
+    Byte-proportional read blocks (``read_table``) — Ray's cpu-count default
+    split a single-digit-MB documents table into 64 micro-blocks, and every
+    downstream barrier (partial-LWW, bucket groupby) then paid 64 tasks of
+    launch overhead per stage (measured: one LWW pass over the 12.5k-row
+    sf0.1 log dropped 1.8 s -> 0.4 s warm after this change)."""
+    from .tables import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     return docs.map_batches(_doc_events_batch, batch_format="pyarrow")
 
 

@@ -101,6 +101,11 @@ def _pagerank_broadcast(edges, src, dst, damping, iterations):
 
     from .pivot import bucketed_sum
 
+    # materialize BEFORE the node/degree collection: _collect_nodes_degrees
+    # consumes the edge pipeline twice (ids + degrees) and the iteration
+    # loop re-scans it, so an unmaterialized upstream (join + distinct)
+    # would execute three times (measured ~1.7 s of repeated work at sf0.1)
+    edges = edges.materialize()
     nodes, deg = _collect_nodes_degrees(edges, src, dst)
     n = len(nodes)
     if n == 0:
@@ -114,7 +119,14 @@ def _pagerank_broadcast(edges, src, dst, damping, iterations):
     deg_ref = ray.put(deg)
     ranks = np.full(n, 1.0 / n)
 
-    edges = edges.materialize()  # re-scanned every iteration
+    # The driver fold below already sums duplicate nodes across blocks
+    # (agg[idx] += ...), so a pre-exchange reduce is pure overhead unless it
+    # meaningfully shrinks the wire volume: with B edge blocks the raw
+    # contribution relation is at most B x distinct-dst-per-block rows.
+    # Small B => fold per-block partials directly (saves one sort-shuffle
+    # PER ITERATION — measured 8 x ~0.45 s at sf0.1); large B => keep the
+    # bucketed_sum exchange so the driver never sees more than n rows.
+    pre_reduce = edges.num_blocks() > 64
 
     for _ in range(iterations):
         ranks_ref = ray.put(ranks)
@@ -133,9 +145,9 @@ def _pagerank_broadcast(edges, src, dst, damping, iterations):
             return pa.table({"node": pa.array(nd[uniq], pa.int64()),
                              "contrib": pa.array(acc, pa.float64())})
 
-        rel = bucketed_sum(
-            edges.map_batches(contrib, batch_format="pyarrow"),
-            ["node"], ["contrib"], int_cols=False)
+        rel = edges.map_batches(contrib, batch_format="pyarrow")
+        if pre_reduce:
+            rel = bucketed_sum(rel, ["node"], ["contrib"], int_cols=False)
 
         agg = np.zeros(n)
         for t in rel.iter_batches(batch_format="pyarrow", batch_size=None):

@@ -198,3 +198,75 @@ def retention_cohorts(
                  .groupby(BUCKET_COL) \
                  .map_groups(per_bucket, batch_format="pandas")
     return bucketed_sum(partials, ["cohort", "offset"], ["n_users"])
+
+
+def snapshot_diff(
+    events,
+    cut_lsn: int,
+    *,
+    key_cols=("repo", "path"),
+    lsn_col: str = "lsn",
+    content_col: str = "content",
+    op_col: str = "op",
+    num_buckets: int | None = None,
+):
+    """Diff between two LSN snapshots of a CDC log in ONE exchange: per key,
+    the winner at ``lsn <= cut_lsn`` and the final winner are elected in the
+    same pass (per-block partial keeps at most two rows per key — the old
+    and new candidates — before the single bucket groupby), then classified
+    added / removed / changed / unchanged.  The previous shape (two
+    ``lww_final_state`` passes + a full-outer hash join) paid three
+    exchanges and a join-aggregator actor pool; this is the audit report of
+    an incremental load at one shuffle.
+
+    'changed' compares winner CONTENT equality (equivalent to comparing
+    content sha256, without hashing anything).  A side whose winner is a
+    delete is absent on that side, like the lake state after replay.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions.hashing import key_hash
+
+    key_cols = list(key_cols)
+    nb = num_buckets or _default_buckets()
+    cols = key_cols + [lsn_col, content_col, op_col]
+
+    def _elect(df: pd.DataFrame) -> pd.DataFrame:
+        """Winner per (key, side): side 0 = lsn <= cut, side 1 = final."""
+        df = df.sort_values(lsn_col, ascending=False, kind="stable")
+        new_w = df.drop_duplicates(key_cols, keep="first").assign(_side=1)
+        old_w = df[df[lsn_col] <= cut_lsn] \
+            .drop_duplicates(key_cols, keep="first").assign(_side=0)
+        return pd.concat([old_w, new_w], ignore_index=True)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        w = _elect(df[cols])
+        t = pa.Table.from_pandas(w[key_cols], preserve_index=False)
+        b = (key_hash(t, tuple(key_cols)) % np.uint64(nb)).astype(np.int64)
+        return w.assign(_b=b)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        w = _elect(g)
+        live = w[w[op_col] != "delete"]
+        old = live[live["_side"] == 0]
+        new = live[live["_side"] == 1]
+        m = old.merge(new, on=key_cols, how="outer",
+                      suffixes=("_old", "_new"))
+        lo, ln = m[f"{lsn_col}_old"], m[f"{lsn_col}_new"]
+        kind = np.where(
+            lo.isna(), "added",
+            np.where(ln.isna(), "removed",
+                     np.where(m[f"{content_col}_old"].eq(
+                         m[f"{content_col}_new"]).fillna(False),
+                         "unchanged", "changed")))
+        out = m[key_cols].copy()
+        out["kind"] = kind
+        out["old_lsn"] = lo.astype("Int64")
+        out["new_lsn"] = ln.astype("Int64")
+        from .asof import _zero_masked
+        return _zero_masked(out, ["old_lsn", "new_lsn"])
+
+    collapsed = events.map_batches(partial, batch_format="pandas")
+    return collapsed.groupby("_b").map_groups(final, batch_format="pandas")

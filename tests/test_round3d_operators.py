@@ -157,3 +157,47 @@ def test_pseudonymize_stable_and_join_safe():
     out2 = pseudonymize(rd.from_pandas(df), ["user_id"], salt="s2") \
         .to_pandas().sort_values("x")
     assert out2["user_id_pseudo"].iloc[0] != p[0]
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff (single-exchange form)
+# ---------------------------------------------------------------------------
+
+def test_snapshot_diff_classification():
+    from openmrs_module_epts_etl_ray.stages.history import snapshot_diff
+
+    ev = pd.DataFrame({
+        "repo": ["r"] * 8,
+        "path": ["a", "a", "b", "c", "c", "d", "d", "e"],
+        "lsn":  [1,   9,   2,   3,   8,   4,   9,   5],
+        "op":   ["insert", "update", "insert", "insert", "delete",
+                 "insert", "update", "delete"],
+        "content": ["a1", "a9", "b2", "c3", "c8", "d4", "d4", "e5"],
+    })
+    out = snapshot_diff(rd.from_pandas(ev), 5, num_buckets=4) \
+        .to_pandas().set_index("path")
+    # a: old winner lsn1, new winner lsn9, different content -> changed
+    # b: only old+new same event -> unchanged
+    # c: alive at cut, deleted after -> removed
+    # d: update after cut with SAME content -> unchanged
+    # e: delete before cut on both sides -> absent entirely
+    assert out.loc["a", "kind"] == "changed"
+    assert out.loc["b", "kind"] == "unchanged"
+    assert out.loc["c", "kind"] == "removed"
+    assert out.loc["d", "kind"] == "unchanged"
+    assert "e" not in out.index
+    assert out.loc["a", "old_lsn"] == 1 and out.loc["a", "new_lsn"] == 9
+
+
+def test_snapshot_diff_added_key():
+    from openmrs_module_epts_etl_ray.stages.history import snapshot_diff
+
+    ev = pd.DataFrame({
+        "repo": ["r", "r"], "path": ["x", "y"], "lsn": [10, 2],
+        "op": ["insert", "insert"], "content": ["cx", "cy"],
+    })
+    out = snapshot_diff(rd.from_pandas(ev), 5, num_buckets=4) \
+        .to_pandas().set_index("path")
+    assert out.loc["x", "kind"] == "added"
+    assert pd.isna(out.loc["x", "old_lsn"])
+    assert out.loc["y", "kind"] == "unchanged"
