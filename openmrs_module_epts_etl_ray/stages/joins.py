@@ -324,16 +324,28 @@ def left_join(left: rd.Dataset, right: rd.Dataset, keys: list[str],
 
 def full_outer_join(left: rd.Dataset, right: rd.Dataset, keys: list[str],
                     *, num_partitions: int | None = None,
+                    engine: str = "cogroup",
                     **kw) -> rd.Dataset:
     """Two-sided reconciliation join (J8 generalized to BOTH directions in
     one pass): rows matched on ``keys`` merge; one-sided rows survive with
-    the other side null-backfilled. Ray folds the right key into the left
-    key column, which is null for right-only rows — coalesce it back so
-    the key columns are total (the reconciliation report's join keys must
-    never be null)."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
+    the other side null-backfilled.
 
+    ``engine="cogroup"`` (default): tag each side, union, ONE hash-bucket
+    sort-shuffle, pandas outer merge per bucket (Arrow dtypes restored, the
+    broadcast-join bug-class) — task-based, no actor pool.  Ray 2.49's
+    ``Dataset.join`` schedules ``num_partitions`` aggregator ACTORS up
+    front; spinning that pool cost ~2.5 s per call at 32 CPUs regardless of
+    input size, which dominated every small-to-mid reconciliation.  Same
+    hash-partition semantics and skew caveats; SQL null-key rules kept (a
+    null key never matches, the row survives unmatched).
+
+    ``engine="hash"``: the original ``Dataset.join`` path — the right call
+    when both sides are huge and the build side must itself be partitioned
+    across aggregator actors."""
+    if engine == "cogroup":
+        return _full_outer_cogroup(left, right, keys,
+                                   num_partitions=num_partitions,
+                                   right_suffix=kw.get("right_suffix", "_r"))
     rsuf = kw.setdefault("right_suffix", "_r")
     out = left.join(right, join_type="full_outer",
                     num_partitions=num_partitions or _default_partitions(),
@@ -351,3 +363,100 @@ def full_outer_join(left: rd.Dataset, right: rd.Dataset, keys: list[str],
         return t
 
     return out.map_batches(coalesce, batch_format="pyarrow")
+
+
+def _full_outer_cogroup(left: rd.Dataset, right: rd.Dataset,
+                        keys: list[str], *,
+                        num_partitions: int | None = None,
+                        right_suffix: str = "_r") -> rd.Dataset:
+    """Task-based full outer join: pad both sides to the unified schema
+    (typed nulls), tag ``_side``, bucket by key hash, union, one groupby
+    sort-shuffle, pandas outer merge per bucket.  Null-key rows bypass the
+    merge and survive unmatched (SQL semantics; pandas merge would match
+    NaN == NaN).  Arrow dtypes are restored after the merge (nullable
+    extension ints with zeroed masked bytes — the advisor's broadcast-join
+    bug-class); note this is MORE faithful than the hash engine, whose
+    pandas-block join float-promotes nullable int columns."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.hashing import key_hash
+    from .asof import _nullable, _pd_dtypes, _zero_masked
+
+    nb = num_partitions or _default_partitions()
+
+    def _arrow_types(ds) -> dict[str, pa.DataType]:
+        # ray Schema carries Arrow types for Arrow blocks but numpy dtypes
+        # for pandas blocks — normalize to Arrow
+        import numpy as np
+        s = ds.schema()
+        out = {}
+        for n, t in zip(s.names, s.types):
+            if isinstance(t, pa.DataType):
+                out[n] = t
+            else:
+                dt = np.dtype(t)
+                out[n] = (pa.string() if dt == np.dtype(object)
+                          else pa.from_numpy_dtype(dt))
+        return out
+
+    ltype, rtype = _arrow_types(left), _arrow_types(right)
+    lnames = list(ltype)
+    for k in keys:
+        if k not in ltype or k not in rtype:
+            raise ValueError(f"join key {k!r} missing from a side")
+    r_ren = {n: (n + right_suffix if n in ltype else n)
+             for n in rtype if n not in keys}
+    l_fields = [(n, ltype[n]) for n in lnames]
+    r_fields = [(r_ren[n], rtype[n]) for n in rtype if n not in keys]
+    all_fields = l_fields + r_fields
+    out_names = [n for n, _ in all_fields]
+    out_dtypes = _pd_dtypes(pa.schema([pa.field(n, t)
+                                       for n, t in all_fields]))
+    l_set = set(lnames)
+
+    def _pad(side: int, src_of: dict):
+        def f(t: pa.Table) -> pa.Table:
+            n = len(t)
+            cols = {}
+            for name, typ in all_fields:
+                src = src_of.get(name)
+                cols[name] = t[src] if src else pa.nulls(n, type=typ)
+            cols["_side"] = pa.array(np.full(n, side, np.int8))
+            cols["_b"] = pa.array(
+                (key_hash(t, tuple(keys)) % np.uint64(nb)).astype(np.int64))
+            return pa.table(cols)
+        return f
+
+    lp = left.map_batches(_pad(0, {n: n for n in lnames}),
+                          batch_format="pyarrow")
+    rp = right.map_batches(
+        _pad(1, {**{k: k for k in keys},
+                 **{v: k for k, v in r_ren.items()}}),
+        batch_format="pyarrow")
+
+    rcols = [n for n, _ in r_fields]
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_b"])
+        nullk = g[keys].isna().any(axis=1)
+        gn = g[nullk].drop(columns=["_side"])
+        gm = g[~nullk]
+        l = gm[gm["_side"] == 0][lnames]
+        r = gm[gm["_side"] == 1][keys + rcols]
+        m = l.merge(r, on=keys, how="outer")
+        out = pd.concat([m, gn], ignore_index=True) if len(gn) else m
+        out = out.reindex(columns=out_names)
+        for col, want in out_dtypes.items():
+            if str(out[col].dtype) != str(want):
+                target = _nullable(want) if out[col].isna().any() else want
+                try:
+                    out[col] = out[col].astype(target)
+                except (TypeError, ValueError):
+                    pass
+        return _zero_masked(
+            out, [c for c in out.columns
+                  if getattr(out[c].array, "_mask", None) is not None])
+
+    return lp.union(rp).groupby("_b").map_groups(
+        merge_group, batch_format="pandas")
