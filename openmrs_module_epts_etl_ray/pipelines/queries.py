@@ -3670,3 +3670,76 @@ SELECT event_id,
          AS user_id_pseudo
 FROM events
 """
+
+
+def q_reconciliation_plan(sf_dir: str):
+    """Corrective-action plan (stages/detectors.py::reconciliation_plan):
+    converge a drifted destination copy of customer onto the source —
+    missing rows -> insert, altered balances -> update, phantom rows ->
+    delete; identical rows emit nothing. One cogroup full-outer pass."""
+    from ..stages.detectors import reconciliation_plan
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+
+    def drifted(t: pa.Table) -> pa.Table:
+        key = t["c_custkey"]
+        keep = pc.invert(pc.equal(pc.bit_wise_and(key, 7), 3))  # drop some
+        t = t.filter(keep)
+        key = t["c_custkey"]
+        bal = pc.if_else(pc.equal(pc.bit_wise_and(key, 7), 5),
+                         pc.round(pc.add(t["c_acctbal"], 1.5), 2),
+                         t["c_acctbal"])                        # drift some
+        ph = pc.equal(pc.bit_wise_and(key, 63), 9)  # batch-independent
+        extra = pa.table({                           # phantom rows
+            "c_custkey": pc.add(t.filter(ph)["c_custkey"],
+                                pa.scalar(9_000_000, pa.int64())),
+            "c_acctbal": t.filter(ph)["c_acctbal"],
+        })
+        return pa.concat_tables(
+            [pa.table({"c_custkey": key, "c_acctbal": bal}), extra])
+
+    dst = cust.map_batches(drifted, batch_format="pyarrow")
+    return reconciliation_plan(cust, dst, ["c_custkey"], ["c_acctbal"])
+
+
+def q_hot_keys(sf_dir: str):
+    """Skew diagnostic (stages/stats.py::hot_keys): top-20 users by event
+    count with their share of total traffic — the report that says which
+    keys need salting before a shuffle."""
+    from ..stages.stats import hot_keys
+
+    ev = read_table(sf_dir, "events", columns=["user_id"])
+    return hot_keys(ev, ["user_id"], k=20)
+
+
+QUERIES["reconciliation_plan"] = q_reconciliation_plan
+QUERIES["hot_keys"] = q_hot_keys
+
+ORACLE_SQL["reconciliation_plan"] = """
+WITH dst AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey & 7 = 5 THEN round(c_acctbal + 1.5, 2)
+              ELSE c_acctbal END AS c_acctbal
+  FROM customer WHERE c_custkey & 7 <> 3
+  UNION ALL
+  SELECT c_custkey + 9000000, c_acctbal
+  FROM customer WHERE c_custkey & 7 <> 3 AND c_custkey & 63 = 9
+)
+SELECT coalesce(s.c_custkey, d.c_custkey) AS c_custkey,
+       CASE WHEN d.c_custkey IS NULL THEN 'insert'
+            WHEN s.c_custkey IS NULL THEN 'delete'
+            ELSE 'update' END AS action
+FROM customer s FULL OUTER JOIN dst d ON s.c_custkey = d.c_custkey
+WHERE d.c_custkey IS NULL OR s.c_custkey IS NULL
+   OR s.c_acctbal <> d.c_acctbal
+"""
+
+ORACLE_SQL["hot_keys"] = """
+WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY user_id),
+     t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c)
+SELECT user_id, n, n / t.total AS share
+FROM c, t
+ORDER BY n DESC, user_id ASC
+LIMIT 20
+"""

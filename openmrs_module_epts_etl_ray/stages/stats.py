@@ -269,3 +269,46 @@ def grouped_corr(
              .map_batches(tag, batch_format="pyarrow") \
              .groupby(BUCKET_COL) \
              .map_groups(finalize, batch_format="pandas")
+
+
+def hot_keys(
+    ds: rd.Dataset,
+    key_cols: list[str],
+    *,
+    k: int = 20,
+) -> rd.Dataset:
+    """Skew diagnostic: the top-``k`` keys by row count with their share of
+    the total — the report that tells an operator which keys need salting
+    before a shuffle (the engine's own LWW combiner exists precisely for
+    the keys this surfaces; reference analogue: the per-table progress
+    counters an epts-etl operator watches for stuck mega-tables).
+
+    Per-block ``value_counts`` partials -> one coarse ``bucketed_sum``
+    exchange (only (key, n) pairs move, never rows) -> the counts relation
+    is tiny (distinct keys), so the final top-k sort is a driver-free
+    ``Dataset.sort().limit()``; total for the share comes from the same
+    partials, no second scan."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .pivot import bucketed_sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = t.group_by(key_cols).aggregate([([], "count_all")])
+        return vc.rename_columns(key_cols + ["n"])
+
+    rel = bucketed_sum(ds.select_columns(key_cols).map_batches(
+        partial, batch_format="pyarrow"), key_cols, ["n"]).materialize()
+    total = sum(
+        pc.sum(t["n"]).as_py() or 0
+        for t in rel.iter_batches(batch_format="pyarrow", batch_size=None))
+
+    top = rel.sort(["n"] + key_cols,
+                   descending=[True] + [False] * len(key_cols)).limit(k)
+
+    def share(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "share", pc.divide(pc.cast(t["n"], pa.float64()),
+                               pa.scalar(float(total))))
+
+    return top.map_batches(share, batch_format="pyarrow")

@@ -201,3 +201,32 @@ def test_snapshot_diff_added_key():
     assert out.loc["x", "kind"] == "added"
     assert pd.isna(out.loc["x", "old_lsn"])
     assert out.loc["y", "kind"] == "unchanged"
+
+
+# ---------------------------------------------------------------------------
+# reconciliation_plan / hot_keys
+# ---------------------------------------------------------------------------
+
+def test_reconciliation_plan_actions():
+    from openmrs_module_epts_etl_ray.stages.detectors import (
+        reconciliation_plan)
+
+    src = pd.DataFrame({"id": [1, 2, 3, 4], "v": [10., 20., 30., None]})
+    dst = pd.DataFrame({"id": [2, 3, 5, 4], "v": [20., 99., 50., None]})
+    out = reconciliation_plan(rd.from_pandas(src), rd.from_pandas(dst),
+                              ["id"], ["v"]).to_pandas()
+    got = dict(zip(out["id"], out["action"]))
+    # 1 missing in dst -> insert; 2 equal -> nothing; 3 drifted -> update;
+    # 5 phantom -> delete; 4 present both sides with null == null payload
+    # -> equal -> nothing (presence comes from join markers, not payload)
+    assert got == {1: "insert", 3: "update", 5: "delete"}
+
+
+def test_hot_keys_counts_and_share():
+    from openmrs_module_epts_etl_ray.stages.stats import hot_keys
+
+    df = pd.DataFrame({"k": ["a"] * 5 + ["b"] * 3 + ["c"] * 2})
+    out = hot_keys(rd.from_pandas(df), ["k"], k=2).to_pandas()
+    assert out["k"].tolist() == ["a", "b"]
+    assert out["n"].tolist() == [5, 3]
+    assert out["share"].tolist() == [0.5, 0.3]
