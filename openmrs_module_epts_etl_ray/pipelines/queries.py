@@ -3743,3 +3743,27 @@ FROM c, t
 ORDER BY n DESC, user_id ASC
 LIMIT 20
 """
+
+
+def q_extract_fields(sf_dir: str):
+    """Structured field parsing (stages/text.py::extract_regex): first
+    '<verb> <object>' phrase per document pulled into typed columns —
+    vectorized RE2, no shuffle."""
+    from ..stages.text import extract_regex
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return extract_regex(
+        docs, r"(?P<verb>scan|merge|join) (?P<obj>[a-z]+)",
+        keep_cols=["doc_id"])
+
+
+QUERIES["extract_fields"] = q_extract_fields
+
+ORACLE_SQL["extract_fields"] = """
+SELECT doc_id,
+       nullif(regexp_extract(text, '(scan|merge|join) ([a-z]+)', 1), '')
+         AS verb,
+       nullif(regexp_extract(text, '(scan|merge|join) ([a-z]+)', 2), '')
+         AS obj
+FROM documents
+"""

@@ -519,3 +519,40 @@ def normalize_text(
         return pa.table(cols)
 
     return ds.map_batches(canon, batch_format="pyarrow")
+
+
+def extract_regex(
+    ds: rd.Dataset,
+    pattern: str,
+    text_col: str = "text",
+    *,
+    keep_cols: list[str] | None = None,
+) -> rd.Dataset:
+    """Structured field extraction: pull the FIRST match of an RE2 pattern
+    with NAMED groups out of ``text_col``, one output column per group
+    (null when the row has no match) — the log/field-parsing operator (the
+    reference does this row-by-row in record UDF transformers; here it is
+    one vectorized ``pc.extract_regex`` kernel per batch, no shuffle).
+
+    Arrow and DuckDB both run RE2, so the rule is oracle-portable:
+    ``nullif(regexp_extract(text, pat, i), '')`` per group (DuckDB returns
+    '' for no-match where Arrow returns null)."""
+    import re
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    groups = re.compile(pattern).groupindex
+    if not groups:
+        raise ValueError("pattern needs at least one (?P<name>...) group")
+
+    def extract(t: pa.Table) -> pa.Table:
+        s = pc.fill_null(t[text_col], "")
+        st = pc.extract_regex(s, pattern)
+        cols = {c: t[c] for c in (keep_cols or t.column_names)
+                if c != text_col}
+        for g in groups:
+            cols[g] = pc.struct_field(st, g)
+        return pa.table(cols)
+
+    return ds.map_batches(extract, batch_format="pyarrow")

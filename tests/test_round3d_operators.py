@@ -230,3 +230,20 @@ def test_hot_keys_counts_and_share():
     assert out["k"].tolist() == ["a", "b"]
     assert out["n"].tolist() == [5, 3]
     assert out["share"].tolist() == [0.5, 0.3]
+
+
+def test_extract_regex_named_groups():
+    from openmrs_module_epts_etl_ray.stages.text import extract_regex
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["a scan table b", "no verbs here", None]})
+    out = extract_regex(rd.from_pandas(df),
+                        r"(?P<verb>scan|merge|join) (?P<obj>[a-z]+)",
+                        keep_cols=["doc_id"]) \
+        .to_pandas().sort_values("doc_id")
+    assert out["verb"].tolist()[0] == "scan"
+    assert out["obj"].tolist()[0] == "table"
+    assert out["verb"].isna().tolist() == [False, True, True]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        extract_regex(rd.from_pandas(df), r"scan (\w+)")  # unnamed groups
