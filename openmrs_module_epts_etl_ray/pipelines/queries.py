@@ -3767,3 +3767,44 @@ SELECT doc_id,
          AS obj
 FROM documents
 """
+
+
+def q_bm25_search(sf_dir: str):
+    """BM25 keyword retrieval (stages/text.py::bm25_search): top-10 docs for
+    a 3-term query; per-(doc,term) cells quantized to 1e-9 before the
+    per-doc sum so no float summation order exists in the contract."""
+    from ..stages.text import bm25_search
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return bm25_search(docs, ["merge", "window", "spark"], k=10)
+
+
+QUERIES["bm25_search"] = q_bm25_search
+
+ORACLE_SQL["bm25_search"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS term
+  FROM documents),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks
+       GROUP BY doc_id),
+g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+q(term) AS (VALUES ('merge'), ('spark'), ('window')),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+       WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+df AS (SELECT q.term,
+              CAST(count(DISTINCT toks.doc_id) AS BIGINT) AS df
+       FROM q LEFT JOIN toks ON toks.term = q.term GROUP BY q.term),
+cells AS (
+  SELECT tf.doc_id,
+         CAST(floor(
+           ln((g.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / g.avgdl))
+           * 1e9) AS BIGINT) AS cell
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN g)
+SELECT doc_id, CAST(sum(cell) AS BIGINT) AS score_e9
+FROM cells GROUP BY doc_id
+ORDER BY score_e9 DESC, doc_id ASC
+LIMIT 10
+"""

@@ -556,3 +556,95 @@ def extract_regex(
         return pa.table(cols)
 
     return ds.map_batches(extract, batch_format="pyarrow")
+
+
+def bm25_search(
+    ds: rd.Dataset,
+    query_terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> rd.Dataset:
+    """Top-``k`` documents for a keyword query under BM25 (Lucene idf
+    variant: ``ln((N - df + 0.5)/(df + 0.5) + 1)``) — the retrieval-side
+    companion to :func:`term_doc_frequency`.
+
+    ONE corpus scan: each block emits (doc, term, tf, dl) rows for QUERY
+    terms only (wire volume ~ matching docs x query size, never the
+    vocabulary) plus a single (n_docs, sum_dl) stats row.  The global
+    stats (N, avgdl, per-term df) fold on the driver from that tiny
+    relation; scoring then runs over the materialized matching rows with
+    the constants closed over — no second corpus scan, no broadcast join.
+
+    Per-(doc, term) scores are quantized to 1e-9 BEFORE the per-doc sum
+    (integer cells -> associative sum, no float summation order in the
+    contract — the ``category_assoc`` rule); final ranking is
+    (score_e9 desc, id asc), fully deterministic."""
+    import numpy as np
+    import pyarrow as pa
+
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    qset = sorted(set(query_terms))
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].fillna("").str.split(" ")
+        n = toks.str.len().fillna(0).astype(int).to_numpy()
+        flat = pd.DataFrame({
+            id_col: np.repeat(df[id_col].to_numpy(), n),
+            "term": np.concatenate(
+                [t for t in toks if len(t)] or [np.array([], object)]),
+        })
+        dl = pd.Series(n, index=df[id_col].to_numpy())
+        hit = flat[flat["term"].isin(qset)]
+        tf = hit.groupby([id_col, "term"], as_index=False, sort=False) \
+                .size().rename(columns={"size": "tf"})
+        tf["dl"] = dl.reindex(tf[id_col]).to_numpy()
+        stats = pd.DataFrame({id_col: [-1], "term": [None],
+                              "tf": [len(df)], "dl": [int(n.sum())]})
+        out = pd.concat([tf, stats], ignore_index=True)
+        out["tf"] = out["tf"].astype("int64")
+        out["dl"] = out["dl"].astype("int64")
+        return out
+
+    rel = ds.map_batches(scan, batch_format="pandas").materialize()
+
+    # driver fold of the tiny stats/df relation (blocks + matching rows)
+    n_docs, sum_dl = 0, 0
+    df_counts: dict[str, int] = {t: 0 for t in qset}
+    for t in rel.iter_batches(batch_format="pandas", batch_size=None):
+        s = t[t[id_col] == -1]
+        n_docs += int(s["tf"].sum())
+        sum_dl += int(s["dl"].sum())
+        d = t[t[id_col] != -1]
+        for term, c in d.groupby("term").size().items():
+            df_counts[term] += int(c)
+    if n_docs == 0:
+        return rd.from_arrow(pa.table({id_col: pa.array([], pa.int64()),
+                                       "score_e9": pa.array([], pa.int64())}))
+    avgdl = sum_dl / n_docs
+    idf = {t: np.log((n_docs - c + 0.5) / (c + 0.5) + 1.0)
+           for t, c in df_counts.items()}
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df[id_col] != -1]
+        if not len(d):
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "cell": pd.Series([], dtype="int64")})
+        w = d["term"].map(idf).to_numpy(dtype=np.float64)
+        tf = d["tf"].to_numpy(dtype=np.float64)
+        dl = d["dl"].to_numpy(dtype=np.float64)
+        s = w * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        return pd.DataFrame({
+            id_col: d[id_col].to_numpy(),
+            "cell": np.floor(s * 1e9).astype("int64"),
+        })
+
+    from ray.data.aggregate import Sum
+    scored = rel.map_batches(score, batch_format="pandas") \
+        .groupby(id_col).aggregate(Sum("cell", alias_name="score_e9"))
+    return scored.sort(["score_e9", id_col],
+                       descending=[True, False]).limit(k)

@@ -247,3 +247,31 @@ def test_extract_regex_named_groups():
     import pytest as _pt
     with _pt.raises(ValueError):
         extract_regex(rd.from_pandas(df), r"scan (\w+)")  # unnamed groups
+
+
+def test_bm25_matches_reference_formula():
+    from openmrs_module_epts_etl_ray.stages.text import bm25_search
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["cat dog cat", "dog dog dog fish", "bird", "cat fish"],
+    })
+    out = bm25_search(rd.from_pandas(docs), ["cat", "fish"], k=10) \
+        .to_pandas()
+    # reference numpy computation
+    import numpy as np
+    N, dls = 4, {1: 3, 2: 4, 3: 1, 4: 2}
+    avgdl = 10 / 4
+    df = {"cat": 2, "fish": 2}
+    tf = {(1, "cat"): 2, (2, "fish"): 1, (4, "cat"): 1, (4, "fish"): 1}
+    k1, b = 1.2, 0.75
+    want = {}
+    for (d, t), f in tf.items():
+        idf = np.log((N - df[t] + 0.5) / (df[t] + 0.5) + 1)
+        s = idf * f * (k1 + 1) / (f + k1 * (1 - b + b * dls[d] / avgdl))
+        want[d] = want.get(d, 0) + int(np.floor(s * 1e9))
+    got = dict(zip(out["doc_id"], out["score_e9"]))
+    assert got == want
+    # ranking deterministic: score desc then id asc
+    assert out["doc_id"].tolist() == sorted(
+        want, key=lambda d: (-want[d], d))
