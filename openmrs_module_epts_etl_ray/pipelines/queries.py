@@ -3808,3 +3808,38 @@ FROM cells GROUP BY doc_id
 ORDER BY score_e9 DESC, doc_id ASC
 LIMIT 10
 """
+
+
+def q_cube_revenue(sf_dir: str):
+    """GROUP BY CUBE over (returnflag, linestatus)
+    (stages/pivot.py::cube_sum): all four grouping sets in one exchange;
+    integer cents so the distributed fold is byte-equal to SQL."""
+    from ..stages.pivot import cube_sum
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_linestatus",
+                             "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "cents": pa.array(np.rint(
+                t["l_extendedprice"].to_numpy() * 100).astype("int64")),
+        })
+
+    return cube_sum(li.map_batches(prep, batch_format="pyarrow"),
+                    ["l_returnflag", "l_linestatus"], ["cents"])
+
+
+QUERIES["cube_revenue"] = q_cube_revenue
+
+ORACLE_SQL["cube_revenue"] = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""

@@ -260,3 +260,50 @@ def grouped_mode(
     return ds.map_batches(partial, batch_format="pandas") \
              .map_batches(tag, batch_format="pyarrow") \
              .groupby(BUCKET_COL).map_groups(resolve, batch_format="pandas")
+
+
+def cube_sum(
+    ds: rd.Dataset,
+    dims: list[str],
+    measures: list[str],
+    *,
+    count_col: str = "n",
+    all_label: str = "ALL",
+) -> rd.Dataset:
+    """``GROUP BY CUBE(dims…)``: every subset of the dimensions, not just
+    the rollup prefixes — 2^k grouping sets in ONE exchange, same contract
+    as :func:`rollup_sum` (each block emits partials for every set with
+    aggregated dims relabelled ``all_label``; one coarse-bucket integer
+    reduce folds them all; int64 measures so the distributed fold is
+    byte-equal to sequential SQL).  Per-block partial volume is bounded by
+    2^k × finest group count — fine for the 2-4 dims a cube is for."""
+    from itertools import combinations
+
+    if not dims:
+        raise ValueError("dims must be non-empty")
+    cols = list(measures) + [count_col]
+    subsets = [list(c) for r in range(len(dims), -1, -1)
+               for c in combinations(dims, r)]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(columns=dims + cols)
+        outs = []
+        for keep in subsets:
+            if keep:
+                g = df.groupby(keep, as_index=False, sort=False)[measures].sum()
+                g[count_col] = df.groupby(keep, sort=False).size().to_numpy()
+            else:
+                g = df[measures].sum().to_frame().T
+                g[count_col] = len(df)
+            for d in dims:
+                if d not in keep:
+                    g[d] = all_label
+            outs.append(g[dims + cols])
+        out = pd.concat(outs, ignore_index=True)
+        for m in cols:
+            out[m] = out[m].astype("int64")
+        return out
+
+    return bucketed_sum(ds.map_batches(partial, batch_format="pandas"),
+                        dims, cols)

@@ -275,3 +275,18 @@ def test_bm25_matches_reference_formula():
     # ranking deterministic: score desc then id asc
     assert out["doc_id"].tolist() == sorted(
         want, key=lambda d: (-want[d], d))
+
+
+def test_cube_sum_all_grouping_sets():
+    from openmrs_module_epts_etl_ray.stages.pivot import cube_sum
+
+    df = pd.DataFrame({"a": ["x", "x", "y"], "b": ["p", "q", "p"],
+                       "v": [1, 2, 4]})
+    out = cube_sum(rd.from_pandas(df), ["a", "b"], ["v"]) \
+        .to_pandas().set_index(["a", "b"]).sort_index()
+    assert out.loc[("x", "p"), "v"] == 1
+    assert out.loc[("x", "ALL"), "v"] == 3
+    assert out.loc[("ALL", "p"), "v"] == 5       # cube-only set (not rollup)
+    assert out.loc[("ALL", "ALL"), "v"] == 7
+    assert out.loc[("ALL", "ALL"), "n"] == 3
+    assert len(out) == 3 + 2 + 2 + 1  # finest + a-sets + b-sets + grand
