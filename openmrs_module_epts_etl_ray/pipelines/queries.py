@@ -3843,3 +3843,50 @@ SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """
+
+
+def q_user_journeys(sf_dir: str):
+    """Per-user journey strings (stages/pivot.py::grouped_concat — SQL
+    string_agg with ORDER BY): event types concatenated in (ts, event_id)
+    order; one exchange, list-offset binary_join per bucket."""
+    from ..stages.pivot import grouped_concat
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "event_type"])
+    return grouped_concat(ev, ["user_id"], "event_type",
+                          ["ts", "event_id"], sep=">", out_col="journey")
+
+
+QUERIES["user_journeys"] = q_user_journeys
+
+ORACLE_SQL["user_journeys"] = """
+SELECT user_id,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS journey
+FROM events GROUP BY user_id
+"""
+
+
+def q_context_windows(sf_dir: str):
+    """LM context chunking (stages/packing.py::context_windows): 32-token
+    windows, stride 16, per document — stateless flat map, no shuffle."""
+    from ..stages.packing import context_windows
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return context_windows(docs, window=32, stride=16)
+
+
+QUERIES["context_windows"] = q_context_windows
+
+ORACLE_SQL["context_windows"] = """
+WITH d AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+           FROM documents),
+wins AS (
+  SELECT doc_id, w,
+         unnest(range(0, CASE WHEN len(w) < 32 THEN 0
+                              ELSE (len(w) - 32) // 16 + 1 END)) AS win
+  FROM d)
+SELECT doc_id, CAST(win AS BIGINT) AS win,
+       array_to_string(list_slice(w, win * 16 + 1, win * 16 + 32), ' ')
+         AS text_window
+FROM wins
+"""

@@ -60,3 +60,63 @@ def pack_sequences(
             pack_offset=start % capacity)
 
     return scanned.map_batches(assign, batch_format="pandas")
+
+
+def context_windows(
+    ds: rd.Dataset,
+    *,
+    window: int,
+    stride: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Sliding token windows per document — the LM-pretraining chunker
+    (fixed-size contexts with overlap; companion to :func:`pack_sequences`,
+    which packs SHORT docs, where this splits LONG ones).  Emits one row
+    per full window: (id, win int64 [0-based], text_window).
+
+    Stateless per-block flat map, no shuffle.  Fully vectorized: one
+    str.split pass for token counts, token char offsets from cumulative
+    token lengths, windows materialized by repeating each doc's text and
+    slicing with per-row ``utf8_slice_codeunits`` offset arrays — no
+    Python loop over windows.  Docs shorter than ``window`` emit nothing
+    (pack_sequences is the right tool there)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if window <= 0 or stride <= 0:
+        raise ValueError("window and stride must be positive")
+
+    def chunk(df: pd.DataFrame) -> pa.Table:
+        texts = df[text_col].fillna("")
+        toks = texts.str.split(" ")
+        n_tok = toks.str.len().fillna(0).astype(int).to_numpy()
+        k = np.maximum(0, (n_tok - window) // stride + 1)
+        if int(k.sum()) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "win": pa.array([], pa.int64()),
+                             "text_window": pa.array([], pa.string())})
+        # flat token array for the block; windows = one vectorized take of
+        # (n_windows x window) indices, then list-offset binary_join — no
+        # per-row slicing kernel exists in Arrow (utf8_slice_codeunits
+        # offsets are scalar options), and no Python loop over windows
+        flat = pa.array(np.concatenate(
+            [np.asarray(row, object) for row in toks if len(row)] or
+            [np.array([], object)]), pa.string())
+        doc_starts = np.r_[0, np.cumsum(n_tok)][:-1]
+        rows = np.repeat(np.arange(len(df)), k)          # doc index per window
+        win = np.concatenate([np.arange(c) for c in k if c] or
+                             [np.array([], np.int64)])
+        tok_start = doc_starts[rows] + win * stride
+        idx = (tok_start[:, None] + np.arange(window)).ravel()
+        taken = flat.take(pa.array(idx))
+        offs = pa.array(np.arange(len(rows) + 1, dtype=np.int32) * window)
+        joined = pc.binary_join(pa.ListArray.from_arrays(offs, taken), " ")
+        return pa.table({
+            id_col: pa.array(df[id_col].to_numpy()[rows]),
+            "win": pa.array(win.astype("int64")),
+            "text_window": joined,
+        })
+
+    return ds.map_batches(chunk, batch_format="pandas")

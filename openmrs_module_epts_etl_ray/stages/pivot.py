@@ -307,3 +307,55 @@ def cube_sum(
 
     return bucketed_sum(ds.map_batches(partial, batch_format="pandas"),
                         dims, cols)
+
+
+def grouped_concat(
+    ds: rd.Dataset,
+    key_cols: list[str],
+    value_col: str,
+    order_cols: list[str],
+    *,
+    sep: str = ",",
+    out_col: str = "agg",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """SQL ``string_agg(value ORDER BY order_cols)`` per key — per-entity
+    timelines flattened to one delimited string (audit trails, journey
+    strings, the reference's per-record history rendering).
+
+    One exchange: hash-bucket on the key so each key's rows co-locate
+    (the session-window contract: one key's rows fit a task), then a
+    vectorized per-bucket fold — sort once, factorize keys, build Arrow
+    list offsets over group boundaries, one ``pc.binary_join`` kernel.
+    No per-group Python concatenation."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import key_hash
+
+    nb = num_buckets or _default_buckets()
+    cols = key_cols + order_cols + [value_col]
+
+    def tag(t: pa.Table) -> pa.Table:
+        t = t.select(cols)
+        b = (key_hash(t, tuple(key_cols)) % np.uint64(nb)).astype(np.int64)
+        return t.append_column("_b", pa.array(b))
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(key_cols + order_cols, kind="stable")
+        codes, _ = pd.factorize(
+            pd.MultiIndex.from_frame(g[key_cols]) if len(key_cols) > 1
+            else g[key_cols[0]], sort=False)
+        bounds = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        offsets = np.r_[bounds, len(codes)].astype(np.int32)
+        vals = pa.array(g[value_col].fillna("").to_numpy(), pa.string())
+        lists = pa.ListArray.from_arrays(pa.array(offsets), vals)
+        joined = pc.binary_join(lists, sep)
+        head = g.iloc[bounds]
+        out = {k: pa.array(head[k].to_numpy()) for k in key_cols}
+        out[out_col] = joined
+        return pa.table(out)
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_b").map_groups(fold, batch_format="pandas")

@@ -290,3 +290,29 @@ def test_cube_sum_all_grouping_sets():
     assert out.loc[("ALL", "ALL"), "v"] == 7
     assert out.loc[("ALL", "ALL"), "n"] == 3
     assert len(out) == 3 + 2 + 2 + 1  # finest + a-sets + b-sets + grand
+
+
+def test_grouped_concat_ordering():
+    from openmrs_module_epts_etl_ray.stages.pivot import grouped_concat
+
+    df = pd.DataFrame({"k": ["a", "a", "b", "a"],
+                       "o": [3, 1, 5, 2],
+                       "v": ["z", "x", "q", "y"]})
+    out = grouped_concat(rd.from_pandas(df), ["k"], "v", ["o"]) \
+        .to_pandas().set_index("k")
+    assert out.loc["a", "agg"] == "x,y,z"
+    assert out.loc["b", "agg"] == "q"
+
+
+def test_context_windows_exact():
+    from openmrs_module_epts_etl_ray.stages.packing import context_windows
+
+    text = " ".join(str(i) for i in range(10))
+    df = pd.DataFrame({"doc_id": [1, 2], "text": [text, "a b"]})
+    out = context_windows(rd.from_pandas(df), window=4, stride=3) \
+        .to_pandas().sort_values(["doc_id", "win"])
+    # doc 1: starts 0,3,6 (start 9 would need tokens 9..12 -> only full)
+    assert out["win"].tolist() == [0, 1, 2]
+    assert out["text_window"].tolist() == ["0 1 2 3", "3 4 5 6", "6 7 8 9"]
+    # doc 2 shorter than window: no rows
+    assert (out["doc_id"] == 2).sum() == 0
