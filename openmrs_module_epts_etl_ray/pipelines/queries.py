@@ -3890,3 +3890,45 @@ SELECT doc_id, CAST(win AS BIGINT) AS win,
          AS text_window
 FROM wins
 """
+
+
+def q_incremental_agg(sf_dir: str):
+    """Incremental view maintenance (stages/history.py::
+    incremental_group_agg): per-repo live-file count + total chars
+    maintained across the lsn=2500 cut by signed per-key deltas — base +
+    delta must equal the full recompute (the oracle)."""
+    from ..stages.history import incremental_group_agg
+
+    events = events_from_documents(sf_dir)
+
+    def with_len(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "n_chars", pc.cast(pc.utf8_length(
+                pc.fill_null(t["content"], "")), pa.int64()))
+
+    ev = events.map_batches(with_len, batch_format="pyarrow")
+    return incremental_group_agg(ev, 2500, group_col="repo",
+                                 val_col="n_chars", num_buckets=16)
+
+
+QUERIES["incremental_agg"] = q_incremental_agg
+
+ORACLE_SQL["incremental_agg"] = _EV_CTE + """,
+fin AS (SELECT repo, path, op, len(coalesce(content, '')) AS v,
+               row_number() OVER (PARTITION BY repo, path
+                                  ORDER BY lsn DESC) AS rn FROM ev),
+fstate AS (SELECT repo, v FROM fin WHERE rn = 1 AND op <> 'delete'),
+old AS (SELECT repo, path, op, len(coalesce(content, '')) AS v,
+               row_number() OVER (PARTITION BY repo, path
+                                  ORDER BY lsn DESC) AS rn
+        FROM ev WHERE lsn <= 2500),
+ostate AS (SELECT repo, v FROM old WHERE rn = 1 AND op <> 'delete'),
+f AS (SELECT repo, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS BIGINT) AS total FROM fstate GROUP BY repo),
+o AS (SELECT repo, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS BIGINT) AS total FROM ostate GROUP BY repo)
+SELECT f.repo, f.n, f.total,
+       f.n - coalesce(o.n, 0) AS delta_n,
+       f.total - coalesce(o.total, 0) AS delta_total
+FROM f LEFT JOIN o USING (repo)
+"""

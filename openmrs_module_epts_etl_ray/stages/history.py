@@ -270,3 +270,107 @@ def snapshot_diff(
 
     collapsed = events.map_batches(partial, batch_format="pandas")
     return collapsed.groupby("_b").map_groups(final, batch_format="pandas")
+
+
+def incremental_group_agg(
+    events,
+    cut_lsn: int,
+    *,
+    group_col: str,
+    val_col: str,
+    key_cols=("repo", "path"),
+    lsn_col: str = "lsn",
+    op_col: str = "op",
+    num_buckets: int | None = None,
+):
+    """Incremental view maintenance of a per-group aggregate (COUNT of live
+    keys + SUM of ``val_col``) across an LSN cut: the base aggregate (state
+    at ``lsn <= cut_lsn``) is advanced to the final state by per-key deltas
+    ``new_contribution - old_contribution`` — the CDC-native alternative to
+    recomputing the aggregate from a full rescan (epts-etl's progress
+    counters re-count from the DB; a delta stream maintains them for free).
+
+    Same single-exchange shape as :func:`snapshot_diff`: both winners per
+    key are elected in one bucket pass; each bucket then folds its keys'
+    contributions into per-group partials (base_n/base_val from the old
+    winner, delta_n/delta_val from the signed difference), and one
+    group-sized ``bucketed_sum`` completes.  Output per group:
+    ``n`` / ``total`` (maintained final values) plus ``delta_n`` /
+    ``delta_total`` (what the delta stream contributed).  The invariant
+    ``base + delta == full recompute`` is the oracle."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions.hashing import key_hash
+    from .pivot import bucketed_sum
+
+    key_cols = list(key_cols)
+    nb = num_buckets or _default_buckets()
+    cols = list(dict.fromkeys(
+        key_cols + [lsn_col, op_col, group_col, val_col]))
+
+    def _elect2(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(lsn_col, ascending=False, kind="stable")
+        new_w = df.drop_duplicates(key_cols, keep="first").assign(_side=1)
+        old_w = df[df[lsn_col] <= cut_lsn] \
+            .drop_duplicates(key_cols, keep="first").assign(_side=0)
+        return pd.concat([old_w, new_w], ignore_index=True)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        w = _elect2(df[cols])
+        t = pa.Table.from_pandas(w[key_cols], preserve_index=False)
+        b = (key_hash(t, tuple(key_cols)) % np.uint64(nb)).astype(np.int64)
+        return w.assign(_b=b)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        w = _elect2(g)
+        live = w[w[op_col] != "delete"]
+        old = live[live["_side"] == 0]
+        new = live[live["_side"] == 1]
+        m = old.merge(new, on=key_cols, how="outer", suffixes=("_o", "_n"),
+                      indicator=True)
+        po = m["_merge"].isin(["left_only", "both"])
+        pn = m["_merge"].isin(["right_only", "both"])
+        if group_col in key_cols:  # group is a key component: one column
+            go = gn = m[group_col]
+        else:
+            go, gn = m[f"{group_col}_o"], m[f"{group_col}_n"]
+        vo = m[f"{val_col}_o"].fillna(0).astype("int64")
+        vn = m[f"{val_col}_n"].fillna(0).astype("int64")
+        # unchanged keys would contribute a cancelling -old/+new pair;
+        # emit deltas only where the contribution actually changed
+        same = po & pn & go.eq(gn) & vo.eq(vn)
+        base = pd.DataFrame({group_col: go[po], "n": 1, "total": vo[po],
+                             "delta_n": 0, "delta_total": 0})
+        changed = ~same
+        rem = pd.DataFrame({group_col: go[po & changed], "n": 0, "total": 0,
+                            "delta_n": -1,
+                            "delta_total": -vo[po & changed]})
+        add = pd.DataFrame({group_col: gn[pn & changed], "n": 0, "total": 0,
+                            "delta_n": 1, "delta_total": vn[pn & changed]})
+        out = pd.concat([base, rem, add], ignore_index=True)
+        for c in ["n", "total", "delta_n", "delta_total"]:
+            out[c] = out[c].astype("int64")
+        return out
+
+    collapsed = events.map_batches(partial, batch_format="pandas")
+    per_bucket = collapsed.groupby("_b").map_groups(
+        fold, batch_format="pandas")
+    agg = bucketed_sum(per_bucket, [group_col],
+                       ["n", "total", "delta_n", "delta_total"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        out = pa.table({
+            group_col: t[group_col],
+            "n": pc.add(t["n"], t["delta_n"]),
+            "total": pc.add(t["total"], t["delta_total"]),
+            "delta_n": t["delta_n"],
+            "delta_total": t["delta_total"],
+        })
+        # a group whose keys all died has final n == 0; a full recompute
+        # over the live state would not emit it
+        return out.filter(pc.greater(out["n"], 0))
+
+    return agg.map_batches(finish, batch_format="pyarrow")

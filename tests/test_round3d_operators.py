@@ -316,3 +316,85 @@ def test_context_windows_exact():
     assert out["text_window"].tolist() == ["0 1 2 3", "3 4 5 6", "6 7 8 9"]
     # doc 2 shorter than window: no rows
     assert (out["doc_id"] == 2).sum() == 0
+
+
+# ---------------------------------------------------------------------------
+# cogroup full outer join — randomized equivalence vs DuckDB
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_full_outer_cogroup_matches_duckdb(seed):
+    import duckdb
+
+    from openmrs_module_epts_etl_ray.stages.joins import full_outer_join
+
+    rng = np.random.default_rng(seed)
+    nl, nr = rng.integers(0, 60, 2)
+    mk = lambda n: pd.DataFrame({
+        "k": rng.choice([None, *range(8)], n),
+        "g": rng.choice(list("xyz"), n),
+    })
+    l = mk(nl).assign(a=rng.integers(0, 100, nl))
+    r = mk(nr).assign(b=rng.choice(["p", None, "q"], nr),
+                      a=rng.integers(0, 100, nr))
+    out = full_outer_join(rd.from_pandas(l), rd.from_pandas(r),
+                          ["k", "g"]).to_pandas()
+    con = duckdb.connect()
+    con.register("l", l)
+    con.register("r", r)
+    want = con.sql("""
+        SELECT coalesce(l.k, r.k) AS k, coalesce(l.g, r.g) AS g,
+               l.a AS a, r.b AS b, r.a AS a_r
+        FROM l FULL OUTER JOIN r ON l.k = r.k AND l.g = r.g
+    """).df()
+
+    def canon(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        for c in df.columns:
+            df[c] = df[c].astype("float64") if df[c].dtype.kind in "if" \
+                else df[c].astype(object).where(df[c].notna(), None)
+        return df.sort_values(list(df.columns), na_position="last") \
+                 .reset_index(drop=True)
+
+    a, b = canon(out), canon(want)
+    assert len(a) == len(b)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_incremental_agg_base_plus_delta():
+    from openmrs_module_epts_etl_ray.stages.history import (
+        incremental_group_agg)
+
+    ev = pd.DataFrame({
+        "repo": ["r1", "r1", "r1", "r2", "r2", "r2"],
+        "path": ["a",  "a",  "b",  "c",  "c",  "d"],
+        "lsn":  [1,    9,    2,    3,    8,    4],
+        "op":   ["insert", "update", "insert", "insert", "delete",
+                 "insert"],
+        "v":    [10,   20,   5,     7,    0,    3],
+    })
+    out = incremental_group_agg(
+        rd.from_pandas(ev), 5, group_col="repo", val_col="v",
+        key_cols=("repo", "path"), num_buckets=4) \
+        .to_pandas().set_index("repo").sort_index()
+    # r1 final: a(v=20), b(v=5) -> n=2 total=25; base was a(10)+b(5)=15
+    assert out.loc["r1", "n"] == 2 and out.loc["r1", "total"] == 25
+    assert out.loc["r1", "delta_n"] == 0 and out.loc["r1", "delta_total"] == 10
+    # r2 final: c deleted after cut, d lives -> n=1 total=3;
+    # base was c(7)+d(3)=10 -> delta_n=-1 delta_total=-7
+    assert out.loc["r2", "n"] == 1 and out.loc["r2", "total"] == 3
+    assert out.loc["r2", "delta_n"] == -1 and out.loc["r2", "delta_total"] == -7
+
+
+def test_incremental_agg_dead_group_dropped():
+    from openmrs_module_epts_etl_ray.stages.history import (
+        incremental_group_agg)
+
+    ev = pd.DataFrame({
+        "repo": ["r1", "r1"], "path": ["a", "a"], "lsn": [1, 9],
+        "op": ["insert", "delete"], "v": [10, 0],
+    })
+    out = incremental_group_agg(
+        rd.from_pandas(ev), 5, group_col="repo", val_col="v",
+        key_cols=("repo", "path"), num_buckets=2).to_pandas()
+    assert len(out) == 0  # all keys dead at final state -> no group row
