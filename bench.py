@@ -61,6 +61,10 @@ BENCH_QUERIES = [
     "order_window_overlaps", "value_outliers", "spend_gini", "weekly_growth",
     "event_transitions", "pareto_orders", "priority_status_assoc",
     "props_rollup", "snapshot_diff", "fk_orphans",
+    "normalize_docs", "fuzzy_customer_pairs", "multi_stream_merge",
+    "pseudonymize_events", "reconciliation_plan", "hot_keys",
+    "extract_fields", "bm25_search", "cube_revenue", "user_journeys",
+    "context_windows", "incremental_agg", "intersect_extracts",
 ]
 
 

@@ -3932,3 +3932,33 @@ SELECT f.repo, f.n, f.total,
        f.total - coalesce(o.total, 0) AS delta_total
 FROM f LEFT JOIN o USING (repo)
 """
+
+
+def q_intersect_extracts(sf_dir: str):
+    """SQL INTERSECT between two extracts (§2.7 distinct + J7 semi-join
+    composed — the set-op triple with union_extracts / except_extracts):
+    distinct urgent-order (custkey, status) pairs that ALSO appear on a
+    big-ticket order."""
+    from ..stages.joins import semi_join
+    from ..stages.pivot import distinct_keys
+
+    ords = read_table(sf_dir, "orders",
+                      columns=["o_custkey", "o_orderstatus",
+                               "o_orderpriority", "o_totalprice"])
+    urgent = distinct_keys(
+        ords.filter(expr="o_orderpriority == '1-URGENT'")
+            .select_columns(["o_custkey", "o_orderstatus"]),
+        ["o_custkey", "o_orderstatus"])
+    big = ords.filter(expr="o_totalprice > 150000.0") \
+              .select_columns(["o_custkey", "o_orderstatus"])
+    return semi_join(urgent, big, ["o_custkey", "o_orderstatus"])
+
+
+QUERIES["intersect_extracts"] = q_intersect_extracts
+
+ORACLE_SQL["intersect_extracts"] = """
+SELECT o_custkey, o_orderstatus FROM orders
+WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT o_custkey, o_orderstatus FROM orders WHERE o_totalprice > 150000
+"""
