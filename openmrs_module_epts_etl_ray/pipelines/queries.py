@@ -3962,3 +3962,31 @@ WHERE o_orderpriority = '1-URGENT'
 INTERSECT
 SELECT o_custkey, o_orderstatus FROM orders WHERE o_totalprice > 150000
 """
+
+
+def q_quantize_embeddings(sf_dir: str):
+    """int8 embedding quantization (stages/similarity.py::
+    quantize_embeddings): 4x memory/wire reduction for the ANN scale path;
+    exact IEEE formula shared with the oracle (no libm)."""
+    from ..stages.similarity import quantize_embeddings
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return quantize_embeddings(emb)
+
+
+QUERIES["quantize_embeddings"] = q_quantize_embeddings
+
+ORACLE_SQL["quantize_embeddings"] = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         CAST(list_max(list_transform(embedding, y -> abs(y))) AS DOUBLE)
+           AS scale
+  FROM embeddings)
+SELECT vec_id, CAST(pos AS BIGINT) AS pos, scale,
+       CASE WHEN scale = 0 THEN 0
+            ELSE CAST(floor(CAST(x AS DOUBLE) / scale * 127.0 + 0.5)
+                      AS BIGINT) END AS code
+FROM (SELECT vec_id, scale, unnest(embedding) AS x,
+             unnest(range(1, len(embedding) + 1)) AS pos
+      FROM s)
+"""

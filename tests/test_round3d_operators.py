@@ -398,3 +398,23 @@ def test_incremental_agg_dead_group_dropped():
         rd.from_pandas(ev), 5, group_col="repo", val_col="v",
         key_cols=("repo", "path"), num_buckets=2).to_pandas()
     assert len(out) == 0  # all keys dead at final state -> no group row
+
+
+def test_quantize_embeddings_exact_and_bounded():
+    from openmrs_module_epts_etl_ray.stages.similarity import (
+        quantize_embeddings)
+
+    rng = np.random.default_rng(9)
+    vecs = [rng.normal(size=8).astype(np.float32) for _ in range(20)]
+    vecs.append(np.zeros(8, np.float32))
+    df = pd.DataFrame({"vec_id": range(len(vecs)), "embedding": vecs})
+    out = quantize_embeddings(rd.from_pandas(df)).to_pandas()
+    assert out["code"].between(-127, 127).all()
+    # zero vector -> all-zero codes, scale 0
+    z = out[out["vec_id"] == 20]
+    assert (z["code"] == 0).all() and (z["scale"] == 0).all()
+    # reconstruction error bounded by half a quantization step
+    v = out[out["vec_id"] == 3].sort_values("pos")
+    rec = v["code"].to_numpy() * v["scale"].to_numpy() / 127.0
+    assert np.abs(rec - vecs[3].astype(np.float64)).max() \
+        <= v["scale"].iloc[0] / 127.0 / 2 + 1e-12
