@@ -65,7 +65,7 @@ BENCH_QUERIES = [
     "pseudonymize_events", "reconciliation_plan", "hot_keys",
     "extract_fields", "bm25_search", "cube_revenue", "user_journeys",
     "context_windows", "incremental_agg", "intersect_extracts",
-    "quantize_embeddings",
+    "quantize_embeddings", "value_percentiles_cont", "shipping_priority",
 ]
 
 

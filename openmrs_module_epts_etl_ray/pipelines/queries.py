@@ -3990,3 +3990,110 @@ FROM (SELECT vec_id, scale, unnest(embedding) AS x,
              unnest(range(1, len(embedding) + 1)) AS pos
       FROM s)
 """
+
+
+def q_value_percentiles_cont(sf_dir: str):
+    """PERCENTILE_CONT per event_type (stages/windows.py::
+    grouped_percentiles_cont): linear interpolation with the rule stated
+    identically in the oracle — no engine-internal interpolation."""
+    from ..stages.windows import grouped_percentiles_cont
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_percentiles_cont(ev, ["event_type"], "value")
+
+
+QUERIES["value_percentiles_cont"] = q_value_percentiles_cont
+
+ORACLE_SQL["value_percentiles_cont"] = """
+WITH g AS (
+  SELECT event_type,
+         array_agg(value ORDER BY value) AS vs,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type)
+SELECT event_type, n,
+       vs[CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1]
+         + (0.5 * (n - 1) - floor(0.5 * (n - 1)))
+           * (vs[least(CAST(floor(0.5 * (n - 1)) AS BIGINT) + 2, n)]
+              - vs[CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1]) AS p50_cont,
+       vs[CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1]
+         + (0.9 * (n - 1) - floor(0.9 * (n - 1)))
+           * (vs[least(CAST(floor(0.9 * (n - 1)) AS BIGINT) + 2, n)]
+              - vs[CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1]) AS p90_cont,
+       vs[CAST(floor(0.99 * (n - 1)) AS BIGINT) + 1]
+         + (0.99 * (n - 1) - floor(0.99 * (n - 1)))
+           * (vs[least(CAST(floor(0.99 * (n - 1)) AS BIGINT) + 2, n)]
+              - vs[CAST(floor(0.99 * (n - 1)) AS BIGINT) + 1]) AS p99_cont
+FROM g
+"""
+
+
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape (shipping priority; the test tables carry
+    o_orderpriority, used in place of o_shippriority): BUILDING-segment
+    customers' open orders ranked by revenue — broadcast dimension semi-join, per-
+    orderkey partial aggregation before the exchange, top-10 sort."""
+    import datetime
+
+    from ..stages.joins import broadcast_inner_join, semi_join
+    from ..stages.pivot import bucketed_sum
+
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_mktsegment"])
+    bld = cust.filter(expr="c_mktsegment == 'BUILDING'") \
+              .select_columns(["c_custkey"])
+    ords = read_table(sf_dir, "orders",
+                      columns=["o_orderkey", "o_custkey", "o_orderdate",
+                               "o_orderpriority"])
+    cut = datetime.date(1995, 3, 15)
+    ords = ords.map_batches(
+        lambda t: t.filter(pc.less(t["o_orderdate"], pa.scalar(cut))),
+        batch_format="pyarrow")
+    ords = semi_join(ords.map_batches(
+        lambda t: t.rename_columns(
+            ["o_orderkey", "c_custkey", "o_orderdate", "o_orderpriority"]),
+        batch_format="pyarrow"), bld, ["c_custkey"])
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice", "l_discount",
+                             "l_shipdate"])
+    li = li.map_batches(
+        lambda t: t.filter(pc.greater(t["l_shipdate"], pa.scalar(cut))),
+        batch_format="pyarrow")
+
+    def rev(t: pa.Table) -> pa.Table:
+        cents = np.rint(t["l_extendedprice"].to_numpy() * 100).astype("int64")
+        disc = np.rint(t["l_discount"].to_numpy() * 100).astype("int64")
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            # integer ccents (cents x (100 - disc)): associative exact sum
+            "rev_ccents": pa.array(cents * (100 - disc)),
+        })
+
+    li_rev = bucketed_sum(li.map_batches(rev, batch_format="pyarrow"),
+                          ["l_orderkey"], ["rev_ccents"])
+    joined = broadcast_inner_join(
+        li_rev, ords.select_columns(["o_orderkey", "o_orderdate",
+                                     "o_orderpriority"]),
+        ["l_orderkey"], right_on=("o_orderkey",))
+    out = joined.map_batches(
+        lambda t: t.select(["l_orderkey", "rev_ccents", "o_orderdate",
+                            "o_orderpriority"]), batch_format="pyarrow")
+    return out.sort(["rev_ccents", "l_orderkey"],
+                    descending=[True, False]).limit(10)
+
+
+QUERIES["shipping_priority"] = q_shipping_priority
+
+ORACLE_SQL["shipping_priority"] = """
+SELECT l_orderkey,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS rev_ccents,
+       o_orderdate, o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < DATE '1995-03-15' AND l_shipdate > DATE '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY rev_ccents DESC, l_orderkey
+LIMIT 10
+"""

@@ -525,3 +525,36 @@ def rolling_sum(
     return ds.map_batches(tag, batch_format="pyarrow") \
              .groupby(BUCKET_COL) \
              .map_groups(per_bucket, batch_format="pyarrow")
+
+
+def grouped_percentiles_cont(
+    ds: rd.Dataset,
+    key_cols: list[str],
+    value_col: str,
+    *,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> rd.Dataset:
+    """Linear-interpolated (PERCENTILE_CONT / numpy type-7) per-group
+    percentiles — the continuous twin of :func:`grouped_percentiles`.
+    Rule, stated identically in the oracle so nothing depends on an
+    engine's internal interpolation: ``h = q*(n-1); lo = floor(h);
+    value = v[lo] + (h - lo) * (v[lo+1] - v[lo])`` over the group's sorted
+    values (exact IEEE double ops on both sides).
+
+    Same partitioning contract as the discrete form: one group's values
+    fit one task; use the sketch path at fact scale."""
+    key_cols = list(key_cols)
+
+    def pct(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g[value_col].to_numpy(dtype=np.float64))
+        n = len(v)
+        row = {k: [g[k].iloc[0]] for k in key_cols}
+        row["n"] = [np.int64(n)]
+        for q in quantiles:
+            h = q * (n - 1)
+            lo = int(np.floor(h))
+            hi = min(lo + 1, n - 1)
+            row[f"p{int(q * 100)}_cont"] = [v[lo] + (h - lo) * (v[hi] - v[lo])]
+        return pd.DataFrame(row)
+
+    return ds.groupby(key_cols).map_groups(pct, batch_format="pandas")

@@ -418,3 +418,20 @@ def test_quantize_embeddings_exact_and_bounded():
     rec = v["code"].to_numpy() * v["scale"].to_numpy() / 127.0
     assert np.abs(rec - vecs[3].astype(np.float64)).max() \
         <= v["scale"].iloc[0] / 127.0 / 2 + 1e-12
+
+
+def test_percentiles_cont_matches_numpy():
+    from openmrs_module_epts_etl_ray.stages.windows import (
+        grouped_percentiles_cont)
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame({"k": rng.choice(list("ab"), 200),
+                       "v": rng.normal(size=200)})
+    out = grouped_percentiles_cont(rd.from_pandas(df), ["k"], "v") \
+        .to_pandas().set_index("k")
+    for k, sub in df.groupby("k"):
+        for q, col in [(0.5, "p50_cont"), (0.9, "p90_cont"),
+                       (0.99, "p99_cont")]:
+            # numpy 'linear' is the same type-7 rule
+            assert out.loc[k, col] == pytest.approx(
+                np.quantile(sub["v"].to_numpy(), q), abs=1e-12)
