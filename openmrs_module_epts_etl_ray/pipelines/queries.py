@@ -4097,3 +4097,46 @@ GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY rev_ccents DESC, l_orderkey
 LIMIT 10
 """
+
+
+def q_triangle_count(sf_dir: str):
+    """Global triangle count (stages/graph.py::triangle_count — Cohen
+    wedge-generation + bloom-closed semi-join) over a deterministic
+    97-node ring-with-chords graph derived from doc ids."""
+    from ..stages.graph import triangle_count
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        x = pc.cast(pc.bit_wise_and(t["doc_id"], pa.scalar(0x7FFFFFFF)),
+                    pa.int64())
+        m = pa.scalar(97, pa.int64())
+        a = pc.cast(pc.subtract(x, pc.multiply(pc.divide(x, m), m)),
+                    pa.int64())
+        nxt = pc.subtract(pc.add(a, 1), pc.multiply(
+            pc.divide(pc.add(a, 1), m), m))
+        skip = pc.subtract(pc.add(a, 2), pc.multiply(
+            pc.divide(pc.add(a, 2), m), m))
+        return pa.table({
+            "src": pa.concat_arrays([a.combine_chunks(),
+                                     a.combine_chunks()]),
+            "dst": pa.concat_arrays([nxt.combine_chunks(),
+                                     skip.combine_chunks()]),
+        })
+
+    return triangle_count(docs.map_batches(edges, batch_format="pyarrow"))
+
+
+QUERIES["triangle_count"] = q_triangle_count
+
+ORACLE_SQL["triangle_count"] = """
+WITH n(x) AS (SELECT DISTINCT doc_id % 97 FROM documents),
+e0 AS (SELECT x AS a, (x + 1) % 97 AS b FROM n
+       UNION SELECT x, (x + 2) % 97 FROM n),
+e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+      FROM e0 WHERE a <> b)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+"""

@@ -230,3 +230,70 @@ def _pagerank_join(edges, src, dst, damping, iterations, num_buckets):
 def _join_parts() -> int:
     from .joins import _default_partitions
     return _default_partitions()
+
+
+def triangle_count(
+    edges: rd.Dataset,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: int = 10_000,
+) -> rd.Dataset:
+    """Global triangle count of an undirected graph — the subgraph-counting
+    companion to pagerank/CC (dedup-graph density and community diagnostics).
+
+    Cohen's MapReduce shape, Ray-Data-first: canonicalize edges to
+    ``u < v`` (dedup), build each LOW node's sorted neighbor list in one
+    key exchange, emit wedges ``(v, w), v < w`` per neighbor pair, then
+    count wedges that close against the edge set — here via the broadcast
+    bloom + exact membership probe (``stages/joins.py::semi_join``
+    machinery) so the closing join ships no edge bytes at all when the
+    edge relation fits the broadcast threshold, and falls back to the
+    hash semi-join when it doesn't.
+
+    Wedge volume is Σ deg(u)² over low endpoints — the hub guard caps the
+    neighbor list at ``max_degree`` (documented approximation above it;
+    exact below, which a dedup-similarity graph with banding guards always
+    is). Returns one row: ``n_triangles``."""
+    import pyarrow.compute as pc
+
+    from .joins import semi_join
+    from .pivot import distinct_keys
+
+    def canon(t: pa.Table) -> pa.Table:
+        u = pc.min_element_wise(t[src], t[dst])
+        v = pc.max_element_wise(t[src], t[dst])
+        keep = pc.not_equal(u, v)  # drop self loops
+        return pa.table({"u": pc.cast(u, pa.int64()),
+                         "v": pc.cast(v, pa.int64())}).filter(keep)
+
+    ce = distinct_keys(edges.map_batches(canon, batch_format="pyarrow"),
+                       ["u", "v"]).materialize()
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        outs_u, outs_v, outs_w = [], [], []
+        for u, sub in g.groupby("u", sort=False):
+            nb = np.sort(sub["v"].to_numpy())[:max_degree]
+            if len(nb) < 2:
+                continue
+            ia, ib = np.triu_indices(len(nb), k=1)
+            outs_u.append(np.full(len(ia), u, np.int64))
+            outs_v.append(nb[ia])
+            outs_w.append(nb[ib])
+        if not outs_u:
+            return pd.DataFrame({"u": pd.Series([], dtype="int64"),
+                                 "v": pd.Series([], dtype="int64"),
+                                 "w": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"u": np.concatenate(outs_u),
+                             "v": np.concatenate(outs_v),
+                             "w": np.concatenate(outs_w)})
+
+    # adjacency per low endpoint: one key exchange (groupby u)
+    wed = ce.groupby("u").map_groups(wedges, batch_format="pandas")
+    # wedge (u, v, w) closes iff edge (v, w) exists (v < w by construction)
+    closed = semi_join(
+        wed.map_batches(lambda t: t.rename_columns(["w_u", "u", "v"]),
+                        batch_format="pyarrow"),
+        ce, ["u", "v"])
+    n = closed.count()
+    return rd.from_arrow(pa.table({"n_triangles": pa.array([n], pa.int64())}))

@@ -435,3 +435,19 @@ def test_percentiles_cont_matches_numpy():
             # numpy 'linear' is the same type-7 rule
             assert out.loc[k, col] == pytest.approx(
                 np.quantile(sub["v"].to_numpy(), q), abs=1e-12)
+
+
+def test_triangle_count_matches_bruteforce():
+    from openmrs_module_epts_etl_ray.stages.graph import triangle_count
+
+    rng = np.random.default_rng(6)
+    n_nodes, n_edges = 30, 120
+    e = rng.integers(0, n_nodes, (n_edges, 2))
+    df = pd.DataFrame({"src": e[:, 0], "dst": e[:, 1]})
+    got = triangle_count(rd.from_pandas(df)).to_pandas()["n_triangles"][0]
+    # brute force over canonical undirected edge set
+    es = {(min(a, b), max(a, b)) for a, b in e if a != b}
+    import itertools
+    want = sum(1 for a, b, c in itertools.combinations(range(n_nodes), 3)
+               if (a, b) in es and (a, c) in es and (b, c) in es)
+    assert got == want and want > 0
