@@ -4140,3 +4140,24 @@ FROM e e1
 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
 JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
 """
+
+
+def q_value_percent_rank(sf_dir: str):
+    """percent_rank per event_type (stages/windows.py::
+    grouped_percent_rank): tie-sharing SQL rank semantics, one exact IEEE
+    division — engine-independent doubles."""
+    from ..stages.windows import grouped_percent_rank
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value"])
+    return grouped_percent_rank(ev, ["event_type"], "value")
+
+
+QUERIES["value_percent_rank"] = q_value_percent_rank
+
+ORACLE_SQL["value_percent_rank"] = """
+SELECT event_id, event_type, value,
+       percent_rank() OVER (PARTITION BY event_type ORDER BY value)
+         AS pct_rank
+FROM events
+"""

@@ -558,3 +558,60 @@ def grouped_percentiles_cont(
         return pd.DataFrame(row)
 
     return ds.groupby(key_cols).map_groups(pct, batch_format="pandas")
+
+
+def grouped_percent_rank(
+    ds: rd.Dataset,
+    key_cols: list[str],
+    value_col: str,
+    *,
+    out_col: str = "pct_rank",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """SQL ``percent_rank() OVER (PARTITION BY keys ORDER BY value)`` per
+    row: ``(rank - 1) / (n - 1)`` with rank = 1 + count of strictly
+    smaller values in the partition (ties share a rank, exactly the SQL
+    rule; single-row partitions get 0.0).  One key exchange; per bucket a
+    sort + searchsorted per partition — the rank is a pure count, and the
+    one division is a single exact IEEE op, so any engine computes the
+    identical double."""
+    import pyarrow as pa
+
+    from ..functions.hashing import key_hash
+
+    key_cols = list(key_cols)
+    nb = num_buckets or 32
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = (key_hash(t, tuple(key_cols)) % np.uint64(nb)).astype(np.int64)
+        return t.append_column("_b", pa.array(b))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        # fully vectorized across ALL partitions in the bucket (a per-key
+        # Python loop is the map_groups-overhead trap at high key
+        # cardinality): lexsort by (key, value), rank = first index of the
+        # equal-value run relative to the partition start
+        g = g.drop(columns=["_b"]).reset_index(drop=True)
+        codes, _ = pd.factorize(
+            pd.MultiIndex.from_frame(g[key_cols]) if len(key_cols) > 1
+            else g[key_cols[0]], sort=False)
+        v = g[value_col].to_numpy()
+        order = np.lexsort((v, codes))
+        c_s, v_s = codes[order], v[order]
+        n = len(c_s)
+        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+        sizes = np.diff(np.r_[starts, n])
+        new_run = np.r_[True, (c_s[1:] != c_s[:-1]) | (v_s[1:] != v_s[:-1])]
+        run_start = np.maximum.accumulate(
+            np.where(new_run, np.arange(n), 0))
+        grp_start = np.repeat(starts, sizes)
+        grp_n = np.repeat(sizes, sizes)
+        rank0 = run_start - grp_start  # count of strictly smaller values
+        pr_sorted = np.where(grp_n > 1,
+                             rank0 / np.maximum(grp_n - 1, 1), 0.0)
+        pr = np.empty(n)
+        pr[order] = pr_sorted
+        return g.assign(**{out_col: pr})
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_b").map_groups(fold, batch_format="pandas")

@@ -451,3 +451,33 @@ def test_triangle_count_matches_bruteforce():
     want = sum(1 for a, b, c in itertools.combinations(range(n_nodes), 3)
                if (a, b) in es and (a, c) in es and (b, c) in es)
     assert got == want and want > 0
+
+
+def test_percent_rank_ties_and_singletons():
+    from openmrs_module_epts_etl_ray.stages.windows import (
+        grouped_percent_rank)
+
+    df = pd.DataFrame({"k": ["a"] * 5 + ["b"],
+                       "v": [10, 20, 20, 30, 40, 7],
+                       "i": range(6)})
+    out = grouped_percent_rank(rd.from_pandas(df), ["k"], "v") \
+        .to_pandas().sort_values("i")
+    # a: ranks 1,2,2,4,5 -> (r-1)/4 = 0, .25, .25, .75, 1
+    assert out[out["k"] == "a"]["pct_rank"].tolist() == [0, .25, .25, .75, 1]
+    assert out[out["k"] == "b"]["pct_rank"].tolist() == [0.0]
+
+
+def test_percent_rank_many_partitions_vectorized():
+    from openmrs_module_epts_etl_ray.stages.windows import (
+        grouped_percent_rank)
+
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame({"k": rng.integers(0, 500, 3000).astype(str),
+                       "v": rng.integers(0, 40, 3000),
+                       "i": range(3000)})
+    out = grouped_percent_rank(rd.from_pandas(df), ["k"], "v") \
+        .to_pandas().sort_values("i").reset_index(drop=True)
+    want = df.groupby("k")["v"].rank(method="min") \
+        .sub(1).div(df.groupby("k")["v"].transform("size").sub(1)
+                    .clip(lower=1)).fillna(0).to_numpy()
+    assert np.allclose(out["pct_rank"].to_numpy(), want)
