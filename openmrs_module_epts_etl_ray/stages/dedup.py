@@ -1254,9 +1254,10 @@ def fuzzy_pairs(
         m, ln = _pad(bs)
         out_id, out_vh, out_nm = [], [], []
         # identity variant (covers distance-0 and the deleted-side of ins/del)
+        names_arr = np.asarray(names, dtype=object)
         out_id.append(ids)
         out_vh.append(_col_hash(m, ln))
-        out_nm.append(np.asarray(names, dtype=object))
+        out_nm.append(names_arr)
         short = ln <= max_len
         w = m.shape[1]
         for p in range(min(w, max_len)):
@@ -1266,7 +1267,7 @@ def fuzzy_pairs(
             dm = np.concatenate([m[rows, :p], m[rows, p + 1:]], axis=1)
             out_id.append(ids[rows])
             out_vh.append(_col_hash(dm, ln[rows] - 1))
-            out_nm.append(np.asarray(names, dtype=object)[rows])
+            out_nm.append(names_arr[rows])
         return pd.DataFrame({
             id_col: np.concatenate(out_id),
             name_col: np.concatenate(out_nm),

@@ -116,46 +116,19 @@ def reconciliation_plan(
     """Corrective-action plan converging ``dst`` onto ``src`` — the
     reference's data-reconciliation process (missing-in-destination ->
     INSERT, payload drift -> UPDATE, phantom destination row -> DELETE;
-    ``SURVEY.md §2.9``; the reference derives the same three verdicts from
-    its missing/changed-records detectors before re-syncing).
+    ``SURVEY.md §2.9``).  A thin relabeling of :func:`reconcile` (same
+    one-shuffle three-way diff, same null-aware comparison): missing ->
+    insert, outdated -> update, phantom -> delete.  Keys present and equal
+    on both sides emit no action.  Output: key cols + ``action`` — feed it
+    to ``replay`` / ``quick_merge`` as the corrective event stream."""
+    verdicts = reconcile(src, dst, key_cols, compare_cols,
+                         num_buckets=num_partitions or 32)
+    mapping = {"missing": "insert", "outdated": "update",
+               "phantom": "delete"}
 
-    One cogroup full-outer pass (``stages/joins.py::_full_outer_cogroup``
-    via ``full_outer_join`` — task-based, single exchange), then a
-    vectorized classify; keys present and byte-equal on both sides emit no
-    action.  Output: key cols + ``action`` — feed it to ``replay`` /
-    ``quick_merge`` as the corrective event stream."""
-    import numpy as np
-
-    from .joins import full_outer_join
-
-    rsuf = "_dst"
-
-    def _mark(t: pa.Table) -> pa.Table:
-        # explicit presence marker: after the outer join an absent side is
-        # all-null, which payload nullness alone cannot distinguish from a
-        # present row whose compare columns are legitimately null
-        return t.append_column("_p", pa.array(np.ones(len(t), np.int8)))
-
-    joined = full_outer_join(
-        src.select_columns(key_cols + compare_cols).map_batches(
-            _mark, batch_format="pyarrow"),
-        dst.select_columns(key_cols + compare_cols).map_batches(
-            _mark, batch_format="pyarrow"),
-        key_cols, num_partitions=num_partitions, right_suffix=rsuf)
-
-    def classify(df: pd.DataFrame) -> pd.DataFrame:
-        src_present = df["_p"].notna().to_numpy()
-        dst_present = df["_p" + rsuf].notna().to_numpy()
-        same = np.ones(len(df), bool)
-        for c in compare_cols:
-            a, b = df[c], df[c + rsuf]
-            same &= (a.eq(b) | (a.isna() & b.isna())).to_numpy()
-        action = np.where(
-            ~dst_present, "insert",
-            np.where(~src_present, "delete",
-                     np.where(same, "", "update")))
-        out = df.loc[action != "", key_cols].copy()
-        out["action"] = action[action != ""]
+    def relabel(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[list(key_cols)].copy()
+        out["action"] = df["reason"].map(mapping)
         return out
 
-    return joined.map_batches(classify, batch_format="pandas")
+    return verdicts.map_batches(relabel, batch_format="pandas")

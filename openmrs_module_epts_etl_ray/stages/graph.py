@@ -270,14 +270,34 @@ def triangle_count(
     ce = distinct_keys(edges.map_batches(canon, batch_format="pyarrow"),
                        ["u", "v"]).materialize()
 
+    # COARSE-bucket the low endpoint: grouping the exchange on raw u would
+    # invoke Python once per node (the map_groups-call-overhead trap
+    # documented at dedup._bucket_pairs); inside one coarse group the
+    # per-node wedge emission only loops over nodes with degree >= 2
+    n_coarse = 256
+
+    def add_coarse(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        u = t["u"].to_numpy()
+        with np.errstate(over="ignore"):
+            h = u.astype(np.uint64) * np.uint64(0xFF51AFD7ED558CCD)
+            h ^= h >> np.uint64(33)
+        return t.append_column("_c", pa.array(
+            (h % np.uint64(n_coarse)).astype(np.int64)))
+
     def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["u", "v"], kind="stable")
+        u_all = g["u"].to_numpy()
+        v_all = g["v"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, u_all[1:] != u_all[:-1]])
+        ends = np.r_[starts[1:], len(u_all)]
         outs_u, outs_v, outs_w = [], [], []
-        for u, sub in g.groupby("u", sort=False):
-            nb = np.sort(sub["v"].to_numpy())[:max_degree]
-            if len(nb) < 2:
+        for lo, hi in zip(starts, ends):
+            if hi - lo < 2:
                 continue
+            nb = v_all[lo:min(hi, lo + max_degree)]
             ia, ib = np.triu_indices(len(nb), k=1)
-            outs_u.append(np.full(len(ia), u, np.int64))
+            outs_u.append(np.full(len(ia), u_all[lo], np.int64))
             outs_v.append(nb[ia])
             outs_w.append(nb[ib])
         if not outs_u:
@@ -288,8 +308,10 @@ def triangle_count(
                              "v": np.concatenate(outs_v),
                              "w": np.concatenate(outs_w)})
 
-    # adjacency per low endpoint: one key exchange (groupby u)
-    wed = ce.groupby("u").map_groups(wedges, batch_format="pandas")
+    wed = ce.map_batches(add_coarse, batch_format="pyarrow") \
+        .groupby("_c").map_groups(
+            lambda g: wedges(g.drop(columns=["_c"])),
+            batch_format="pandas")
     # wedge (u, v, w) closes iff edge (v, w) exists (v < w by construction)
     closed = semi_join(
         wed.map_batches(lambda t: t.rename_columns(["w_u", "u", "v"]),

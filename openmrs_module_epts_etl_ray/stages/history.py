@@ -200,6 +200,18 @@ def retention_cohorts(
     return bucketed_sum(partials, ["cohort", "offset"], ["n_users"])
 
 
+def _elect_winners(df, key_cols, lsn_col, cut_lsn):
+    """Per key: the final winner (side 1) and the winner at
+    ``lsn <= cut_lsn`` (side 0) — shared by :func:`snapshot_diff` and
+    :func:`incremental_group_agg` (partial AND final phases: the election
+    is idempotent, so re-electing over concatenated partials is exact)."""
+    df = df.sort_values(lsn_col, ascending=False, kind="stable")
+    new_w = df.drop_duplicates(key_cols, keep="first").assign(_side=1)
+    old_w = df[df[lsn_col] <= cut_lsn] \
+        .drop_duplicates(key_cols, keep="first").assign(_side=0)
+    return pd.concat([old_w, new_w], ignore_index=True)
+
+
 def snapshot_diff(
     events,
     cut_lsn: int,
@@ -234,12 +246,7 @@ def snapshot_diff(
     cols = key_cols + [lsn_col, content_col, op_col]
 
     def _elect(df: pd.DataFrame) -> pd.DataFrame:
-        """Winner per (key, side): side 0 = lsn <= cut, side 1 = final."""
-        df = df.sort_values(lsn_col, ascending=False, kind="stable")
-        new_w = df.drop_duplicates(key_cols, keep="first").assign(_side=1)
-        old_w = df[df[lsn_col] <= cut_lsn] \
-            .drop_duplicates(key_cols, keep="first").assign(_side=0)
-        return pd.concat([old_w, new_w], ignore_index=True)
+        return _elect_winners(df, key_cols, lsn_col, cut_lsn)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         w = _elect(df[cols])
@@ -311,11 +318,7 @@ def incremental_group_agg(
         key_cols + [lsn_col, op_col, group_col, val_col]))
 
     def _elect2(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(lsn_col, ascending=False, kind="stable")
-        new_w = df.drop_duplicates(key_cols, keep="first").assign(_side=1)
-        old_w = df[df[lsn_col] <= cut_lsn] \
-            .drop_duplicates(key_cols, keep="first").assign(_side=0)
-        return pd.concat([old_w, new_w], ignore_index=True)
+        return _elect_winners(df, key_cols, lsn_col, cut_lsn)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         w = _elect2(df[cols])

@@ -317,7 +317,9 @@ def multi_stream_lww(
     def _partial(df: pd.DataFrame) -> pd.DataFrame:
         w = df.sort_values(by, ascending=asc, kind="stable") \
               .drop_duplicates(key_cols, keep="first")
-        t = pa.Table.from_pandas(w, preserve_index=False)
+        # hash needs only the key columns — converting the whole collapsed
+        # frame would copy every payload column per block
+        t = pa.Table.from_pandas(w[key_cols], preserve_index=False)
         b = (key_hash(t, tuple(key_cols)) % np.uint64(num_buckets)
              ).astype(np.int64)
         return w.assign(**{BUCKET_COL: b})

@@ -343,18 +343,29 @@ def grouped_concat(
         return t.append_column("_b", pa.array(b))
 
     def fold(g: pd.DataFrame) -> pa.Table:
+        # SQL string_agg SKIPS null values (a fillna('') would instead emit
+        # an empty field with separators); a group whose values are ALL
+        # null still appears, with a null aggregate
         g = g.sort_values(key_cols + order_cols, kind="stable")
         codes, _ = pd.factorize(
             pd.MultiIndex.from_frame(g[key_cols]) if len(key_cols) > 1
             else g[key_cols[0]], sort=False)
         bounds = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
-        offsets = np.r_[bounds, len(codes)].astype(np.int32)
-        vals = pa.array(g[value_col].fillna("").to_numpy(), pa.string())
-        lists = pa.ListArray.from_arrays(pa.array(offsets), vals)
-        joined = pc.binary_join(lists, sep)
         head = g.iloc[bounds]
+        nn = g[value_col].notna().to_numpy()
+        gnn, cnn = g[nn], codes[nn]
+        full = np.full(len(bounds), None, dtype=object)
+        if len(cnn):
+            b_nn = np.flatnonzero(np.r_[True, cnn[1:] != cnn[:-1]])
+            offsets = np.r_[b_nn, len(cnn)].astype(np.int32)
+            vals = pa.array(gnn[value_col].to_numpy(), pa.string())
+            joined = pc.binary_join(
+                pa.ListArray.from_arrays(pa.array(offsets), vals), sep)
+            # scatter non-null-group aggregates onto the full group list
+            pos = np.searchsorted(codes[bounds], cnn[b_nn])
+            full[pos] = np.asarray(joined.to_pylist(), dtype=object)
         out = {k: pa.array(head[k].to_numpy()) for k in key_cols}
-        out[out_col] = joined
+        out[out_col] = pa.array(full, pa.string())
         return pa.table(out)
 
     return ds.map_batches(tag, batch_format="pyarrow") \

@@ -383,13 +383,13 @@ def quantize_embeddings(
     import pyarrow as pa
 
     def quant(batch: pd.DataFrame) -> pa.Table:
-        M = _to_matrix(batch[vec_col]).astype(np.float64)
-        n, dim = M.shape if M.size else (0, 0)
-        if n == 0:
+        if len(batch) == 0:  # np.stack inside _to_matrix rejects empty
             return pa.table({id_col: pa.array([], pa.int64()),
                              "pos": pa.array([], pa.int64()),
                              "scale": pa.array([], pa.float64()),
                              "code": pa.array([], pa.int64())})
+        M = _to_matrix(batch[vec_col]).astype(np.float64)
+        n, dim = M.shape
         scale = np.abs(M).max(axis=1)
         safe = np.where(scale == 0, 1.0, scale)
         codes = np.floor(M / safe[:, None] * 127.0 + 0.5).astype(np.int64)

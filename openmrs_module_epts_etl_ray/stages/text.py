@@ -512,7 +512,12 @@ def normalize_text(
                 type=sa.type)
             s = pc.replace_with_mask(sa, mask, fixed)
         s = pc.replace_substring_regex(s, r"\s+", " ")
-        s = pc.utf8_trim_whitespace(s)
+        # space-only trim: DuckDB's trim() strips spaces, and the RE2 \s
+        # collapse already reduced every boundary [\t\n\f\r ] run to one
+        # space — utf8_trim_whitespace would ALSO strip Unicode whitespace
+        # (U+000B, U+2028, ...) that RE2 \s does not match, diverging from
+        # the portable rule
+        s = pc.utf8_trim(s, " ")
         cols = {c: t[c] for c in t.column_names}
         cols[dst] = s
         cols[sha_col] = sha256_hex(s)

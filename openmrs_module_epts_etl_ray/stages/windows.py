@@ -200,7 +200,7 @@ def grouped_percentiles(
         row = {k: [g[k].iloc[0]] for k in key_cols}
         row["n"] = [np.int64(n)]
         for q in quantiles:
-            row[f"p{int(q * 100)}"] = [v[int(np.floor(q * (n - 1)))]]
+            row[f"p{round(q * 100)}"] = [v[int(np.floor(q * (n - 1)))]]
         return pd.DataFrame(row)
 
     return ds.groupby(key_cols).map_groups(pct, batch_format="pandas")
@@ -554,7 +554,7 @@ def grouped_percentiles_cont(
             h = q * (n - 1)
             lo = int(np.floor(h))
             hi = min(lo + 1, n - 1)
-            row[f"p{int(q * 100)}_cont"] = [v[lo] + (h - lo) * (v[hi] - v[lo])]
+            row[f"p{round(q * 100)}_cont"] = [v[lo] + (h - lo) * (v[hi] - v[lo])]
         return pd.DataFrame(row)
 
     return ds.groupby(key_cols).map_groups(pct, batch_format="pandas")
