@@ -66,7 +66,7 @@ BENCH_QUERIES = [
     "extract_fields", "bm25_search", "cube_revenue", "user_journeys",
     "context_windows", "incremental_agg", "intersect_extracts",
     "quantize_embeddings", "value_percentiles_cont", "shipping_priority",
-    "triangle_count", "value_percent_rank",
+    "triangle_count", "value_percent_rank", "table_checksum",
 ]
 
 

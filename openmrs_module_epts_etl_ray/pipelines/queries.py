@@ -4161,3 +4161,31 @@ SELECT event_id, event_type, value,
          AS pct_rank
 FROM events
 """
+
+
+def q_table_checksum(sf_dir: str):
+    """Replica-comparison checksum (stages/validate.py::table_checksum):
+    16 bucketed (n_rows, checksum) rows over customer — content equality
+    without moving rows (pt-table-checksum shape)."""
+    from ..stages.validate import table_checksum
+
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_name", "c_mktsegment"])
+    return table_checksum(cust, ["c_custkey", "c_name", "c_mktsegment"])
+
+
+QUERIES["table_checksum"] = q_table_checksum
+
+_CK_DIGIT = "(strpos('0123456789abcdef', substr(sha, {i}, 1)) - 1)"
+_CK_TERMS = " + ".join(
+    f"{_CK_DIGIT.format(i=i + 2)} * {16 ** (11 - i)}" for i in range(12))
+ORACLE_SQL["table_checksum"] = f"""
+WITH r AS (
+  SELECT sha256(CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' ||
+                c_mktsegment) AS sha
+  FROM customer)
+SELECT CAST({_CK_DIGIT.format(i=1)} % 16 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum({_CK_TERMS}) AS BIGINT) AS checksum
+FROM r GROUP BY 1
+"""

@@ -98,3 +98,61 @@ def read_dead_letters(dead_letter_dir: str) -> pa.Table:
         return pa.table({})
     return pa.concat_tables([pq.read_table(f) for f in files],
                             promote_options="default")
+
+
+def table_checksum(
+    ds,
+    cols: list[str],
+    *,
+    num_buckets: int = 16,
+) -> "rd.Dataset":
+    """Order-independent bucketed content checksum — the replica-comparison
+    primitive (pt-table-checksum shape): two tables are content-equal iff
+    every bucket's (n_rows, checksum) matches, and a mismatch narrows the
+    diff to one bucket without moving any rows.  Used after a replay to
+    cheaply compare source and destination at 10^10 rows: only
+    ``num_buckets`` tiny rows ever leave the workers.
+
+    Per row: sha256 over the '|'-joined column values (nulls -> '\\0'
+    sentinel); the first hex char routes the bucket, the next 12 hex chars
+    parse as an int48 summand.  Addition is commutative, so the result is
+    independent of block count, ordering, and partitioning — and every
+    step (string concat, sha256, hex-digit arithmetic, SUM) is exactly
+    expressible in SQL, making the checksum portable across engines."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..functions.hashing import sha256_hex
+
+    def partial(t: pa.Table) -> pa.Table:
+        parts = [pc.fill_null(pc.cast(t[c], pa.string()), "\x00")
+                 for c in cols]
+        joined = parts[0] if len(parts) == 1 else \
+            pc.binary_join_element_wise(*parts, "|")
+        sha = sha256_hex(joined)
+        if isinstance(sha, pa.ChunkedArray):
+            sha = sha.combine_chunks()
+        # ascii hex chars of the first 13 digits, vectorized parse
+        head = pc.utf8_slice_codeunits(sha, 0, 13)
+        if isinstance(head, pa.ChunkedArray):
+            head = head.combine_chunks()
+        buf = np.frombuffer(head.buffers()[2], np.uint8,
+                            count=13 * len(t)).reshape(len(t), 13) \
+            if len(t) else np.zeros((0, 13), np.uint8)
+        dig = np.where(buf > 57, buf - 87, buf - 48).astype(np.int64)
+        bucket = dig[:, 0] % num_buckets
+        w = (16 ** np.arange(11, -1, -1)).astype(np.int64)
+        val = dig[:, 1:] @ w
+        df = pd.DataFrame({"bucket": bucket, "n_rows": 1, "checksum": val})
+        agg = df.groupby("bucket", as_index=False).sum()
+        for c in ["n_rows", "checksum"]:
+            agg[c] = agg[c].astype("int64")
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    from .pivot import bucketed_sum
+
+    return bucketed_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                        ["bucket"], ["n_rows", "checksum"])

@@ -481,3 +481,26 @@ def test_percent_rank_many_partitions_vectorized():
         .sub(1).div(df.groupby("k")["v"].transform("size").sub(1)
                     .clip(lower=1)).fillna(0).to_numpy()
     assert np.allclose(out["pct_rank"].to_numpy(), want)
+
+
+def test_table_checksum_order_and_partition_invariant():
+    from openmrs_module_epts_etl_ray.stages.validate import table_checksum
+
+    df = pd.DataFrame({"id": range(100),
+                       "name": [f"n{i}" for i in range(100)]})
+    a = table_checksum(rd.from_pandas(df), ["id", "name"]) \
+        .to_pandas().sort_values("bucket").reset_index(drop=True)
+    # shuffled row order + different partitioning -> identical checksums
+    shuf = df.sample(frac=1, random_state=3)
+    b = table_checksum(rd.from_pandas(shuf).repartition(7), ["id", "name"]) \
+        .to_pandas().sort_values("bucket").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # a single-row change flips exactly that row's bucket
+    df2 = df.copy()
+    df2.loc[5, "name"] = "CHANGED"
+    c = table_checksum(rd.from_pandas(df2), ["id", "name"]) \
+        .to_pandas().sort_values("bucket").reset_index(drop=True)
+    diff = a.merge(c, on="bucket", suffixes=("_a", "_c"))
+    changed = diff[diff["checksum_a"] != diff["checksum_c"]]
+    assert 1 <= len(changed) <= 2  # old bucket and/or new bucket
+    assert int(a["n_rows"].sum()) == 100
