@@ -67,6 +67,45 @@ BENCH_QUERIES = [
     "context_windows", "incremental_agg", "intersect_extracts",
     "quantize_embeddings", "value_percentiles_cont", "shipping_priority",
     "triangle_count", "value_percent_rank", "table_checksum",
+    # full-catalog sweep (every queries() entry is timed)
+    "ann_ivf_topk",
+    "approx_distinct_users",
+    "cdc_replay_compacted",
+    "cdc_replay_windowed",
+    "changed_records",
+    "corpus_prep",
+    "deterministic_sample",
+    "distinct_flag_status",
+    "distinct_users_exact",
+    "except_extracts",
+    "export_roundtrip",
+    "fields_mapping",
+    "filter_predicate",
+    "fk_remap",
+    "hash_split",
+    "hopping_window",
+    "id_collision_repoint",
+    "jaccard_pairs",
+    "lineage_rollup",
+    "load_merge_from_json",
+    "lookup_datasource_required",
+    "media_features",
+    "media_frames",
+    "media_resize",
+    "multi_dst_fanout",
+    "near_dup_clusters",
+    "new_and_changed",
+    "priority_big_lineitem_orders",
+    "quality_scores",
+    "schema_evolution",
+    "session_windows",
+    "surrogate_ids",
+    "table_profile",
+    "top_orders",
+    "top_orders_per_segment",
+    "union_extracts",
+    "value_percentiles",
+    "value_percentiles_approx",
 ]
 
 

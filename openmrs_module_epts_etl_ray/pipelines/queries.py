@@ -160,7 +160,9 @@ def q_cdc_replay_windowed(sf_dir: str):
     """Micro-batch resume (ST3/F6): the same replay split into three LSN
     windows over a fresh lake — final state must equal the single-shot
     replay (and its oracle)."""
-    events = events_from_documents(sf_dir)
+    # materialize once: three replay windows + the max() probe would
+    # otherwise re-execute the event build four times
+    events = events_from_documents(sf_dir).materialize()
     lake = _scratch("cdc_lake_w")
     hi = int(events.max("lsn"))
     cuts = [hi // 3, (2 * hi) // 3, hi]

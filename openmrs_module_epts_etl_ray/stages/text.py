@@ -114,14 +114,20 @@ def term_doc_frequency(
     # PANDAS blocks (measured 15-50x slower at >=1k groups/block); Arrow
     # blocks take the vectorized path, and vocabulary-sized partials are
     # exactly the many-groups case.
-    def df_partial(df: pd.DataFrame) -> "pa.Table":
+    def df_partial(t: "pa.Table") -> "pa.Table":
+        # DECLARED pyarrow: the batch_format of the UDF fused into the
+        # aggregate decides the combine path — a pandas-declared UDF sends
+        # the sort-aggregate through its per-group Python loop even when
+        # the UDF RETURNS Arrow (measured 8.5 s vs 1.1 s on a 3.8k-group
+        # aggregate)
         import pyarrow as pa
+        df = t.to_pandas()
         out = df.groupby("term", as_index=False, sort=False).size()
         return pa.table({"term": out["term"].to_numpy(),
                          "df": out["size"].to_numpy().astype("int64")})
 
     from ray.data.aggregate import Sum
-    df_rel = tf.map_batches(df_partial, batch_format="pandas") \
+    df_rel = tf.map_batches(df_partial, batch_format="pyarrow") \
                .groupby("term").aggregate(Sum("df", alias_name="df"))
 
     keep = tf if min_tf <= 1 else tf.map_batches(
@@ -171,7 +177,9 @@ def tfidf_top_terms(
     import ray
     from ray.data.aggregate import Sum
 
-    def df_partial(df: pd.DataFrame) -> pa.Table:
+    def df_partial(t: pa.Table) -> pa.Table:
+        # declared pyarrow — see term_doc_freq.df_partial
+        df = t.to_pandas()
         toks = df[text_col].fillna("").str.split(" ")
         n = toks.str.len().fillna(0).astype(int).to_numpy()
         flat = pd.DataFrame({
@@ -185,7 +193,7 @@ def tfidf_top_terms(
         return pa.table({"term": out["term"].to_numpy(),
                          "df": out["size"].to_numpy().astype("int64")})
 
-    df_rel = ds.map_batches(df_partial, batch_format="pandas") \
+    df_rel = ds.map_batches(df_partial, batch_format="pyarrow") \
                .groupby("term").aggregate(Sum("df", alias_name="df"))
     if min_df > 1:
         df_rel = df_rel.map_batches(lambda d: d[d["df"] >= min_df],
@@ -245,8 +253,10 @@ def top_terms(
 
     from ray.data.aggregate import Sum
 
-    def partial(df: pd.DataFrame) -> "pa.Table":
+    def partial(t: "pa.Table") -> "pa.Table":
+        # declared pyarrow — see term_doc_freq.df_partial
         import pyarrow as pa
+        df = t.to_pandas()
         toks = df[text_col].fillna("").str.split(" ")
         flat = pd.Series(np.concatenate(
             [t for t in toks if len(t)] or [np.array([], dtype=object)]))
@@ -255,7 +265,7 @@ def top_terms(
         return pa.table({"term": out.index.to_numpy(),
                          "n": out.to_numpy().astype("int64")})
 
-    counts = ds.map_batches(partial, batch_format="pandas") \
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("term").aggregate(Sum("n", alias_name="n"))
     return counts.sort(["n", "term"], descending=[True, False]).limit(k)
 
@@ -634,22 +644,28 @@ def bm25_search(
     idf = {t: np.log((n_docs - c + 0.5) / (c + 0.5) + 1.0)
            for t, c in df_counts.items()}
 
-    def score(df: pd.DataFrame) -> pd.DataFrame:
-        d = df[df[id_col] != -1]
-        if not len(d):
-            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
-                                 "cell": pd.Series([], dtype="int64")})
-        w = d["term"].map(idf).to_numpy(dtype=np.float64)
-        tf = d["tf"].to_numpy(dtype=np.float64)
-        dl = d["dl"].to_numpy(dtype=np.float64)
+    import pyarrow.compute as pc
+
+    terms_arr = pa.array(qset, pa.string())
+    idf_arr = pa.array([idf[t] for t in qset], pa.float64())
+
+    def score(t: pa.Table) -> pa.Table:
+        # DECLARED pyarrow: a pandas-declared UDF fused into the aggregate
+        # routes the combine through the per-group Python loop even when
+        # it RETURNS Arrow (measured 8.5 s vs 1.1 s at 3.8k groups)
+        d = t.filter(pc.not_equal(t[id_col], -1))
+        ti = pc.index_in(d["term"], value_set=terms_arr)
+        w = pc.take(idf_arr, ti).to_numpy(zero_copy_only=False)
+        tf = d["tf"].to_numpy().astype(np.float64)
+        dl = d["dl"].to_numpy().astype(np.float64)
         s = w * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
-        return pd.DataFrame({
-            id_col: d[id_col].to_numpy(),
-            "cell": np.floor(s * 1e9).astype("int64"),
+        return pa.table({
+            id_col: d[id_col],
+            "cell": pa.array(np.floor(s * 1e9).astype("int64")),
         })
 
     from ray.data.aggregate import Sum
-    scored = rel.map_batches(score, batch_format="pandas") \
+    scored = rel.map_batches(score, batch_format="pyarrow") \
         .groupby(id_col).aggregate(Sum("cell", alias_name="score_e9"))
     return scored.sort(["score_e9", id_col],
                        descending=[True, False]).limit(k)

@@ -34,17 +34,19 @@ def tumbling_window_agg(
     sum_cols = list(sum_cols or [])
     delta = pd.Timedelta(every)
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(t: pa.Table) -> pa.Table:
+        # declared pyarrow: the fused UDF's DECLARED batch format picks the
+        # aggregate combine path; pandas-declared hits the per-group Python
+        # loop even with an Arrow return (see text.py df_partial)
+        df = t.to_pandas()
         w = df[ts_col].dt.floor(delta)
         g = df.assign(**{window_col: w}).groupby(
             [window_col] + key_cols, as_index=False)
         agg = g.agg(n=(ts_col, "size"),
                     **{f"sum_{c}": (c, "sum") for c in sum_cols})
-        # Arrow partials: Ray's sort-aggregate loops per group in Python on
-        # pandas blocks; (window x key) partials are the many-groups case
         return pa.Table.from_pandas(agg, preserve_index=False)
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pyarrow")
 
     from ray.data.aggregate import Sum
 
@@ -88,7 +90,8 @@ def hopping_window_agg(
     if k * h != w:
         raise ValueError("window must be an integer multiple of hop")
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()  # declared pyarrow — see tumbling partial
         base = df[ts_col].dt.floor(h)
         n = len(df)
         rep = df.iloc[np.repeat(np.arange(n), k)].reset_index(drop=True)
@@ -98,9 +101,9 @@ def hopping_window_agg(
         g = rep.groupby([window_col] + key_cols, as_index=False)
         agg = g.agg(n=(ts_col, "size"),
                     **{f"sum_{c}": (c, "sum") for c in sum_cols})
-        return pa.Table.from_pandas(agg, preserve_index=False)  # see above
+        return pa.Table.from_pandas(agg, preserve_index=False)
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pyarrow")
 
     from ray.data.aggregate import Sum
 
