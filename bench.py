@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "context_windows", "incremental_agg", "intersect_extracts",
     "quantize_embeddings", "value_percentiles_cont", "shipping_priority",
     "triangle_count", "value_percent_rank", "table_checksum",
+    "approx_top_terms",
     # full-catalog sweep (every queries() entry is timed)
     "ann_ivf_topk",
     "approx_distinct_users",

@@ -4191,3 +4191,16 @@ SELECT CAST({_CK_DIGIT.format(i=1)} % 16 AS BIGINT) AS bucket,
        CAST(sum({_CK_TERMS}) AS BIGINT) AS checksum
 FROM r GROUP BY 1
 """
+
+
+def q_approx_top_terms(sf_dir: str):
+    """Count-Min heavy hitters (stages/text.py::approx_top_terms): bounded
+    memory regardless of vocabulary size; approximate => rows-only (the
+    tolerance vs the exact twin is pytest-asserted)."""
+    from ..stages.text import approx_top_terms
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+    return approx_top_terms(docs, k=20)
+
+
+QUERIES["approx_top_terms"] = q_approx_top_terms

@@ -669,3 +669,82 @@ def bm25_search(
         .groupby(id_col).aggregate(Sum("cell", alias_name="score_e9"))
     return scored.sort(["score_e9", id_col],
                        descending=[True, False]).limit(k)
+
+
+def approx_top_terms(
+    ds: rd.Dataset,
+    k: int = 20,
+    *,
+    text_col: str = "text",
+    width: int = 4096,
+    depth: int = 4,
+    candidates_per_block: int = 256,
+) -> rd.Dataset:
+    """Approximate corpus heavy hitters under BOUNDED memory — the
+    Count-Min companion to the exact :func:`top_terms` (which shuffles one
+    row per distinct term; this never ships more than ``depth x width``
+    counters plus a candidate shortlist per block, no matter how large the
+    vocabulary grows).
+
+    Per block: one vectorized token count, ``depth`` hashed scatter-adds
+    into the CM matrix, plus the block's local top ``candidates_per_block``
+    terms as candidates.  CM matrices are entry-wise sums (mergeable), so
+    the driver folds blocks x (depth*width) int64 — the same
+    driver-fold-of-binary-partials shape as the bloom build.  Final
+    estimate per candidate = min over rows (classic CM upper bound:
+    overestimates by at most eps*N with eps = e/width at prob 1-e^-depth;
+    never underestimates).  A true top-k term missed by every block's
+    shortlist is possible only if it is nowhere locally frequent —
+    documented approximation, tolerance-tested against the exact twin."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from pandas.util import hash_array
+
+    seeds = [int.from_bytes(hashlib.sha256(f"cm{i}".encode())
+                            .digest()[:2], "big") for i in range(depth)]
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        toks = df[text_col].fillna("").str.split(" ")
+        flat = pd.Series(np.concatenate(
+            [t for t in toks if len(t)] or [np.array([], dtype=object)]))
+        vc = flat.value_counts(sort=False)
+        terms = vc.index.to_numpy(dtype=object)
+        counts = vc.to_numpy().astype(np.int64)
+        cm = np.zeros((depth, width), np.int64)
+        for i, sd in enumerate(seeds):
+            h = hash_array(terms, hash_key=f"{sd:016d}", categorize=False)
+            np.add.at(cm[i], (h % np.uint64(width)).astype(np.int64), counts)
+        top = np.argsort(-counts, kind="stable")[:candidates_per_block]
+        return pa.table({
+            "kind": pa.array(["cm"] + ["cand"] * len(top)),
+            "term": pa.array([None] + list(terms[top]), pa.string()),
+            "cm": pa.array([cm.tobytes()] + [None] * len(top), pa.binary()),
+        })
+
+    rel = ds.map_batches(partial, batch_format="pandas")
+    cm = np.zeros((depth, width), np.int64)
+    cands: set = set()
+    for t in rel.iter_batches(batch_format="pyarrow", batch_size=None):
+        for kind, term, blob in zip(t["kind"].to_pylist(),
+                                    t["term"].to_pylist(),
+                                    t["cm"].to_pylist()):
+            if kind == "cm":
+                cm += np.frombuffer(blob, np.int64).reshape(depth, width)
+            else:
+                cands.add(term)
+    if not cands:
+        return rd.from_arrow(pa.table({"term": pa.array([], pa.string()),
+                                       "n_est": pa.array([], pa.int64())}))
+    carr = np.array(sorted(cands), dtype=object)
+    est = np.full(len(carr), np.iinfo(np.int64).max)
+    for i, sd in enumerate(seeds):
+        h = hash_array(carr, hash_key=f"{sd:016d}", categorize=False)
+        est = np.minimum(est, cm[i, (h % np.uint64(width)).astype(np.int64)])
+    order = np.lexsort((carr, -est))[:k]
+    return rd.from_arrow(pa.table({
+        "term": pa.array(carr[order], pa.string()),
+        "n_est": pa.array(est[order].astype("int64")),
+    }))

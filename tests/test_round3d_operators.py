@@ -504,3 +504,27 @@ def test_table_checksum_order_and_partition_invariant():
     changed = diff[diff["checksum_a"] != diff["checksum_c"]]
     assert 1 <= len(changed) <= 2  # old bucket and/or new bucket
     assert int(a["n_rows"].sum()) == 100
+
+
+def test_approx_top_terms_cm_bounds():
+    from openmrs_module_epts_etl_ray.stages.text import (
+        approx_top_terms, top_terms)
+
+    rng = np.random.default_rng(8)
+    vocab = [f"w{i}" for i in range(300)]
+    weights = 1.0 / np.arange(1, len(vocab) + 1)  # zipf-ish
+    weights /= weights.sum()
+    texts = [" ".join(rng.choice(vocab, size=50, p=weights))
+             for _ in range(300)]
+    ds = rd.from_pandas(pd.DataFrame({"text": texts}))
+    approx = approx_top_terms(ds, k=10, width=2048, depth=4).to_pandas()
+    exact = top_terms(ds, k=10).to_pandas()
+    ex = dict(zip(exact["term"], exact["n"]))
+    n_total = 300 * 50
+    eps_bound = np.e / 2048 * n_total
+    for term, est in zip(approx["term"], approx["n_est"]):
+        if term in ex:
+            assert est >= ex[term]                 # CM never underestimates
+            assert est - ex[term] <= eps_bound     # and bounded above
+    # the top-5 exact heavy hitters must all be recovered
+    assert set(exact["term"].head(5)) <= set(approx["term"])
