@@ -123,3 +123,15 @@ def sha256_hex(column: pa.ChunkedArray | pa.Array) -> pa.Array:
 
 def add_content_sha(table: pa.Table, content_col: str = "content", out_col: str = "content_sha") -> pa.Table:
     return table.append_column(out_col, sha256_hex(table[content_col]))
+
+
+def fmix64(h) -> "np.ndarray":
+    """Murmur3 fmix64 bit mixer over a uint64 ndarray — the shared coarse-
+    bucket tagger (dedup pair dedup/banding, graph wedges use it to spread
+    fine keys over coarse reduce groups)."""
+    h = h.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+    return h

@@ -4180,7 +4180,7 @@ QUERIES["table_checksum"] = q_table_checksum
 
 _CK_DIGIT = "(strpos('0123456789abcdef', substr(sha, {i}, 1)) - 1)"
 _CK_TERMS = " + ".join(
-    f"{_CK_DIGIT.format(i=i + 2)} * {16 ** (11 - i)}" for i in range(12))
+    f"{_CK_DIGIT.format(i=i + 2)} * {16 ** (6 - i)}" for i in range(7))
 ORACLE_SQL["table_checksum"] = f"""
 WITH r AS (
   SELECT sha256(CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' ||

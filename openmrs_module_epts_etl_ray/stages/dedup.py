@@ -450,13 +450,12 @@ def _distinct_pairs(cand: rd.Dataset) -> rd.Dataset:
     n_coarse = 4 * _par()
 
     def pre(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.hashing import fmix64
         df = df.drop_duplicates(["id_a", "id_b"])
         with np.errstate(over="ignore"):
             k = df["id_a"].to_numpy().astype(np.uint64) * FNV_PRIME \
                 + df["id_b"].to_numpy().astype(np.uint64)
-            k ^= k >> np.uint64(33)               # fmix64-style mixer
-            k *= np.uint64(0xFF51AFD7ED558CCD)
-            k ^= k >> np.uint64(33)
+        k = fmix64(k)
         return df.assign(_pc=(k % np.uint64(n_coarse)).astype(np.int64))
 
     def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
@@ -496,13 +495,10 @@ def _bucket_pairs(ds: rd.Dataset, fine_keys: list[str], id_col: str,
         return df[fine_keys].astype(str).agg("|".join, axis=1).to_numpy()
 
     def add_coarse(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.hashing import fmix64
         k = fine_key(df)
         if k.dtype == np.uint64:
-            with np.errstate(over="ignore"):  # murmur fmix64 bit mixer
-                h = k.copy()
-                h ^= h >> np.uint64(33)
-                h *= np.uint64(0xFF51AFD7ED558CCD)
-                h ^= h >> np.uint64(33)
+            h = fmix64(k)
         else:
             h = hash_pandas_object(pd.Series(k), index=False).to_numpy()
         return df.assign(_coarse=(h % np.uint64(n_coarse)).astype(np.int64))
@@ -1348,11 +1344,8 @@ def fuzzy_pairs(
     n_coarse = 4 * _par()
 
     def add_coarse(df: pd.DataFrame) -> pd.DataFrame:
-        with np.errstate(over="ignore"):
-            h = df["vh"].to_numpy().astype(np.uint64).copy()
-            h ^= h >> np.uint64(33)
-            h *= np.uint64(0xFF51AFD7ED558CCD)
-            h ^= h >> np.uint64(33)
+        from ..functions.hashing import fmix64
+        h = fmix64(df["vh"].to_numpy())
         return df.assign(_coarse=(h % np.uint64(n_coarse)).astype(np.int64))
 
     exploded = ds.map_batches(explode, batch_format="pandas")

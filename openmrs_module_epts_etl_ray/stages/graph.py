@@ -277,11 +277,8 @@ def triangle_count(
     n_coarse = 256
 
     def add_coarse(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        u = t["u"].to_numpy()
-        with np.errstate(over="ignore"):
-            h = u.astype(np.uint64) * np.uint64(0xFF51AFD7ED558CCD)
-            h ^= h >> np.uint64(33)
+        from ..functions.hashing import fmix64
+        h = fmix64(t["u"].to_numpy())
         return t.append_column("_c", pa.array(
             (h % np.uint64(n_coarse)).astype(np.int64)))
 

@@ -347,9 +347,12 @@ def grouped_concat(
         # an empty field with separators); a group whose values are ALL
         # null still appears, with a null aggregate
         g = g.sort_values(key_cols + order_cols, kind="stable")
+        # use_na_sentinel=False: the default assigns NULL keys code -1,
+        # which sorts LAST in the frame but FIRST numerically — the
+        # searchsorted scatter below requires codes[bounds] ascending
         codes, _ = pd.factorize(
             pd.MultiIndex.from_frame(g[key_cols]) if len(key_cols) > 1
-            else g[key_cols[0]], sort=False)
+            else g[key_cols[0]], sort=False, use_na_sentinel=False)
         bounds = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
         head = g.iloc[bounds]
         nn = g[value_col].notna().to_numpy()

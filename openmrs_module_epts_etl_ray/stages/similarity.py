@@ -390,6 +390,11 @@ def quantize_embeddings(
                              "code": pa.array([], pa.int64())})
         M = _to_matrix(batch[vec_col]).astype(np.float64)
         n, dim = M.shape
+        if dim == 0:  # zero-length vectors: nothing to quantize
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "scale": pa.array([], pa.float64()),
+                             "code": pa.array([], pa.int64())})
         scale = np.abs(M).max(axis=1)
         safe = np.where(scale == 0, 1.0, scale)
         codes = np.floor(M / safe[:, None] * 127.0 + 0.5).astype(np.int64)

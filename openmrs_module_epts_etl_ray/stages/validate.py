@@ -135,16 +135,16 @@ def table_checksum(
         sha = sha256_hex(joined)
         if isinstance(sha, pa.ChunkedArray):
             sha = sha.combine_chunks()
-        # ascii hex chars of the first 13 digits, vectorized parse
-        head = pc.utf8_slice_codeunits(sha, 0, 13)
+        # ascii hex chars of the first 8 digits, vectorized parse
+        head = pc.utf8_slice_codeunits(sha, 0, 8)
         if isinstance(head, pa.ChunkedArray):
             head = head.combine_chunks()
         buf = np.frombuffer(head.buffers()[2], np.uint8,
-                            count=13 * len(t)).reshape(len(t), 13) \
-            if len(t) else np.zeros((0, 13), np.uint8)
+                            count=8 * len(t)).reshape(len(t), 8) \
+            if len(t) else np.zeros((0, 8), np.uint8)
         dig = np.where(buf > 57, buf - 87, buf - 48).astype(np.int64)
         bucket = dig[:, 0] % num_buckets
-        w = (16 ** np.arange(11, -1, -1)).astype(np.int64)
+        w = (16 ** np.arange(6, -1, -1)).astype(np.int64)
         val = dig[:, 1:] @ w
         df = pd.DataFrame({"bucket": bucket, "n_rows": 1, "checksum": val})
         agg = df.groupby("bucket", as_index=False).sum()

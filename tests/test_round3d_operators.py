@@ -528,3 +528,15 @@ def test_approx_top_terms_cm_bounds():
             assert est - ex[term] <= eps_bound     # and bounded above
     # the top-5 exact heavy hitters must all be recovered
     assert set(exact["term"].head(5)) <= set(approx["term"])
+
+
+def test_grouped_concat_null_keys():
+    from openmrs_module_epts_etl_ray.stages.pivot import grouped_concat
+
+    df = pd.DataFrame({"k": ["a", "a", None, None, "b"],
+                       "o": [1, 2, 1, 2, 1],
+                       "v": ["x", "y", "p", "q", "z"]})
+    out = grouped_concat(rd.from_pandas(df), ["k"], "v", ["o"]).to_pandas()
+    got = {(None if pd.isna(k) else k): v
+           for k, v in zip(out["k"], out["agg"])}
+    assert got == {"a": "x,y", "b": "z", None: "p,q"}
