@@ -37,42 +37,50 @@ def resolve_id_collisions(
     (possibly contested) id, matching the reference's insert-after-move."""
     ex = existing.to_pandas()
     inc = incoming.to_pandas()
+    if len(ex) == 0 or id_col not in ex.columns:
+        # first sync into an empty destination: nothing collides, nothing
+        # moves (an empty Ray dataset also loses its column names)
+        remap = pd.DataFrame({"old_id": pd.Series([], dtype="int64"),
+                              "new_id": pd.Series([], dtype="int64")})
+        return rd.from_arrow(pa.Table.from_pandas(
+            inc, preserve_index=False)), \
+            rd.from_arrow(pa.Table.from_pandas(remap, preserve_index=False))
     # free ids must clear BOTH sides: the reference's
     # DatabaseObjectDAO.getAvaliableObjectId probes the dst DB per record,
     # re-checking after every insert; this batch form assigns all moves up
     # front, so an incoming id above max(existing) would collide with a
-    # relocated row unless the union max is used
-    max_id = int(max(ex[id_col].max(), inc[id_col].max()))
+    # relocated row unless the union max is used. Either side may be empty
+    # (first sync into a fresh destination).
+    maxes = [int(s.max()) for s in (ex[id_col], inc[id_col]) if len(s)]
+    max_id = max(maxes) if maxes else 0
 
     inc_ids = set(inc[id_col])
-    inc_by_uuid = inc.set_index(uuid_col, drop=False)
+    # duplicate incoming uuids (CDC retry / dup delivery): the entity's
+    # canonical id is the deterministic MIN incoming id for that uuid
+    inc_id_of_uuid = inc.groupby(uuid_col)[id_col].min().to_dict()
 
-    # 1) id collisions with a DIFFERENT entity: move existing to a free id
-    coll = ex[ex[id_col].isin(inc_ids)]
-    inc_uuid_of_id = dict(zip(inc[id_col], inc[uuid_col]))
-    moved_mask = coll[uuid_col] != coll[id_col].map(inc_uuid_of_id)
-    moved = coll[moved_mask].sort_values(id_col)
+    # 1) uuid identity comes FIRST: an existing row whose uuid appears in
+    #    incoming IS the incoming entity — it drops, and its children
+    #    re-point to the incoming id, EVEN IF its own id also collides
+    #    with some other incoming row (classifying by id first would move
+    #    the row and duplicate the uuid in the merged table)
     remap_rows = []
+    same = ex[uuid_col].isin(inc_id_of_uuid.keys())
+    for old_id, uuid in zip(ex.loc[same, id_col], ex.loc[same, uuid_col]):
+        new_id = int(inc_id_of_uuid[uuid])
+        if int(old_id) != new_id:
+            remap_rows.append((int(old_id), new_id))
+
+    # 2) id collisions with a DIFFERENT entity: move existing to a free id
+    rest = ex[~same]
+    moved = rest[rest[id_col].isin(inc_ids)].sort_values(id_col)
     new_ids = {}
     for rank, old_id in enumerate(moved[id_col], start=1):
         new_ids[old_id] = max_id + rank
         remap_rows.append((int(old_id), max_id + rank))
 
-    # 2) uuid collisions under a different id: same entity — old row drops,
-    #    children re-point to the incoming id
-    uuid_coll = ex[ex[uuid_col].isin(set(inc[uuid_col])) & ~ex[id_col].isin(inc_ids)]
-    drop_ids = set()
-    for _, row in uuid_coll.iterrows():
-        new_id = int(inc_by_uuid.loc[row[uuid_col], id_col])
-        remap_rows.append((int(row[id_col]), new_id))
-        drop_ids.add(row[id_col])
-
-    out_ex = ex[~ex[id_col].isin(drop_ids)].copy()
+    out_ex = rest.copy()
     out_ex[id_col] = out_ex[id_col].map(lambda i: new_ids.get(i, i))
-    # identical (id, uuid) PAIRS: incoming replaces existing (plain upsert)
-    mark = out_ex.merge(inc[[id_col, uuid_col]].drop_duplicates(),
-                        on=[id_col, uuid_col], how="left", indicator=True)
-    out_ex = out_ex[(mark["_merge"] != "both").to_numpy()]
     merged = pd.concat([out_ex, inc], ignore_index=True)
 
     remap = pd.DataFrame(remap_rows, columns=["old_id", "new_id"]).astype("int64")

@@ -32,7 +32,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-from .asof import _pd_dtypes
+from .asof import _nullable, _pd_dtypes, _zero_masked
 
 _SIDE = "_side"
 _CELL = "_cell"
@@ -42,6 +42,11 @@ _E = "_ive"
 
 def _axis_int64(t: pa.Table, col: str) -> np.ndarray:
     c = t[col].combine_chunks()
+    if c.null_count:
+        raise ValueError(
+            f"interval column {col!r} contains nulls — open-ended "
+            f"intervals must be closed (e.g. fill end with a horizon "
+            f"timestamp) before the overlap join")
     if pa.types.is_timestamp(c.type):
         c = c.cast(pa.timestamp("us"))
     return c.cast(pa.int64()).to_numpy()
@@ -89,7 +94,8 @@ def interval_overlap_join(
             return t2.append_column(_CELL, pa.array(cells, pa.int64())) \
                      .append_column(_S, pa.array(s[idx], pa.int64())) \
                      .append_column(_E, pa.array(e[idx], pa.int64())) \
-                     .append_column(_SIDE, pa.array([side] * total))
+                     .append_column(_SIDE, pa.array([side] * total,
+                                                    pa.string()))
         return fn
 
     tagged = left.map_batches(tag("l", left_start, left_end),
@@ -137,8 +143,15 @@ def interval_overlap_join(
         lm = g[_SIDE] == "l"
         l = g[lm].reset_index(drop=True)
         r = g[~lm].reset_index(drop=True)
-        lf = l.reindex(columns=left_cols).astype(left_dtypes)
-        rf = r.reindex(columns=right_cols).astype(right_dtypes)
+        # nullable-aware cast: a pandas block NaN-promotes int columns
+        # carrying nulls; plain astype(int64) would raise on them (the
+        # range_join/_nullable rule in stages/asof.py)
+        lf = l.reindex(columns=left_cols)
+        lf = lf.astype({c: (_nullable(d) if lf[c].isna().any() else d)
+                        for c, d in left_dtypes.items()})
+        rf = r.reindex(columns=right_cols)
+        rf = rf.astype({c: (_nullable(d) if rf[c].isna().any() else d)
+                        for c, d in right_dtypes.items()})
         if len(l) == 0 or len(r) == 0:
             return post(emit(lf.iloc[0:0], rf.iloc[0:0],
                              np.empty(0, np.int64), np.empty(0, np.int64)))

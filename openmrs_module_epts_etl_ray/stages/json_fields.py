@@ -17,6 +17,7 @@ the JSON column + keys you keep.
 from __future__ import annotations
 
 import json
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -29,10 +30,29 @@ _STR = r'"(?P<v>(?:[^"\\])*)"'  # no escapes: fall back when one appears
 
 
 def _field_pattern(key: str, typ: pa.DataType) -> str:
-    k = r'"' + key + r'"\s*:\s*'
+    # re.escape: a key containing regex metachars ('a.b', 'x[0]') must
+    # match literally, not as a pattern (and '(' would even break the
+    # named-group structure)
+    k = r'"' + re.escape(key) + r'"\s*:\s*'
     if pa.types.is_string(typ):
         return k + _STR
     return k + _NUM
+
+
+def _coerce(v, typ: pa.DataType):
+    """Fit a parsed value into the requested Arrow type, NULL on mismatch
+    (missing-key / wrong-shape => NULL contract)."""
+    if v is None:
+        return None
+    try:
+        if pa.types.is_integer(typ):
+            iv = int(v)
+            return iv if float(iv) == float(v) else None
+        if pa.types.is_floating(typ):
+            return float(v)
+        return v if isinstance(v, str) else None
+    except (TypeError, ValueError):
+        return None
 
 
 def extract_json_fields(
@@ -58,23 +78,36 @@ def extract_json_fields(
         cols = {c: t[c] for c in
                 (keep if keep is not None
                  else [c for c in t.column_names if c != json_col])}
-        esc_mask = None
+        esc_idx, parsed = None, {}
         if strict:
             esc = pc.match_substring(doc, "\\")
             esc_mask = esc.to_numpy(zero_copy_only=False)
+            if esc_mask.any():
+                # parse each escaped document ONCE, shared by all fields
+                docs = doc.to_pylist()
+                esc_idx = np.flatnonzero(esc_mask)
+                for i in esc_idx:
+                    try:
+                        parsed[i] = json.loads(docs[i])
+                    except (ValueError, TypeError):
+                        parsed[i] = {}
         for name, typ in fields.items():
             ex = pc.extract_regex(doc, pats[name])
             raw = pc.struct_field(ex, 0)
-            col = raw.cast(typ) if not pa.types.is_string(typ) else raw
-            if strict and esc_mask is not None and esc_mask.any():
+            if pa.types.is_string(typ):
+                col = raw
+            else:
+                # safe=False would raise on '2.5' for int64; the contract
+                # is NULL for anything that does not fit the requested type
+                try:
+                    col = raw.cast(typ)
+                except pa.ArrowInvalid:
+                    col = pa.array(
+                        [_coerce(v, typ) for v in raw.to_pylist()], type=typ)
+            if esc_idx is not None:
                 vals = col.to_pylist()
-                docs = doc.to_pylist()
-                for i in np.flatnonzero(esc_mask):
-                    try:
-                        obj = json.loads(docs[i])
-                        vals[i] = obj.get(name)
-                    except (ValueError, TypeError):
-                        vals[i] = None
+                for i in esc_idx:
+                    vals[i] = _coerce(parsed[i].get(name), typ)
                 col = pa.array(vals, type=typ)
             cols[name] = col
         return pa.table(cols)

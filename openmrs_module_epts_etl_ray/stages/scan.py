@@ -64,15 +64,27 @@ def _running_scan(
         return ds.map_batches(
             lambda df: df.assign(**{out_col: df[value_col]}),
             batch_format="pandas")
-    lo = int(bounds[f"min({primary})"])
-    hi = int(bounds[f"max({primary})"])
+    def _as_int(v) -> int:
+        # the primary order axis may be a timestamp: pandas Timestamp /
+        # numpy datetime64 carry .value (epoch ns) — int() alone raises
+        if hasattr(v, "value"):
+            return int(v.value)
+        if isinstance(v, np.datetime64):
+            return int(v.astype("datetime64[ns]").astype(np.int64))
+        return int(v)
+
+    lo = _as_int(bounds[f"min({primary})"])
+    hi = _as_int(bounds[f"max({primary})"])
     span = max(1, hi - lo + 1)
 
     width = max(1, -(-span // nb))  # ceil: divide-first avoids the int64
                                     # overflow of (x-lo)*nb on wide domains
 
     def bucketize(df: pd.DataFrame) -> pd.DataFrame:
-        b = (df[primary].to_numpy().astype(np.int64) - lo) // width
+        p = df[primary].to_numpy()
+        if np.issubdtype(p.dtype, np.datetime64):
+            p = p.astype("datetime64[ns]")
+        b = (p.astype(np.int64) - lo) // width
         return df.assign(**{_RB: b.astype(np.int64)})
 
     bucketed = ds.map_batches(bucketize, batch_format="pandas").materialize()

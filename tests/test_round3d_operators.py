@@ -540,3 +540,41 @@ def test_grouped_concat_null_keys():
     got = {(None if pd.isna(k) else k): v
            for k, v in zip(out["k"], out["agg"])}
     assert got == {"a": "x,y", "b": "z", None: "p,q"}
+
+
+def test_id_collision_uuid_identity_wins_over_id_move():
+    from openmrs_module_epts_etl_ray.stages.id_collision import (
+        resolve_id_collisions)
+
+    ex = pd.DataFrame({"id": [1], "uuid": ["A"], "v": ["old"]})
+    inc = pd.DataFrame({"id": [1, 5], "uuid": ["B", "A"], "v": ["b", "a"]})
+    merged, remap = resolve_id_collisions(
+        rd.from_pandas(ex), rd.from_pandas(inc), id_col="id",
+        uuid_col="uuid")
+    m = merged.to_pandas()
+    # uuid A must exist exactly ONCE (under incoming id 5); children of old
+    # id 1 re-point to 5, not to a freshly-minted moved id
+    assert m[m["uuid"] == "A"]["id"].tolist() == [5]
+    r = dict(zip(remap.to_pandas()["old_id"], remap.to_pandas()["new_id"]))
+    assert r == {1: 5}
+
+
+def test_id_collision_empty_existing_and_dup_uuids():
+    from openmrs_module_epts_etl_ray.stages.id_collision import (
+        resolve_id_collisions)
+
+    ex = pd.DataFrame({"id": pd.Series([], dtype="int64"),
+                       "uuid": pd.Series([], dtype="object")})
+    inc = pd.DataFrame({"id": [3, 7], "uuid": ["X", "X"]})  # dup delivery
+    merged, remap = resolve_id_collisions(
+        rd.from_pandas(ex), rd.from_pandas(inc), id_col="id",
+        uuid_col="uuid")
+    assert sorted(merged.to_pandas()["id"]) == [3, 7]
+    assert len(remap.to_pandas()) == 0
+    # dup uuid against an existing row: repoint to the MIN incoming id
+    ex2 = pd.DataFrame({"id": [9], "uuid": ["X"]})
+    _, remap2 = resolve_id_collisions(
+        rd.from_pandas(ex2), rd.from_pandas(inc), id_col="id",
+        uuid_col="uuid")
+    r = dict(zip(remap2.to_pandas()["old_id"], remap2.to_pandas()["new_id"]))
+    assert r == {9: 3}

@@ -137,3 +137,21 @@ def test_pack_sequences_concat_then_chunk(ray_session):
     z = z[z < n - 1]
     nxt_start = start[z + 1]
     assert (start[z] + seq["n_tokens"].to_numpy()[z] == nxt_start).all()
+
+
+def test_running_max_timestamp_axis():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from openmrs_module_epts_etl_ray.stages.scan import running_max
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "ts": pd.date_range("2024-01-01", periods=500, freq="37min"),
+        "v": rng.integers(0, 1000, 500),
+    }).sample(frac=1, random_state=1)  # arrival order shuffled
+    out = running_max(rd.from_pandas(df), ["ts"], "v", out_col="m") \
+        .to_pandas().sort_values("ts")
+    want = df.sort_values("ts")["v"].cummax().to_numpy()
+    assert (out["m"].to_numpy() == want).all()
