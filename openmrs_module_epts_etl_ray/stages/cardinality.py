@@ -32,11 +32,18 @@ def _registers(values: np.ndarray) -> np.ndarray:
     idx = (h >> np.uint64(64 - P)).astype(np.int64)
     w = h & np.uint64((1 << (64 - P)) - 1)
     bits = 64 - P
-    # rho = leading zeros of the (64-p)-bit remainder + 1; values < 2^52
-    # are exact in float64 so floor(log2) is safe
+    # rho = leading zeros of the (64-p)-bit remainder + 1. floor(log2) via
+    # float alone is WRONG just below powers of two (log2(2^52-1) rounds
+    # to exactly 52.0), so take the float as a candidate and adjust with
+    # exact integer compares
     nz = w > 0
     rho = np.full(len(w), bits + 1, dtype=np.uint8)
-    rho[nz] = (bits - np.floor(np.log2(w[nz].astype(np.float64)))).astype(np.uint8)
+    wv = w[nz]
+    e = np.floor(np.log2(wv.astype(np.float64))).astype(np.int64)
+    one = np.uint64(1)
+    e = np.where((one << e.astype(np.uint64)) > wv, e - 1, e)
+    e = np.where((one << (e + 1).astype(np.uint64)) <= wv, e + 1, e)
+    rho[nz] = (bits - e).astype(np.uint8)
     np.maximum.at(regs, idx, rho)
     return regs
 
@@ -46,8 +53,9 @@ def _estimate(regs: np.ndarray) -> int:
     zeros = int((regs == 0).sum())
     if est <= 2.5 * M and zeros:
         est = M * np.log(M / zeros)          # linear counting
-    elif est > (1 << 32) / 30.0:
-        est = -(1 << 32) * np.log(1.0 - est / (1 << 32))
+    # NO 32-bit large-range correction: it belongs to the original
+    # 32-bit-hash HLL (hash-collision saturation at 2^32); with 64-bit
+    # hashes it would distort estimates above ~143M and NaN above 2^32
     return int(round(est))
 
 
@@ -65,7 +73,10 @@ def approx_distinct(
         rows = []
         for kv, sub in df.groupby(keys, sort=False):
             kv = kv if isinstance(kv, tuple) else (kv,)
-            rows.append((*kv, _registers(sub[value_col].to_numpy())))
+            # SQL COUNT(DISTINCT) excludes NULLs; hashing them would count
+            # one phantom distinct in every group containing a null
+            vals = sub[value_col].dropna().to_numpy()
+            rows.append((*kv, _registers(vals)))
         return pd.DataFrame(rows, columns=keys + ["_regs"])
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:

@@ -80,7 +80,10 @@ def context_windows(
     token lengths, windows materialized by repeating each doc's text and
     slicing with per-row ``utf8_slice_codeunits`` offset arrays — no
     Python loop over windows.  Docs shorter than ``window`` emit nothing
-    (pack_sequences is the right tool there)."""
+    (pack_sequences is the right tool there).  Tokenization matches SQL
+    ``string_split``: an empty/null document counts as ONE empty token
+    (so with window=1 it emits one empty window, exactly as the oracle's
+    list_slice does) — filter empties upstream if that is not wanted."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc

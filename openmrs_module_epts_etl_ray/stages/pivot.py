@@ -49,8 +49,11 @@ def bucketed_sum(
         return add_bucket(t, tuple(keys), nb)
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
+        # dropna=False: SQL GROUP BY keeps null keys as a group; the
+        # pandas default silently deleted null-keyed partials
         g = df.drop(columns=[BUCKET_COL]) \
-              .groupby(keys, as_index=False, sort=False)[cols].sum()
+              .groupby(keys, as_index=False, sort=False,
+                       dropna=False)[cols].sum()
         if int_cols:
             for c in cols:
                 g[c] = g[c].astype("int64")

@@ -155,7 +155,12 @@ def exact_order_stat_int(
                  _nb=nb) -> pd.DataFrame:
             v = df[value_col].dropna().to_numpy(dtype=np.int64)
             v = v[(v >= _lo) & (v <= _hi)]
-            counts = np.bincount((v - _lo) // _w, minlength=_nb)
+            # (v - lo) in uint64: an int64 subtraction wraps when the
+            # column range spans > 2^63 (packed composite keys) — the
+            # two's-complement uint64 difference is the true distance
+            dv = v.astype(np.uint64) - np.uint64(_lo & 0xFFFFFFFFFFFFFFFF)
+            counts = np.bincount(
+                (dv // np.uint64(_w)).astype(np.int64), minlength=_nb)
             nz = np.flatnonzero(counts)
             return pd.DataFrame({"b": nz.astype(np.int64),
                                  "c": counts[nz].astype(np.int64)})
@@ -211,7 +216,18 @@ def ntile_assign(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    n = int(ds.count())
+
+    def _counts(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"rows": [len(df)],
+                             "nn": [int(df[value_col].notna().sum())]})
+
+    c = ds.map_batches(_counts, batch_format="pandas").to_pandas()
+    rows, n = int(c["rows"].sum()), int(c["nn"].sum())
+    if rows != n:
+        raise ValueError(
+            f"{value_col!r} contains {rows - n} nulls — NTILE here "
+            f"requires distinct non-null int64 values (filter or fill "
+            f"upstream)")
     if n == 0:
         return ds.map_batches(
             lambda df: df.assign(**{out_col: np.empty(0, np.int64)}),
@@ -309,12 +325,13 @@ def numeric_histogram(
         if len(b) == 0:
             return pa.table({bin_col: np.empty(0, np.int64),
                              count_col: np.empty(0, np.int64)})
-        lo = b.min()
-        c = np.bincount(b - lo)
-        occ = np.flatnonzero(c)
+        # sparse: np.unique is sized by OCCUPIED bins — a dense
+        # bincount over the bin RANGE would allocate terabytes for one
+        # outlier value
+        occ, cnt = np.unique(b, return_counts=True)
         # Arrow partials — pandas blocks hit aggregate's per-row loop
-        return pa.table({bin_col: (occ + lo).astype(np.int64),
-                         count_col: c[occ].astype(np.int64)})
+        return pa.table({bin_col: occ.astype(np.int64),
+                         count_col: cnt.astype(np.int64)})
 
     return ds.map_batches(partial, batch_format="pandas") \
              .groupby(bin_col).aggregate(Sum(count_col, alias_name=count_col))

@@ -54,21 +54,28 @@ def category_assoc(
     float summation order exists anywhere; sum ``contrib_e6`` for the
     statistic, compare against the (|A|−1)(|B|−1) dof).
 
-    The raw rows fold to cell counts per block (ones through
-    ``bucketed_sum`` — a |A|×|B|-sized exchange); marginals and the fixed
-    IEEE-double expression ``(n − e)²/e`` with ``e = (rowtot·coltot)/N``
-    evaluate in one task over the tiny cell relation.
+    Raw rows fold to per-block cell counts BEFORE the exchange (a
+    vectorized pyarrow ``group_by`` per block — null categories stay
+    visible as their own cells, matching SQL GROUP BY), so the shuffle
+    really is |A|×|B|-sized per block, never row-sized; marginals and the
+    fixed IEEE-double expression ``(n − e)²/e`` with
+    ``e = (rowtot·coltot)/N`` evaluate in one task over the tiny cell
+    relation.
     """
+    import pyarrow.compute as pc
+
     from .pivot import bucketed_sum
 
-    def ones(t: pa.Table) -> pa.Table:
+    def cell_partial(t: pa.Table) -> pa.Table:
+        g = t.select([a_col, b_col]).group_by(
+            [a_col, b_col]).aggregate([([], "count_all")])
         return pa.table({
-            a_col: t[a_col],
-            b_col: t[b_col],
-            "n": pa.array(np.ones(len(t), np.int64)),
+            a_col: g[a_col], b_col: g[b_col],
+            "n": pc.cast(g["count_all"], pa.int64()),
         })
 
-    cells = bucketed_sum(ds.map_batches(ones, batch_format="pyarrow"),
+    cells = bucketed_sum(ds.map_batches(cell_partial,
+                                        batch_format="pyarrow"),
                          [a_col, b_col], ["n"],
                          num_buckets=num_buckets)
 
@@ -133,9 +140,12 @@ def grouped_gini(
                 g = None
             else:
                 w = 2 * np.arange(1, n + 1, dtype=np.int64) - n - 1
-                num = int(np.dot(w, x))  # |num| <= n*max|x|*n: int64-safe
-                                         # to ~10^9 entities per group;
-                                         # python int past that via .sum()
+                if n * abs(tot) < (1 << 62):
+                    num = int(np.dot(w, x))  # |num| <= n*|tot|: int64-safe
+                else:
+                    # exact python-int fold past the int64 bound (the
+                    # operator's contract is exact-integer determinism)
+                    num = int(sum(int(a) * int(b) for a, b in zip(w, x)))
                 g = math.floor(num / float(n * tot) * 1e9)
             key = key if isinstance(key, tuple) else (key,)
             rows.append((*key, n, g))
