@@ -335,7 +335,9 @@ def _run_item(item: dict, outputs: dict[str, str],
                 raise ValueError(
                     f"partitionBy requires dstType=parquet, got {fmt!r}")
             from .export import export_partitioned
-            export_partitioned(out, out_dir, dst["partitionBy"])
+            export_partitioned(out, out_dir, dst["partitionBy"],
+                               overwrite=bool(
+                                   dst.get("partitionOverwrite", False)))
         else:
             export_files(out, out_dir, fmt=fmt)
         outputs[dst["tableName"]] = out_dir

@@ -69,7 +69,8 @@ def export_files(ds: rd.Dataset, out_dir: str, fmt: str = "json",
 
 
 def export_partitioned(ds: rd.Dataset, out_dir: str, by_col: str,
-                       *, resume: bool = True) -> pa.Table:
+                       *, resume: bool = True,
+                       overwrite: bool = False) -> pa.Table:
     """Resumable key-partitioned Parquet export: one hive-style
     subdirectory per ``by_col`` value (``out_dir/<by_col>=<v>/``), a
     ``_FINISHED`` marker per partition once its rows are fully written.
@@ -81,32 +82,65 @@ def export_partitioned(ds: rd.Dataset, out_dir: str, by_col: str,
     them) and those partial directories are replaced, so a 100-TB job
     killed mid-write redoes only the unfinished key ranges — the generic
     form of the flagship replay's per-bucket commit log
-    (``state/commit_log.py``). Returns a manifest
-    (partition, files, bytes, skipped)."""
+    (``state/commit_log.py``).
+
+    Ownership guard: an existing NON-EMPTY ``out_dir`` without this sink's
+    root marker (``_PARTITIONED_EXPORT``) is refused — a mistyped outDir
+    pointing at unrelated hive-partitioned data (e.g. a lake's bucket
+    dirs) must never be rmtree'd.  ``resume`` distinguishes crashed-run
+    continuation from a fresh export of CHANGED source data: pass
+    ``overwrite=True`` (config: ``dstConf.partitionOverwrite``) to discard
+    all markers and rewrite everything.
+
+    Hive name round-trip: the resume probe compares against hive-DECODED
+    directory values (URL unquoting + the ``__HIVE_DEFAULT_PARTITION__``
+    null sentinel), so encoded keys ('a b', '=', '/') and null keys skip
+    correctly instead of silently re-appending into finished partitions.
+    Returns a manifest (partition, files, bytes, skipped)."""
     import shutil
+    from urllib.parse import unquote
 
     import pyarrow.compute as pc
     import ray
 
+    _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+    own_marker = os.path.join(out_dir, "_PARTITIONED_EXPORT")
+    if os.path.isdir(out_dir) and os.listdir(out_dir) \
+            and not os.path.exists(own_marker):
+        raise ValueError(
+            f"refusing to write into non-empty directory {out_dir!r}: it "
+            f"carries no _PARTITIONED_EXPORT marker, so it was not "
+            f"produced by this sink — choose an empty directory")
     os.makedirs(out_dir, exist_ok=True)
-    done = {d.split("=", 1)[1] for d in os.listdir(out_dir)
-            if "=" in d and
-            os.path.exists(os.path.join(out_dir, d, "_FINISHED"))} \
+    with open(own_marker, "w") as fh:
+        fh.write("ok")
+    if overwrite:
+        resume = False
+
+    raw_done = {d.split("=", 1)[1] for d in os.listdir(out_dir)
+                if "=" in d and
+                os.path.exists(os.path.join(out_dir, d, "_FINISHED"))} \
         if resume else set()
+    done = {unquote(v) for v in raw_done if v != _HIVE_NULL}
+    null_done = _HIVE_NULL in {v for v in raw_done}
 
     for d in list(os.listdir(out_dir)):
-        # drop every markerless partition dir: crash partials on resume,
-        # everything on a fresh run
-        if "=" in d and d.split("=", 1)[1] not in done:
+        # drop every non-finished partition dir: crash partials on resume,
+        # everything on a fresh/overwrite run
+        if "=" in d and (not resume or d.split("=", 1)[1] not in raw_done):
             shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
 
-    if done:
+    if done or null_done:
         done_ref = ray.put(pa.array(sorted(done), pa.string()))
+        _null_done = null_done
 
         def drop_done(t: pa.Table) -> pa.Table:
             vals = pc.cast(t[by_col], pa.string())
-            return t.filter(pc.invert(pc.fill_null(
-                pc.is_in(vals, value_set=ray.get(done_ref)), False)))
+            in_done = pc.fill_null(
+                pc.is_in(vals, value_set=ray.get(done_ref)), False)
+            if _null_done:
+                in_done = pc.or_(in_done, pc.is_null(vals))
+            return t.filter(pc.invert(in_done))
 
         ds = ds.map_batches(drop_done, batch_format="pyarrow")
 
@@ -119,7 +153,7 @@ def export_partitioned(ds: rd.Dataset, out_dir: str, by_col: str,
             continue
         v = d.split("=", 1)[1]
         files = [f for f in os.listdir(p) if f.endswith(".parquet")]
-        skipped = v in done
+        skipped = v in raw_done
         if not skipped:
             with open(os.path.join(p, "_FINISHED"), "w") as fh:
                 fh.write("ok")
@@ -135,7 +169,11 @@ def _sql_literal(v) -> str:
 
     import numpy as np
 
-    if v is None or (isinstance(v, float) and v != v):
+    import math
+    if v is None or (isinstance(v, float)
+                     and (v != v or math.isinf(v))):
+        # NaN AND +/-inf: no portable SQL literal exists; a dump whose
+        # whole purpose is to LOAD must stay syntactically valid
         return "NULL"
     if isinstance(v, (bool, np.bool_)):
         return "TRUE" if v else "FALSE"

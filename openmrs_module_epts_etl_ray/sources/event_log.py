@@ -147,7 +147,10 @@ class _ShardGenerator:
         rng = np.random.default_rng((self.seed, shard_id))
 
         lsn = lo + np.arange(n, dtype=np.int64)
-        key_idx = np.searchsorted(self.cum_w, rng.random(n))
+        # clip: cumsum(w/sum) can land at 0.999...9 < 1.0, so a draw in
+        # that last sliver would index one past the key population
+        key_idx = np.minimum(np.searchsorted(self.cum_w, rng.random(n)),
+                             self.n_keys - 1)
         u = rng.random(n)
         op = np.where(u < self.p_delete, "delete",
                       np.where(u < self.p_delete + self.p_update, "update", "insert"))

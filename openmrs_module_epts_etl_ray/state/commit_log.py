@@ -155,11 +155,17 @@ class CommitLog:
             state, delta = unify_and_backfill([state, delta])
             import pandas as pd
             keys = list(c["key_cols"])
+            unified = state.schema
             sdf, ddf = state.to_pandas(), delta.to_pandas()
             mask = ~pd.MultiIndex.from_frame(sdf[keys]).isin(
                 pd.MultiIndex.from_frame(ddf[keys]))
             out = pd.concat([sdf[mask], ddf], ignore_index=True)
-            state = pa.Table.from_pandas(out, preserve_index=False)
+            # force the unified Arrow schema: the pandas round trip NaN-
+            # promotes null-backfilled int/bool columns to float64/object,
+            # which would make delta-layout state drift from snapshot
+            # layout (from_pandas with an explicit schema nulls the NaNs)
+            state = pa.Table.from_pandas(out, schema=unified,
+                                         preserve_index=False)
         return state if state is not None else (
             pa.table({}) if schema is None else schema.empty_table())
 
@@ -175,16 +181,21 @@ class CommitLog:
             with open(path) as fh:
                 return json.load(fh)["num_buckets"]
         os.makedirs(self.log_dir, exist_ok=True)
+        # write the FULL content to a tmp file first, then publish with an
+        # exclusive hard link: exactly one concurrent first-replay wins the
+        # pin (like O_EXCL), and a crash can never leave a truncated
+        # bucketing.json whose mere existence would brick every later run
+        import tempfile
+        fd, tmp = tempfile.mkstemp(dir=self.log_dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as fh:
+            json.dump({"num_buckets": int(num_buckets)}, fh)
         try:
-            # O_EXCL: exactly one concurrent first-replay wins the pin;
-            # losers adopt the winner's value (check-then-replace would let
-            # two racers each proceed with a different bucketing)
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, path)
         except FileExistsError:
             with open(path) as fh:
                 return json.load(fh)["num_buckets"]
-        with os.fdopen(fd, "w") as fh:
-            json.dump({"num_buckets": int(num_buckets)}, fh)
+        finally:
+            os.unlink(tmp)
         return int(num_buckets)
 
     # -- write side ----------------------------------------------------

@@ -50,8 +50,12 @@ def _compact_bucket(lake_root: str, bucket: int, watermark: int | None) -> dict:
                          replace=True)
         commits = log.commits(bucket)
         cur = commits[-1]
-    state = pq.read_table(os.path.join(data_dir, cur["file"]))
-    if watermark is not None and DELETED_COL in state.column_names and len(state):
+    # watermark < 0 means no bucket has committed yet — no tombstone can
+    # satisfy lsn <= watermark, so skip the full-snapshot read entirely
+    state = None
+    if watermark is not None and watermark >= 0:
+        state = pq.read_table(os.path.join(data_dir, cur["file"]))
+    if state is not None and DELETED_COL in state.column_names and len(state):
         dead = pc.and_(pc.equal(state[DELETED_COL], True),
                        pc.less_equal(state["lsn"], watermark))
         dropped = int(pc.sum(pc.cast(dead, pa.int64())).as_py() or 0)
@@ -68,12 +72,22 @@ def _compact_bucket(lake_root: str, bucket: int, watermark: int | None) -> dict:
             os.replace(tmp, os.path.join(log_dir, f"commit-{cur['lsn_hi']}.json"))
 
     gced = 0
-    keep = {cur["file"]}
+    # re-list commits AT GC TIME and keep everything at-or-above the
+    # snapshot this pass is based on: a commit written CONCURRENTLY
+    # (replay window racing the compactor) must keep both its data file
+    # and its manifest entry — the stale snapshot of `commits` would
+    # otherwise GC the new state file while its commit survives,
+    # corrupting the bucket
+    commits_now = log.commits(bucket)
+    keep = {c["file"] for c in commits_now
+            if c["lsn_hi"] >= cur["lsn_hi"]} | {cur["file"]}
     for f in os.listdir(data_dir):
         if f.endswith(".parquet") and f not in keep:
             os.unlink(os.path.join(data_dir, f))
             gced += 1
-    for c in commits[:-1]:
+    for c in commits_now:
+        if c["lsn_hi"] >= cur["lsn_hi"]:
+            continue
         p = os.path.join(log_dir, f"commit-{c['lsn_hi']}.json")
         if os.path.exists(p):
             os.unlink(p)
