@@ -3660,7 +3660,7 @@ FROM (
          CAST(event_id % 2 AS BIGINT) AS stream,
          row_number() OVER (PARTITION BY user_id
                             ORDER BY ts DESC, event_id % 2 ASC,
-                                     event_id ASC) AS rn
+                                     event_id DESC) AS rn
   FROM events)
 WHERE rn = 1
 """

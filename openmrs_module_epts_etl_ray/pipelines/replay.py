@@ -53,23 +53,38 @@ def replay(
     exchange (identical committed state, kept for comparison and as the
     path a multi-node sort-shuffle deployment would take).
     """
-    # validation FIRST: the window filter silently drops null-LSN rows
-    # (null comparisons filter false), so malformed rows must be diverted
-    # to the dead-letter channel before any LSN predicate runs
+    log = CommitLog(lake_root)
+    # the lake's bucketing is pinned at creation; a mismatched num_buckets
+    # arg is overridden by the stored value, and a mismatched bucketing
+    # COLUMN set raises (see CommitLog.ensure_bucketing)
+    num_buckets = log.ensure_bucketing(num_buckets, bucket_cols=key_cols)
+    ckpt_lo = log.min_committed_lsn()
+    lo = max(ckpt_lo, lsn_range[0]) if lsn_range else ckpt_lo
+    hi = lsn_range[1] if lsn_range else None
+
+    # validation sees only rows THIS window could touch, plus rows whose
+    # LSN is null (a windowed predicate would silently drop those — they
+    # must divert to the dead-letter channel). Restricting validation to
+    # the window matters for the dead-letter LIFECYCLE: a malformed row
+    # below the committed watermark would otherwise be re-dead-lettered on
+    # every subsequent replay, resurrecting errors a prior
+    # retry_dead_letters pass already consumed and resetting retry counts.
     if dead_letter_dir is not None:
         from ..stages.validate import Validator
 
+        if lo >= 0 or hi is not None:
+            def pre_window(batch: pa.Table) -> pa.Table:
+                mask = pc.greater(batch["lsn"], lo)
+                if hi is not None:
+                    mask = pc.and_(mask, pc.less_equal(batch["lsn"], hi))
+                mask = pc.or_(pc.fill_null(mask, False),
+                              pc.is_null(batch["lsn"]))
+                return batch.filter(mask)
+            events = events.map_batches(pre_window, batch_format="pyarrow")
         events = events.map_batches(
             Validator(dead_letter_dir, key_cols=key_cols),
             batch_format="pyarrow", zero_copy_batch=True)
 
-    log = CommitLog(lake_root)
-    # the lake's bucketing is pinned at creation; a mismatched num_buckets
-    # arg is overridden by the stored value (see CommitLog.ensure_bucketing)
-    num_buckets = log.ensure_bucketing(num_buckets)
-    ckpt_lo = log.min_committed_lsn()
-    lo = max(ckpt_lo, lsn_range[0]) if lsn_range else ckpt_lo
-    hi = lsn_range[1] if lsn_range else None
     if lo >= 0 or hi is not None:
         def window(batch: pa.Table) -> pa.Table:
             mask = pc.greater(batch["lsn"], lo)
@@ -137,14 +152,27 @@ def quick_merge(
     incoming row co-locates with the state row it may adopt; every configured
     unique-key group must be resolvable within that partitioning (groups over
     other columns would need a central probe, which the reference gets for
-    free from its destination database). Returns the lineage Dataset.
+    free from its destination database). Two assumptions this implies —
+    both now ENFORCED or documented: (a) the lake's bucketing column set is
+    pinned (``CommitLog.ensure_bucketing`` raises if a quick_merge routes by
+    a different column set than the lake was created with — probe and state
+    would never co-locate); (b) a PK whose unique-key VALUE differs between
+    two rows of one run is two different match identities by definition of
+    the operation — rows mutating their own uk mid-batch must be collapsed
+    upstream first. Returns the lineage Dataset.
     """
     if not unique_keys:
         raise ValueError("quick_merge needs at least one unique-key group")
-    pol = policy or ConflictPolicy()
+    import dataclasses
+    # COPY the policy: assigning unique_keys into the caller's object would
+    # silently enable uk-fallback probes in later replay() calls that reuse
+    # it under PK-hash bucketing, where same-uk rows do not co-locate
+    pol = dataclasses.replace(policy) if policy is not None \
+        else ConflictPolicy()
     pol.unique_keys = [list(g) for g in unique_keys]
     log = CommitLog(lake_root)
-    num_buckets = log.ensure_bucketing(num_buckets)
+    num_buckets = log.ensure_bucketing(num_buckets,
+                                       bucket_cols=unique_keys[0])
     collapsed = src.map_batches(
         PartialLww(key_cols=key_cols, num_buckets=num_buckets,
                    bucket_cols=tuple(unique_keys[0])),
@@ -235,8 +263,17 @@ def retry_dead_letters(
         park_dir = os.path.join(dead_letter_dir, "parked")
         os.makedirs(park_dir, exist_ok=True)
         h = _hashlib.sha256()
-        for col in parked_tbl.column_names:
-            h.update(repr(parked_tbl[col].to_pylist()).encode())
+        # hash over ROW-SORTED content: Ray block iteration order is not
+        # stable across runs, so an order-sensitive hash would give the
+        # same parked rows a different name on a crashed-then-re-run pass
+        # (double-parking); sorting makes the name a pure function of the
+        # row multiset
+        pdf = parked_tbl.to_pandas()
+        pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+        pdf = pdf.sort_values(list(pdf.columns), na_position="last") \
+                 .reset_index(drop=True)
+        for col in pdf.columns:
+            h.update(repr(pdf[col].tolist()).encode())
         # deterministic name => re-running the retry re-parks idempotently
         path = os.path.join(park_dir, f"parked-{h.hexdigest()[:16]}.parquet")
         tmp = path + ".tmp"

@@ -306,7 +306,7 @@ def multi_stream_lww(
 
     key_cols = list(key_cols)
     by = [lsn_col, stream_col, seq_col]
-    asc = [False, True, True]
+    asc = [False, True, False]
 
     def _tag(priority: int):
         def f(t: pa.Table) -> pa.Table:

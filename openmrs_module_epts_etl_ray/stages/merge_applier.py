@@ -287,13 +287,25 @@ class MergeApplier:
             if ckpt >= 0:
                 events = events.filter(pa.compute.greater(events["lsn"], ckpt))
             if len(events) == 0 or lsn_hi <= ckpt:
-                state = self.commit_log.read_state(bucket)
+                # already-committed window: the lineage row's state facts
+                # come from the commit manifest when present — re-reading
+                # (and in delta layout re-CONSTRUCTING) the whole bucket
+                # state for a no-op resume was the most expensive path in
+                # the file; read_state remains the fallback for lakes
+                # committed before state_sha was recorded
+                cur = self.commit_log.current(bucket)
+                if cur and "state_sha" in cur:
+                    n_rows = int(cur.get("state_rows", cur.get("rows", 0)))
+                    sha = cur["state_sha"]
+                else:
+                    state = self.commit_log.read_state(bucket)
+                    n_rows, sha = len(state), self._fingerprint(state)
                 return lineage_row(
                     partition_id=bucket, lsn_lo=lsn_lo, lsn_hi=lsn_hi,
                     events_seen=events_seen, rows_applied=0, inserted=0, updated=0,
                     kept_existing=0, tombstones=0,
-                    state_rows=len(state),
-                    state_sha=self._fingerprint(state), committed=False,
+                    state_rows=n_rows,
+                    state_sha=sha, committed=False,
                 )
 
         winners = _lww_with_counts(events, self.key_cols, "lsn")
@@ -311,26 +323,29 @@ class MergeApplier:
             new_state, stats = merge_bucket_state(
                 state, winners, self.policy, self.key_cols)
             applied = None
+        fp = self._fingerprint(new_state)
+        state_meta = {"state_rows": len(new_state), "state_sha": fp}
         if self.retry_mode:
             # an amendment is always a FULL snapshot (even in delta layout):
             # it replaces the current commit, so reconstruction restarts here
             committed = self.commit_log.commit_state(
-                bucket, ckpt if ckpt >= 0 else -1, new_state, meta=stats,
-                replace=True)
+                bucket, ckpt if ckpt >= 0 else -1, new_state,
+                meta=dict(stats, **state_meta), replace=True)
         elif want_delta:
             cur = self.commit_log.current(bucket)
             since = (cur or {}).get("deltas_since_snapshot", 0)
             if since + 1 >= self.snapshot_every:
                 committed = self.commit_log.commit_state(
                     bucket, lsn_hi, new_state,
-                    meta=dict(stats, deltas_since_snapshot=0))
+                    meta=dict(stats, deltas_since_snapshot=0, **state_meta))
             else:
                 committed = self.commit_log.commit_state(
                     bucket, lsn_hi, applied, kind="delta",
                     meta=dict(stats, deltas_since_snapshot=since + 1,
-                              key_cols=list(self.key_cols)))
+                              key_cols=list(self.key_cols), **state_meta))
         else:
-            committed = self.commit_log.commit_state(bucket, lsn_hi, new_state, meta=stats)
+            committed = self.commit_log.commit_state(
+                bucket, lsn_hi, new_state, meta=dict(stats, **state_meta))
         return lineage_row(
             partition_id=bucket, lsn_lo=lsn_lo, lsn_hi=lsn_hi,
             events_seen=events_seen,
@@ -338,7 +353,7 @@ class MergeApplier:
             inserted=stats["inserted"], updated=stats["updated"],
             kept_existing=stats["kept_existing"], tombstones=stats["tombstones"],
             state_rows=len(new_state),
-            state_sha=self._fingerprint(new_state), committed=committed,
+            state_sha=fp, committed=committed,
         )
 
     @staticmethod

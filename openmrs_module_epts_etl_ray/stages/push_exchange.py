@@ -81,18 +81,33 @@ class MergeActor:
         bs = b[order]
         bounds = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
         bounds = np.r_[bounds, len(bs)]
+        # STAGE the whole slice before touching actor state: a failure
+        # mid-loop (e.g. the re-collapse concat) would otherwise leave some
+        # buckets holding the slice's rows while the fingerprint stays
+        # unregistered — Ray's retried map task then re-sends the slice and
+        # those buckets double-count. The staged dicts publish with plain
+        # dict updates, which cannot raise.
+        staged_parts: dict[int, list] = {}
+        staged_rows: dict[int, int] = {}
         for i in range(len(bounds) - 1):
             lo, hi = int(bounds[i]), int(bounds[i + 1])
             bucket = int(bs[lo])
-            self.parts.setdefault(bucket, []).append(tbl.slice(lo, hi - lo))
-            n = self.part_rows.get(bucket, 0) + (hi - lo)
+            cur = staged_parts.get(bucket)
+            if cur is None:
+                cur = list(self.parts.get(bucket, []))
+            cur.append(tbl.slice(lo, hi - lo))
+            n = staged_rows.get(bucket,
+                                self.part_rows.get(bucket, 0)) + (hi - lo)
             if n > self.combine_threshold:
                 merged = _lww_with_counts(
-                    pa.concat_tables(self.parts[bucket], promote_options="default"),
+                    pa.concat_tables(cur, promote_options="default"),
                     self.key_cols, "lsn")
-                self.parts[bucket] = [merged]
+                cur = [merged]
                 n = len(merged)
-            self.part_rows[bucket] = n
+            staged_parts[bucket] = cur
+            staged_rows[bucket] = n
+        self.parts.update(staged_parts)
+        self.part_rows.update(staged_rows)
         if slice_fp is not None:
             self.seen_slices.add(slice_fp)
         return len(table)

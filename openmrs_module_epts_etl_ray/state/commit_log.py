@@ -169,17 +169,31 @@ class CommitLog:
         return state if state is not None else (
             pa.table({}) if schema is None else schema.empty_table())
 
-    def ensure_bucketing(self, num_buckets: int) -> int:
-        """Pin the lake's bucket count on first use and return the effective
-        value. Keys are routed by ``hash % num_buckets``; replaying an
-        existing lake under a DIFFERENT count would split a key's history
-        across old and new buckets and read_lake would emit stale duplicates
-        — so the stored value always wins. Rebucketing is an offline rewrite
+    def ensure_bucketing(self, num_buckets: int,
+                         bucket_cols: tuple | list | None = None) -> int:
+        """Pin the lake's bucket count (and, when given, the bucketing
+        COLUMNS) on first use and return the effective count. Keys are
+        routed by ``hash % num_buckets``; replaying an existing lake under
+        a DIFFERENT count would split a key's history across old and new
+        buckets and read_lake would emit stale duplicates — so the stored
+        value always wins. A mismatched bucketing COLUMN set (e.g. a
+        quick_merge keyed on a unique key against a lake replay() bucketed
+        by PK) raises: probe and state would silently never co-locate and
+        every upsert would insert a twin. Rebucketing is an offline rewrite
         (read_lake -> replay into a fresh lake)."""
         path = os.path.join(self.log_dir, "bucketing.json")
         if os.path.exists(path):
             with open(path) as fh:
-                return json.load(fh)["num_buckets"]
+                pin = json.load(fh)
+            stored_cols = pin.get("bucket_cols")
+            if (bucket_cols is not None and stored_cols is not None
+                    and list(bucket_cols) != list(stored_cols)):
+                raise ValueError(
+                    f"lake {self.lake_root!r} is bucketed by "
+                    f"{stored_cols}; routing by {list(bucket_cols)} would "
+                    f"never co-locate probes with state — use a separate "
+                    f"lake or rebucket offline")
+            return pin["num_buckets"]
         os.makedirs(self.log_dir, exist_ok=True)
         # write the FULL content to a tmp file first, then publish with an
         # exclusive hard link: exactly one concurrent first-replay wins the
@@ -188,7 +202,10 @@ class CommitLog:
         import tempfile
         fd, tmp = tempfile.mkstemp(dir=self.log_dir, suffix=".tmp")
         with os.fdopen(fd, "w") as fh:
-            json.dump({"num_buckets": int(num_buckets)}, fh)
+            json.dump({"num_buckets": int(num_buckets),
+                       "bucket_cols": (list(bucket_cols)
+                                       if bucket_cols is not None
+                                       else None)}, fh)
         try:
             os.link(tmp, path)
         except FileExistsError:

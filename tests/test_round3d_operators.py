@@ -130,7 +130,7 @@ def test_multi_stream_lww_matches_single_stream_sort():
         .to_pandas().sort_values("k").reset_index(drop=True)
     ref = df.assign(stream=(df["seq"] % 3).astype(np.int64)) \
         .sort_values(["lsn", "stream", "seq"],
-                     ascending=[False, True, True], kind="stable") \
+                     ascending=[False, True, False], kind="stable") \
         .drop_duplicates("k").sort_values("k").reset_index(drop=True)
     pd.testing.assert_frame_equal(
         out[["k", "lsn", "seq", "v", "stream"]],
