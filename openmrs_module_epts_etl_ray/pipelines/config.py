@@ -121,8 +121,13 @@ class QueryDataSourceStage:
         if self.con is None:   # lazy per-task connect: view DDL is metadata-only
             self.con = self._connect()
         self.con.register("m", t)
+        # LIMIT 1 inside the lateral: the reference takes the query's FIRST
+        # row per record; without it a multi-row match would fan out source
+        # records, violating the one-row lookup contract the table-
+        # datasource path enforces via key dedup
         return self.con.sql(
-            f"SELECT m.*, ds.* FROM m {self.join} LATERAL ({self.sql}) ds ON TRUE"
+            f"SELECT m.*, ds.* FROM m {self.join} LATERAL "
+            f"(SELECT * FROM ({self.sql}) AS q LIMIT 1) ds ON TRUE"
         ).arrow()
 
     def __getstate__(self):
@@ -462,7 +467,8 @@ def _run_transport(cfg: dict, outputs: dict[str, str]) -> None:
         if bkp_dir:
             os.makedirs(bkp_dir, exist_ok=True)
         for p in sorted(glob.glob(os.path.join(export_dir, "*"))):
-            if not os.path.isfile(p) or not p.endswith(exts):
+            if not os.path.isfile(p) or not p.endswith(
+                    tuple("." + e.lstrip(".") for e in exts)):
                 continue
             name = os.path.basename(p)
             target = os.path.join(import_dir, name)
@@ -472,7 +478,9 @@ def _run_transport(cfg: dict, outputs: dict[str, str]) -> None:
                 shutil.copyfile(p, tmp)
                 os.replace(tmp, target)
             if bkp_dir:
-                os.replace(p, os.path.join(bkp_dir, name))
+                # shutil.move: os.replace raises EXDEV when the backup dir
+                # sits on a different filesystem (the normal case)
+                shutil.move(p, os.path.join(bkp_dir, name))
         outputs[src.get("tableName", os.path.basename(export_dir))] = import_dir
 
 
@@ -540,7 +548,10 @@ def _run_inconsistency_check(cfg: dict, outputs: dict[str, str]) -> None:
             default_value=src.get("defaultValue"),
             # RefMapping conditional/ignorable vocabulary (RefMapping.java:7-28)
             condition_field=src.get("conditionField"),
-            condition_value=src.get("conditionValue"))
+            condition_value=src.get("conditionValue"),
+            # reference writes inconsistence_info rows for every repair;
+            # wire the audit side channel through the config vocabulary
+            audit_dir=src.get("inconsistenceInfoDir"))
         out_dir = src.get("outDir") or os.path.join(
             "/tmp", "etl_out", f"check_{src['tableName']}")
         export_files(fixed, out_dir, fmt="parquet")
@@ -569,7 +580,8 @@ def _run_detector(cfg: dict, outputs: dict[str, str], *, new_only: bool) -> None
         if new_only:
             detected = detect_changed_records(ds, created, since, until=until)
         elif created and changed:
-            detected = classify_new_changed(ds, created, changed, since)
+            detected = classify_new_changed(ds, created, changed, since,
+                                            until=until)
             if not src.get("includeNew", True):
                 detected = detected.map_batches(
                     lambda t: t.filter(pc.equal(t["change_class"], "changed")),
@@ -682,6 +694,10 @@ def run_config(cfg: dict | str, _seen: frozenset = frozenset()) -> dict[str, str
 
     child_path = cfg.get("childConfigFilePath")
     if child_path:
+        if path and not os.path.isabs(child_path):
+            # relative to the PARENT CONFIG's directory, not the process
+            # CWD (the reference resolves child configs beside the parent)
+            child_path = os.path.join(os.path.dirname(path), child_path)
         outputs.update(run_config(
             child_path, _seen | ({path} if path else frozenset())))
     return outputs

@@ -36,17 +36,22 @@ def detect_changed_records(ds: rd.Dataset, ts_col: str, since, *, until=None) ->
 
 def classify_new_changed(
     ds: rd.Dataset, created_col: str, changed_col: str, since,
-    *, class_col: str = "change_class",
+    *, until=None, class_col: str = "change_class",
 ) -> rd.Dataset:
     """Reference NEW vs CHANGED records detector semantics
     (``ChangedRecordsDetectorSearchParams.java:43-68``): NEW when
-    ``created >= since``; CHANGED when ``created < since`` and
-    ``changed >= since``; everything else is unchanged and dropped."""
+    ``created`` in [since, until); CHANGED when ``created < since`` and
+    ``changed`` in [since, until); everything else is unchanged and
+    dropped (``until=None`` leaves the window open-ended)."""
     def fn(t: pa.Table) -> pa.Table:
         s = pa.scalar(since)
         is_new = pc.greater_equal(t[created_col], s)
         is_changed = pc.and_(pc.less(t[created_col], s),
                              pc.greater_equal(t[changed_col], s))
+        if until is not None:
+            u = pa.scalar(until)
+            is_new = pc.and_(is_new, pc.less(t[created_col], u))
+            is_changed = pc.and_(is_changed, pc.less(t[changed_col], u))
         cls = pc.if_else(is_new, "new", pc.if_else(is_changed, "changed", None))
         t = t.append_column(class_col, cls)
         return t.filter(pc.is_valid(t[class_col]))

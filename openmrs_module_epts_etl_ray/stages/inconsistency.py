@@ -71,10 +71,16 @@ def resolve_inconsistencies(
             bad = pc.invert(ok)
             if condition_field is not None:
                 # gated relationship: rows where the condition doesn't hold
-                # are consistent regardless of the FK value
-                applies = pc.fill_null(
-                    pc.equal(t[condition_field], pa.scalar(condition_value)),
-                    False)
+                # are consistent regardless of the FK value.
+                # condition_value=None means "field IS NULL" — pc.equal
+                # against a null scalar is all-null, which fill_null(False)
+                # would turn into a SILENT no-op check
+                if condition_value is None:
+                    applies = pc.is_null(t[condition_field])
+                else:
+                    applies = pc.fill_null(
+                        pc.equal(t[condition_field],
+                                 pa.scalar(condition_value)), False)
                 bad = pc.and_(bad, applies)
                 ok = pc.invert(bad)
             if on_missing == "drop":

@@ -118,10 +118,18 @@ def datasource_lookup(
     lk = _dedup_first(lk, l_keys)
     ref = ray.put(lk)
     s_keys = [sf for sf, _ in join_fields]
+    lk_dtypes = dict(lk.dtypes)
+
+    from .asof import _nullable, _zero_masked
 
     class Probe:
         # plain instance (task pool, fuses with the read); the broadcast
-        # lookup frame is fetched from the object store per task
+        # lookup frame is fetched from the object store per task.
+        # Dtype restore after the merge (the broadcast_inner_join rule): a
+        # left merge with misses NaN-promotes int64 lookup columns to
+        # float64 in THAT batch only — mixed block schemas downstream and
+        # silent corruption above 2^53, and path-dependent output vs the
+        # shuffle join.
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             lk = ray.get(ref)
             merged = df.merge(
@@ -129,7 +137,20 @@ def datasource_lookup(
                 left_on=s_keys, right_on=l_keys, suffixes=("", "_lk"),
             )
             drop = [lf for lf in l_keys if lf not in df.columns and lf not in s_keys]
-            return merged.drop(columns=drop, errors="ignore")
+            merged = merged.drop(columns=drop, errors="ignore")
+            for col, want in lk_dtypes.items():
+                if col in merged.columns and col not in df.columns \
+                        and str(merged[col].dtype) != str(want):
+                    target = _nullable(want) if merged[col].isna().any() \
+                        else want
+                    try:
+                        merged[col] = merged[col].astype(target)
+                    except (TypeError, ValueError):
+                        pass
+            return _zero_masked(
+                merged, [c for c in merged.columns
+                         if getattr(merged[c].array, "_mask", None)
+                         is not None])
 
     return ds.map_batches(Probe(), batch_format="pandas")
 
@@ -185,13 +206,45 @@ def remap_fk(
 
         return joined.map_batches(fold, batch_format="pandas")
 
+    import numpy as np
+
     mp = _dedup_first(mapping.to_pandas()[[old_col, new_col]], [old_col])
-    lut = dict(zip(mp[old_col], mp[new_col]))
-    ref = ray.put(lut)
+    int_lut = (pd.api.types.is_integer_dtype(mp[old_col].dtype)
+               and pd.api.types.is_integer_dtype(mp[new_col].dtype))
+    if int_lut:
+        order = np.argsort(mp[old_col].to_numpy())
+        ref = ray.put((mp[old_col].to_numpy()[order].astype(np.int64),
+                       mp[new_col].to_numpy()[order].astype(np.int64)))
+    else:
+        ref = ray.put(dict(zip(mp[old_col], mp[new_col])))
 
     class Remap:
-        # plain instance (task pool, fuses with the read)
+        # plain instance (task pool, fuses with the read). Integer FKs map
+        # through a sorted-array searchsorted probe into a MASKED Int64 —
+        # Series.map with any miss float-promotes the whole column BEFORE
+        # the Int64 cast, rounding values above 2^53
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            return apply_mapped(df, df[fk_col].map(ray.get(ref)))
+            lut = ray.get(ref)
+            s = df[fk_col]
+            if int_lut and pd.api.types.is_integer_dtype(s.dtype):
+                keys, vals = lut
+                null = s.isna().to_numpy() if s.isna().any() \
+                    else np.zeros(len(s), bool)
+                v = pd.Series(s).fillna(0).to_numpy(dtype=np.int64)
+                if len(keys):
+                    ix = np.clip(np.searchsorted(keys, v), 0, len(keys) - 1)
+                    hit = (keys[ix] == v) & ~null
+                    out_vals = np.where(hit, vals[ix], 0)
+                else:
+                    hit = np.zeros(len(s), bool)
+                    out_vals = np.zeros(len(s), np.int64)
+                mapped = pd.Series(
+                    pd.arrays.IntegerArray(out_vals.astype(np.int64), ~hit),
+                    index=df.index)
+                return apply_mapped(df, mapped)
+            if int_lut:  # non-integer batch column against an int lut
+                keys, vals = lut
+                lut = dict(zip(keys.tolist(), vals.tolist()))
+            return apply_mapped(df, s.map(lut))
 
     return ds.map_batches(Remap(), batch_format="pandas")

@@ -13,9 +13,21 @@ import pyarrow as pa
 
 
 def rename_columns(t: pa.Table, renames: dict[str, str]) -> pa.Table:
-    """Apply declared rename mappings (e.g. ``language -> lang``)."""
+    """Apply declared rename mappings (e.g. ``language -> lang``).
+
+    When a batch carries BOTH the old and the new name (mixed-era
+    producers in one block), the columns COALESCE (new value wins where
+    present) instead of producing a duplicate-named table that crashes
+    every downstream column lookup."""
     if not renames:
         return t
+    import pyarrow.compute as pc
+    for old, new in renames.items():
+        if old in t.column_names and new in t.column_names:
+            merged = pc.coalesce(t[new].cast(t[new].type),
+                                 t[old].cast(t[new].type))
+            t = t.set_column(t.column_names.index(new), new, merged)
+            t = t.drop_columns([old])
     return t.rename_columns([renames.get(c, c) for c in t.column_names])
 
 
@@ -36,16 +48,19 @@ def unify_and_backfill(tables: list[pa.Table]) -> list[pa.Table]:
                 )
                 fields[f.name] = unified.field(0)
     target = pa.schema([fields[n] for n in names])
-    out = []
-    for t in tables:
-        cols = []
-        for f in target:
-            if f.name in t.column_names:
-                cols.append(t[f.name].cast(f.type))
-            else:
-                cols.append(pa.nulls(len(t), type=f.type))
-        out.append(pa.table(cols, schema=target))
-    return out
+    return [_conform(t, target) for t in tables]
+
+
+def _conform(t: pa.Table, target: pa.Schema) -> pa.Table:
+    """Cast to the target schema, null-backfilling absent columns (shared
+    by :func:`unify_and_backfill` and :class:`NormalizeBatch`)."""
+    cols = []
+    for f in target:
+        if f.name in t.column_names:
+            cols.append(t[f.name].cast(f.type))
+        else:
+            cols.append(pa.nulls(len(t), type=f.type))
+    return pa.table(cols, schema=target)
 
 
 class NormalizeBatch:
@@ -60,11 +75,5 @@ class NormalizeBatch:
     def __call__(self, batch: pa.Table) -> pa.Table:
         batch = rename_columns(batch, self.renames)
         if self.target is not None:
-            cols = []
-            for f in self.target:
-                if f.name in batch.column_names:
-                    cols.append(batch[f.name].cast(f.type))
-                else:
-                    cols.append(pa.nulls(len(batch), type=f.type))
-            batch = pa.table(cols, schema=self.target)
+            batch = _conform(batch, self.target)
         return batch

@@ -578,3 +578,30 @@ def test_id_collision_empty_existing_and_dup_uuids():
         uuid_col="uuid")
     r = dict(zip(remap2.to_pandas()["old_id"], remap2.to_pandas()["new_id"]))
     assert r == {9: 3}
+
+
+def test_rename_collision_coalesces():
+    import pyarrow as pa
+
+    from openmrs_module_epts_etl_ray.stages.schema_evolution import (
+        rename_columns)
+
+    t = pa.table({"language": ["py", "java", "go"],
+                  "lang": [None, "rs", None]})
+    out = rename_columns(t, {"language": "lang"})
+    assert out.column_names == ["lang"]
+    assert out["lang"].to_pylist() == ["py", "rs", "go"]  # new wins
+
+
+def test_remap_fk_exact_above_2_53():
+    from openmrs_module_epts_etl_ray.stages.lookup import remap_fk
+
+    big = (1 << 60) + 1
+    ds = rd.from_pandas(pd.DataFrame(
+        {"fk": pd.array([big, 7, None], dtype="Int64")}))
+    mp = rd.from_pandas(pd.DataFrame({"old": [big], "new": [big + 1]}))
+    out = remap_fk(ds, mp, "fk", old_col="old", new_col="new",
+                   on_missing="keep").to_pandas()
+    got = set(out["fk"].dropna().astype("int64"))
+    # the big value must survive EXACTLY (float64 would round it)
+    assert big + 1 in got and 7 in got
