@@ -490,15 +490,18 @@ def q_cumulative_value(sf_dir: str):
     """Cumulative revenue over event order (distributed prefix SUM,
     stages/scan.py::running_sum). Integer cents (floor(value*100)) keep the
     bucketed summation tree exactly equal to the oracle's sequential
-    window sum — float prefix sums are order-sensitive in the last ulp."""
+    window sum — float prefix sums are order-sensitive in the last ulp.
+    The cents kernel is Arrow-native so a null value stays null (numpy
+    NaN->int64 is platform garbage, while SQL's CAST yields NULL and
+    SUM OVER skips it); running_sum skips nulls to match."""
     from ..stages.scan import running_sum
 
     ev = read_table(sf_dir, "events", columns=["event_id", "value"])
 
     def cents(t: pa.Table) -> pa.Table:
-        c = np.floor(t["value"].to_numpy() * 100).astype("int64")
-        return pa.table({"event_id": t["event_id"],
-                         "value_cents": pa.array(c)})
+        c = pc.cast(pc.floor(pc.multiply(t["value"], pa.scalar(100.0))),
+                    pa.int64())
+        return pa.table({"event_id": t["event_id"], "value_cents": c})
 
     scanned = running_sum(ev.map_batches(cents, batch_format="pyarrow"),
                           ["event_id"], "value_cents", out_col="cum_cents")
@@ -1906,9 +1909,10 @@ SELECT c_mktsegment, o_orderkey, o_totalprice FROM j WHERE rn <= 3
 """,
     "cumulative_value": """
 SELECT event_id,
-       SUM(CAST(FLOOR(value * 100) AS BIGINT))
-         OVER (ORDER BY event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT))
+              OVER (ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_cents
 FROM events
 """,
     "late_events": """

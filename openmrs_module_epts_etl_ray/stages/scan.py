@@ -8,17 +8,28 @@ the allowed lateness arrived late; reference analogue: the stage-area
 observation-date ordering that decides stale updates,
 ``model/EtlDatabaseObject.java:677-714``).
 
-Shape (two passes, nothing large ever driver-side):
+Shape (three streaming passes, nothing large ever driver-side or pinned):
 
-1. RANGE-partition on the primary order column (bucket = affine map of the
-   order value — co-locates each contiguous order range; the same layout
-   ``stages/gap_detect.py`` uses for boundary stitching).
-2. Pass A: per-block partial (bucket, max) pairs — tiny (#blocks × buckets
-   per block rows) — folded into per-bucket maxima, then an EXCLUSIVE
-   prefix max over bucket order gives each bucket's carry-in. Only
-   O(num_buckets) values touch the driver.
-3. Pass B: one groupby(bucket) cogroup; inside each bucket a vectorized
-   sort + ``np.maximum.accumulate`` merged with the carry-in.
+1. Bounds + pass A run on a two-column PROJECTION of the input pipeline
+   (order axis + value) — the full dataset is never materialized; the
+   upstream lineage re-executes per pass, which streams with backpressure.
+   Pinning the whole bucketed input in the object store (the pre-round-4
+   shape) would spill-storm at 100 TB.
+2. Pass A: per-block partial (bucket, fold, n-non-null) triples — tiny
+   (#blocks x buckets-per-block rows) — folded into per-bucket values, then
+   an EXCLUSIVE prefix fold over bucket order gives each bucket's carry-in.
+   Only O(num_buckets) values touch the driver.
+3. Pass B: bucketize the full input (range partition = affine map of the
+   order value, the layout ``stages/gap_detect.py`` uses for boundary
+   stitching), one groupby(bucket) cogroup; inside each bucket a vectorized
+   Arrow sort + ufunc ``.accumulate`` merged with the carry-in.
+
+Null semantics match SQL window aggregates (``SUM(x) OVER (ORDER BY ...
+ROWS UNBOUNDED PRECEDING)``): null values are SKIPPED by the fold — a row
+with a null value still gets the running aggregate of the non-null values
+at-or-before it — and the output is NULL only while no non-null value has
+been seen yet. The ORDER columns themselves must be non-null (SQL would
+sort them NULLS LAST; we raise instead of silently mis-bucketing).
 
 Partitioning assumption: the primary order column distributes roughly
 uniformly over its range (ids / timestamps do); a skewed order axis needs
@@ -29,6 +40,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -42,6 +54,18 @@ def _num_buckets() -> int:
         return 8
 
 
+def _order_ints(col: "pa.ChunkedArray") -> np.ndarray:
+    """Order axis -> int64 (timestamps via epoch ns). Raises on nulls."""
+    if col.null_count:
+        raise ValueError(
+            "running scan: the primary order column contains nulls; "
+            "a null order key has no position in the scan order")
+    a = col.to_numpy(zero_copy_only=False)
+    if np.issubdtype(a.dtype, np.datetime64):
+        a = a.astype("datetime64[ns]")
+    return a.astype(np.int64)
+
+
 def _running_scan(
     ds: rd.Dataset,
     order_cols: list[str],
@@ -53,17 +77,22 @@ def _running_scan(
     py_fold,                  # fold two partials (python scalars)
     accumulate,               # np ufunc .accumulate for within-bucket scan
     apply_carry,              # (scanned ndarray, carry scalar) -> ndarray
+    null_fill,                # (values ChunkedArray, carry|None) -> fill scalar
 ) -> rd.Dataset:
     from ray.data.aggregate import Max, Min
 
     nb = num_buckets or _num_buckets()
     primary = order_cols[0]
-    bounds = ds.aggregate(Min(primary), Max(primary))
+    # Bounds and pass A consume only (order axis, value): run them on a
+    # column slice of the pipeline so the full input is never pinned.
+    slim = ds.select_columns(list(dict.fromkeys([primary, value_col])))
+    bounds = slim.aggregate(Min(primary), Max(primary))
     if not bounds or bounds.get(f"min({primary})") is None:
         # empty input: keep the schema contract (out_col present, 0 rows)
         return ds.map_batches(
             lambda df: df.assign(**{out_col: df[value_col]}),
             batch_format="pandas")
+
     def _as_int(v) -> int:
         # the primary order axis may be a timestamp: pandas Timestamp /
         # numpy datetime64 carry .value (epoch ns) — int() alone raises
@@ -80,42 +109,76 @@ def _running_scan(
     width = max(1, -(-span // nb))  # ceil: divide-first avoids the int64
                                     # overflow of (x-lo)*nb on wide domains
 
-    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
-        p = df[primary].to_numpy()
-        if np.issubdtype(p.dtype, np.datetime64):
-            p = p.astype("datetime64[ns]")
-        b = (p.astype(np.int64) - lo) // width
-        return df.assign(**{_RB: b.astype(np.int64)})
+    def _buckets(t: pa.Table) -> np.ndarray:
+        return (_order_ints(t[primary]) - lo) // width
 
-    bucketed = ds.map_batches(bucketize, batch_format="pandas").materialize()
+    # pass A: per-block (bucket, fold-of-non-null, n-non-null) partials.
+    # Nulls are dropped BEFORE the fold (SQL aggregates skip them); Arrow
+    # filter keeps int64 exact — a pandas NaN detour would promote to
+    # float64 and round above 2^53.
+    def partial(t: pa.Table) -> pd.DataFrame:
+        b = _buckets(t)
+        sub = pa.table({_RB: pa.array(b), "v": t[value_col]})
+        sub = sub.filter(pc.is_valid(sub["v"]))
+        df = sub.to_pandas()
+        if not len(df):
+            df["n"] = pd.Series(dtype="int64")
+            return df[[_RB, "v", "n"]]
+        return df.groupby(_RB, as_index=False).agg(
+            v=("v", block_fold), n=("v", "size"))
 
-    # pass A: per-block partials -> per-bucket fold -> EXCLUSIVE prefix fold
-    # = each bucket's carry-in (only O(num_buckets) values touch the driver)
-    partials = bucketed.map_batches(
-        lambda df: df.groupby(_RB, as_index=False)[value_col].agg(block_fold),
-        batch_format="pandas").take_all()
-    bucket_fold: dict[int, object] = {}
+    partials = slim.map_batches(partial, batch_format="pyarrow").take_all()
+
+    fold_v: dict[int, object] = {}
+    fold_n: dict[int, int] = {}
     for row in partials:
-        b, v = int(row[_RB]), row[value_col]
-        bucket_fold[b] = v if b not in bucket_fold else py_fold(bucket_fold[b], v)
-    carry: dict[int, object] = {}
-    run = None
-    for b in sorted(bucket_fold):
-        carry[b] = run
-        run = bucket_fold[b] if run is None else py_fold(run, bucket_fold[b])
+        b = int(row[_RB])
+        fold_v[b] = row["v"] if b not in fold_v \
+            else py_fold(fold_v[b], row["v"])
+        fold_n[b] = fold_n.get(b, 0) + int(row["n"])
+    # exclusive prefix fold for EVERY bucket index (a bucket whose values
+    # are all null emits no partial but still needs its carry-in)
+    carry: dict[int, tuple] = {}
+    run_v, run_n = None, 0
+    for b in range(nb + 1):
+        carry[b] = (run_v, run_n)
+        if b in fold_v:
+            run_v = fold_v[b] if run_v is None else py_fold(run_v, fold_v[b])
+            run_n += fold_n[b]
     carry_ref = ray.put(carry)
 
-    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        c = ray.get(carry_ref)
-        g = g.sort_values(order_cols, kind="stable")
-        vals = g[value_col].to_numpy()
-        out = accumulate(vals)
-        cin = c.get(int(g[_RB].iloc[0]))
-        if cin is not None:
-            out = apply_carry(out, np.asarray(cin, dtype=vals.dtype))
-        return g.assign(**{out_col: out}).drop(columns=[_RB])
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(_RB, pa.array(_buckets(t)))
 
-    return bucketed.groupby(_RB).map_groups(scan_bucket, batch_format="pandas")
+    def scan_bucket(t: pa.Table) -> pa.Table:
+        cmap = ray.get(carry_ref)
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[(c, "ascending") for c in order_cols]))
+        v = t[value_col]
+        cin_v, cin_n = cmap.get(int(t[_RB][0].as_py()), (None, 0))
+        valid = pc.is_valid(v).to_numpy(zero_copy_only=False)
+        body = t.drop_columns([_RB])
+        if cin_v is None and not valid.any():
+            # leading all-null bucket: no value seen yet anywhere
+            return body.append_column(out_col, pa.nulls(len(t), type=v.type))
+        filled = pc.fill_null(v, null_fill(v, cin_v)) \
+            .to_numpy(zero_copy_only=False)
+        out = accumulate(filled)
+        if cin_v is not None:
+            out = apply_carry(out, np.asarray(cin_v, dtype=out.dtype))
+        mask = (np.cumsum(valid.astype(np.int64)) + cin_n) == 0
+        if mask.any():
+            out = out.copy()
+            out[mask] = np.zeros(1, out.dtype)[0]  # zero data under null
+            # slots — DuckDB's .arrow() zeroes masked buffers, and hash
+            # comparisons read them (the asof lesson, stages/asof.py)
+            arr = pa.array(out, mask=mask)
+        else:
+            arr = pa.array(out)
+        return body.append_column(out_col, arr.cast(v.type))
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+              .groupby(_RB).map_groups(scan_bucket, batch_format="pyarrow"))
 
 
 def running_max(
@@ -126,14 +189,19 @@ def running_max(
     out_col: str = "running_max",
     num_buckets: int | None = None,
 ) -> rd.Dataset:
-    """Append ``out_col`` = max of ``value_col`` over all rows at-or-before
-    each row in ``order_cols`` order (inclusive). ``order_cols[0]`` must be
-    integer-like (the range-partition axis); the remaining columns only
-    break ties."""
+    """Append ``out_col`` = max of ``value_col`` over all non-null values
+    at-or-before each row in ``order_cols`` order (inclusive); NULL until
+    the first non-null value. ``order_cols[0]`` must be integer-like or a
+    timestamp (the range-partition axis) and non-null; the remaining
+    columns only break ties."""
     return _running_scan(
         ds, order_cols, value_col, out_col=out_col, num_buckets=num_buckets,
         block_fold="max", py_fold=max,
-        accumulate=np.maximum.accumulate, apply_carry=np.maximum)
+        accumulate=np.maximum.accumulate, apply_carry=np.maximum,
+        # nulls must not raise the running max: fill with the carry-in when
+        # one exists (rows before the bucket's first value read as carry),
+        # else the bucket's own min (those rows are masked NULL anyway)
+        null_fill=lambda v, cin: cin if cin is not None else pc.min(v))
 
 
 def running_sum(
@@ -144,10 +212,13 @@ def running_sum(
     out_col: str = "running_sum",
     num_buckets: int | None = None,
 ) -> rd.Dataset:
-    """Inclusive prefix sum in ``order_cols`` order. Use an INTEGER value
-    column: float addition is non-associative, so a bucketed scan's
-    summation tree would drift from a sequential oracle in the last ulp."""
+    """Inclusive prefix sum in ``order_cols`` order; null values add zero
+    (SQL ``SUM OVER`` skips them) and the output is NULL until the first
+    non-null value. Use an INTEGER value column: float addition is
+    non-associative, so a bucketed scan's summation tree would drift from
+    a sequential oracle in the last ulp."""
     return _running_scan(
         ds, order_cols, value_col, out_col=out_col, num_buckets=num_buckets,
         block_fold="sum", py_fold=lambda a, b: a + b,
-        accumulate=np.cumsum, apply_carry=lambda out, c: out + c)
+        accumulate=np.cumsum, apply_carry=lambda out, c: out + c,
+        null_fill=lambda v, cin: 0)

@@ -155,3 +155,77 @@ def test_running_max_timestamp_axis():
         .to_pandas().sort_values("ts")
     want = df.sort_values("ts")["v"].cummax().to_numpy()
     assert (out["m"].to_numpy() == want).all()
+
+
+def test_running_sum_nulls_negatives_vs_duckdb(ray_session):
+    # SQL window-SUM parity: nulls are skipped (a null-value row still gets
+    # the running sum of prior non-nulls; NULL only before the first
+    # non-null), negatives fold exactly, and the result is invariant to
+    # block count (the driver's gate runs at whatever split it likes)
+    import duckdb
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    order = rng.permutation(n).astype("int64")
+    vals = rng.integers(-10_000, 10_000, n).astype("float64")
+    vals[rng.random(n) < 0.15] = np.nan          # -> arrow nulls
+    t = pa.table({"o": order, "v": pa.array(vals)})   # NaN becomes null?
+    # pa.array(float ndarray) keeps NaN as NaN, not null: build explicitly
+    t = pa.table({"o": order,
+                  "v": pa.array(vals, from_pandas=True)})  # NaN -> null
+    want = duckdb.connect().execute("""
+        SELECT o, CAST(SUM(CAST(v AS BIGINT))
+               OVER (ORDER BY o ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS BIGINT) AS rs
+        FROM t ORDER BY o""").fetch_arrow_table()
+    from openmrs_module_epts_etl_ray.stages.scan import running_sum
+    for blocks in (1, 3, 16):
+        ds = rd.from_arrow(t).repartition(blocks).map_batches(
+            lambda b: b.set_column(
+                b.schema.get_field_index("v"), "v",
+                b["v"].cast(pa.int64())),
+            batch_format="pyarrow")
+        got = running_sum(ds, ["o"], "v", out_col="rs") \
+            .to_pandas().sort_values("o").reset_index(drop=True)
+        gv = pa.array(got["rs"], from_pandas=True)
+        assert gv.equals(want["rs"].combine_chunks()), blocks
+
+
+def test_running_sum_all_null_prefix(ray_session):
+    # rows before the first non-null are NULL; an entirely-null bucket
+    # still forwards its carry-in
+    from openmrs_module_epts_etl_ray.stages.scan import running_sum
+
+    o = np.arange(12, dtype="int64")
+    v = pa.array([None, None, 5, None, 2, None, None, None, 1, None, 3, None],
+                 type=pa.int64())
+    ds = rd.from_arrow(pa.table({"o": o, "v": v})).repartition(4)
+    got = running_sum(ds, ["o"], "v", out_col="rs", num_buckets=6) \
+        .to_pandas().sort_values("o")["rs"]
+    want = [None, None, 5, 5, 7, 7, 7, 7, 8, 8, 11, 11]
+    assert [None if pd.isna(x) else int(x) for x in got] == want
+
+
+def test_running_max_null_values(ray_session):
+    from openmrs_module_epts_etl_ray.stages.scan import running_max
+
+    o = np.arange(10, dtype="int64")
+    v = pa.array([None, 4, None, 9, None, 2, None, None, 11, None],
+                 type=pa.int64())
+    ds = rd.from_arrow(pa.table({"o": o, "v": v})).repartition(3)
+    got = running_max(ds, ["o"], "v", out_col="rm", num_buckets=5) \
+        .to_pandas().sort_values("o")["rm"]
+    want = [None, 4, 4, 9, 9, 9, 9, 9, 11, 11]
+    assert [None if pd.isna(x) else int(x) for x in got] == want
+
+
+def test_running_scan_null_order_raises(ray_session):
+    import pytest
+
+    from openmrs_module_epts_etl_ray.stages.scan import running_sum
+
+    ds = rd.from_arrow(pa.table({
+        "o": pa.array([1, None, 3], type=pa.int64()),
+        "v": pa.array([1, 2, 3], type=pa.int64())}))
+    with pytest.raises(Exception, match="order column"):
+        running_sum(ds, ["o"], "v").materialize()
