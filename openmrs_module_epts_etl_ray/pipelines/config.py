@@ -315,17 +315,31 @@ def _run_item(item: dict, outputs: dict[str, str],
     """One etlConfiguration item (srcConf → dstConf list), then its nested
     ``child`` item(s) — the reference's chained operation controllers
     (``conf/EtlOperationConfig.java:490-499``: children start after the
-    parent operation completes)."""
+    parent operation completes).
+
+    ``item["processor"]`` — ``"module:callable"`` that REPLACES the
+    stock mapping dataflow (the reference's ``processorFullClassName``,
+    ``conf/EtlOperationConfig.java:65-67``: a custom processor class is
+    loaded by name and substituted for the whole operation's engine,
+    ``etl/controller/EtlController.java:41-61``). The callable receives
+    ``(extract Dataset, dstConf dict)`` and returns the Dataset to write;
+    the runner still owns extraction and the sink, so a custom processor
+    composes with extraConditionForExtract, datasources and every dstType."""
     from .export import export_files
 
     ds = compile_extract(item["srcConf"], params)
+    processor = (_resolve_callable(item["processor"])
+                 if item.get("processor") else None)
     for dst in item["dstConf"]:
         if dst["tableName"] in outputs:
             # D3 — duplicate destination items are a config error (two items
             # would silently race on one output directory)
             raise ValueError(
                 f"duplicate dstConf tableName {dst['tableName']!r} in config")
-        out = apply_transform(ds, _compile_mapping(dst["mapping"]))
+        if processor is not None:
+            out = processor(ds, dst)
+        else:
+            out = apply_transform(ds, _compile_mapping(dst["mapping"]))
         out_dir = dst.get("outDir") or os.path.join(
             "/tmp", "etl_out", dst["tableName"])
         fmt = dst.get("dstType", "parquet")
@@ -349,6 +363,51 @@ def _run_item(item: dict, outputs: dict[str, str],
     child = item.get("child")
     for c in ([child] if isinstance(child, dict) else (child or [])):
         _run_item(c, outputs, params)
+
+
+def _run_re_sync(cfg: dict, outputs: dict[str, str]) -> None:
+    """DB_RE_SYNC — re-synchronize a destination with the records created
+    or changed since the last sync. The reference process type
+    (``conf/types/EtlProcessType.java:9``) runs exactly the
+    NEW_RECORDS_DETECTOR + CHANGED_RECORDS_DETECTOR operations
+    (``conf/EtlOperationConfig.java:717-721``
+    ``getSupportedOperationsInDBReSyncProcess``) and is the one process
+    allowed to RE-RUN when its process info changed
+    (``controller/ProcessController.java:562-586``
+    ``reRunConditionsAreSatisfied``). Ray-native shape: classify the
+    monitored table's window into new/changed rows (one vectorized
+    predicate pass), optionally export the detection audit, then push the
+    detected records back through the unique-key merge into the
+    destination lake. Re-run safety comes from the commit-log watermark:
+    replaying an unchanged window is a no-op by construction, so the
+    reference's process-info gate is unnecessary here."""
+    from ..stages.detectors import classify_new_changed
+    from .export import export_files
+    from .replay import quick_merge
+
+    for item in cfg["etlConfiguration"]:
+        src = item["srcConf"]
+        ds = read_table(src["sfDir"], src["tableName"],
+                        columns=src.get("columns"))
+        cond = bind_params(src.get("extraConditionForExtract"),
+                           cfg.get("params"))
+        if cond:
+            ds = ds.map_batches(_ConditionFilter(cond), batch_format="pyarrow")
+        since = pd.Timestamp(src["since"])
+        until = pd.Timestamp(src["until"]) if src.get("until") else None
+        detected = classify_new_changed(
+            ds, src["createdColumn"], src["changedColumn"], since, until=until)
+        if src.get("detectedDir"):
+            export_files(detected, src["detectedDir"], fmt="parquet")
+        dst = item["dstConf"][0]
+        payload = _events_defaults(detected.drop_columns(["change_class"]),
+                                   lsn=int(dst.get("lsn", 1)))
+        quick_merge(payload, dst["lakeRoot"],
+                    key_cols=tuple(dst["keyCols"]),
+                    unique_keys=[list(g) for g in dst["uniqueKeys"]],
+                    policy=_compile_policy(dst),
+                    num_buckets=int(dst.get("numBuckets", 64))).materialize()
+        outputs[dst.get("tableName", src["tableName"])] = dst["lakeRoot"]
 
 
 def _run_quick_merge(cfg: dict, outputs: dict[str, str]) -> None:
@@ -394,17 +453,60 @@ def _events_defaults(ds: rd.Dataset, lsn: int = 0) -> rd.Dataset:
     return ds.map_batches(defaults, batch_format="pyarrow")
 
 
+ORIGIN_COL = "recordOriginLocationCode"
+
+
+def _read_import_origins(src: dict) -> rd.Dataset:
+    """Multi-origin import: ``sourceFolders`` lists several origin sites'
+    export directories, each tagged with its origin location code and
+    unioned into ONE dataset (reference
+    ``conf/EtlOperationConfig.java:482-488``: the operation clones one
+    controller per origin folder; the origin code rides every stage row as
+    ``recordOriginLocationCode``, ``common/model/EtlStageRecordVO.java:36-67``
+    — two sites' overlapping local PKs stay distinct records downstream).
+    Entries are ``{"appOriginCode": code, "importDir": dir}`` or bare dir
+    strings (origin code = the directory's basename). A plain ``importDir``
+    srcConf stays single-origin and untagged."""
+    from .export import read_export
+
+    fmt = src.get("format", "json")
+    folders = src.get("sourceFolders")
+    if not folders:
+        return read_export(src["importDir"], fmt=fmt)
+    parts = []
+    seen = set()
+    for f in folders:
+        if isinstance(f, str):
+            f = {"importDir": f}
+        code = f.get("appOriginCode") or os.path.basename(
+            f["importDir"].rstrip("/"))
+        if code in seen:
+            raise ValueError(f"duplicate appOriginCode {code!r} in "
+                             "sourceFolders")
+        seen.add(code)
+        one = read_export(f["importDir"], fmt=fmt)
+        parts.append(one.map_batches(
+            lambda t, c=code: t.append_column(
+                ORIGIN_COL, pa.array([c] * len(t), pa.string())),
+            batch_format="pyarrow"))
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    return ds
+
+
 def _run_load(cfg: dict, outputs: dict[str, str]) -> None:
     """LOAD / DB_QUICK_LOAD — read an export directory (the files a source
     site produced with dstType=json/csv) into the STAGE AREA as partitioned
     parquet (reference ``load/processor/DataLoadProcessor.java:29-48``: JSON
     files → syncImportInfo stage rows; transport is shared storage here, so
-    'load' = parse + stage, ready for DB_MERGE_FROM_JSON)."""
-    from .export import export_files, read_export
+    'load' = parse + stage, ready for DB_MERGE_FROM_JSON). Accepts
+    multi-origin ``sourceFolders`` (see :func:`_read_import_origins`)."""
+    from .export import export_files
 
     for item in cfg["etlConfiguration"]:
         src = item["srcConf"]
-        ds = read_export(src["importDir"], fmt=src.get("format", "json"))
+        ds = _read_import_origins(src)
         cond = bind_params(src.get("extraConditionForExtract"),
                            cfg.get("params"))
         if cond:
@@ -420,8 +522,9 @@ def _run_merge_from_json(cfg: dict, outputs: dict[str, str]) -> None:
     the destination lake by unique keys with conflict resolution (reference
     ``merge/model/MergingRecord.java:44-117``). ``srcConf.stageDir`` points
     at a LOAD output; ``srcConf.importDir`` merges an export dir directly
-    (skipping the explicit stage step)."""
-    from .export import read_export
+    (skipping the explicit stage step); ``srcConf.sourceFolders`` merges
+    several origin sites in one shot, origin-tagged
+    (:func:`_read_import_origins`)."""
     from .replay import quick_merge
 
     for item in cfg["etlConfiguration"]:
@@ -430,7 +533,7 @@ def _run_merge_from_json(cfg: dict, outputs: dict[str, str]) -> None:
             ds = rd.read_parquet(src["stageDir"],
                                  file_extensions=["parquet"])
         else:
-            ds = read_export(src["importDir"], fmt=src.get("format", "json"))
+            ds = _read_import_origins(src)
         ds = _events_defaults(ds, lsn=int(src.get("lsn", 0)))
         dst = item["dstConf"][0]
         lake = dst["lakeRoot"]
@@ -670,6 +773,8 @@ def run_config(cfg: dict | str, _seen: frozenset = frozenset()) -> dict[str, str
         _run_load(cfg, outputs)
     elif ptype == "DB_MERGE_FROM_JSON":
         _run_merge_from_json(cfg, outputs)
+    elif ptype == "DB_RE_SYNC":
+        _run_re_sync(cfg, outputs)
     elif ptype in ("TRANSPORT", "TRANSPORT_SYNC_FILES"):
         _run_transport(cfg, outputs)
     elif ptype == "RESOLVE_CONFLICTS_IN_STAGE_AREA":

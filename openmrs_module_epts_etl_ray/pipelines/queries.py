@@ -4208,3 +4208,138 @@ def q_approx_top_terms(sf_dir: str):
 
 
 QUERIES["approx_top_terms"] = q_approx_top_terms
+
+
+def q_re_sync(sf_dir: str):
+    """DB_RE_SYNC process (EtlProcessType.java:9): a destination lake holds
+    a STALE snapshot of orders; the re-sync runs the new+changed records
+    detectors over the monitored table (created=o_orderdate, changed=
+    o_orderdate + orderkey%30 days) against the sync start date and pushes
+    every detected record back through the unique-key merge. Untouched
+    keys keep the stale payload; detected keys carry the fresh one."""
+    from .config import run_config
+    from .replay import quick_merge, read_lake
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderdate",
+                                 "o_orderpriority"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        days = pc.subtract(t["o_orderkey"],
+                           pc.multiply(pc.divide(t["o_orderkey"], 30), 30))
+        delta = pc.multiply(pc.cast(days, pa.int64()),
+                            pa.scalar(86_400_000_000, pa.int64()))
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "created": t["o_orderdate"],
+            "changed": pc.add(t["o_orderdate"],
+                              pc.cast(delta, pa.duration("us"))),
+            "o_orderpriority": t["o_orderpriority"]})
+
+    mon = orders.map_batches(derive, batch_format="pyarrow")
+    mon_dir = _scratch("resync_mon")
+    mon.write_parquet(os.path.join(mon_dir, "orders_mon.parquet"))
+
+    lake = _scratch("resync_lake")
+    # stale pre-seed at lsn 0: every key present, priority overwritten
+    from .config import _events_defaults
+    stale = _events_defaults(mon.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("o_orderpriority"), "o_orderpriority",
+            pa.array(["STALE"] * len(t))),
+        batch_format="pyarrow"), lsn=0)
+    quick_merge(stale, lake, key_cols=("o_orderkey",),
+                unique_keys=[["o_orderkey"]], num_buckets=16).materialize()
+
+    run_config({"processType": "DB_RE_SYNC", "etlConfiguration": [{
+        "srcConf": {"sfDir": mon_dir, "tableName": "orders_mon",
+                    "createdColumn": "created", "changedColumn": "changed",
+                    "since": "1996-01-01"},
+        "dstConf": [{"lakeRoot": lake, "keyCols": ["o_orderkey"],
+                     "uniqueKeys": [["o_orderkey"]], "numBuckets": 16,
+                     "lsn": 1}],
+    }]})
+    return read_lake(lake).select_columns(["o_orderkey", "o_orderpriority"])
+
+
+QUERIES["re_sync"] = q_re_sync
+
+ORACLE_SQL["re_sync"] = """
+WITH mon AS (
+  SELECT o_orderkey, o_orderdate AS created,
+         o_orderdate + to_microseconds((o_orderkey % 30) * 86400000000)
+           AS changed,
+         o_orderpriority
+  FROM orders),
+det AS (
+  SELECT o_orderkey FROM mon
+  WHERE created >= TIMESTAMP '1996-01-01'
+     OR (created < TIMESTAMP '1996-01-01'
+         AND changed >= TIMESTAMP '1996-01-01'))
+SELECT m.o_orderkey,
+       CASE WHEN d.o_orderkey IS NULL THEN 'STALE'
+            ELSE m.o_orderpriority END AS o_orderpriority
+FROM mon m LEFT JOIN det d ON d.o_orderkey = m.o_orderkey
+"""
+
+
+def q_multi_origin_merge(sf_dir: str):
+    """Multi-origin sourceFolders union (EtlOperationConfig.java:482-488:
+    one controller clone per origin folder): two sites export overlapping
+    customer-key slices; LOAD tags every staged row with its
+    recordOriginLocationCode (EtlStageRecordVO.java:36-67) and
+    DB_MERGE_FROM_JSON keys on (origin, custkey) — overlapping local PKs
+    from different sites stay distinct records."""
+    from .config import run_config
+    from .export import export_files
+    from .replay import read_lake
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def site(keep_mod):
+        def fn(t: pa.Table) -> pa.Table:
+            m3 = pc.subtract(t["c_custkey"],
+                             pc.multiply(pc.divide(t["c_custkey"], 3), 3))
+            mask = pc.equal(m3, keep_mod[0])
+            for k in keep_mod[1:]:
+                mask = pc.or_(mask, pc.equal(m3, k))
+            return t.filter(mask)
+        return fn
+
+    dir_a = _scratch("mo_siteA")
+    dir_b = _scratch("mo_siteB")
+    export_files(cust.map_batches(site([0, 1]), batch_format="pyarrow"),
+                 dir_a, fmt="json")
+    export_files(cust.map_batches(site([1, 2]), batch_format="pyarrow"),
+                 dir_b, fmt="json")
+
+    stage = _scratch("mo_stage")
+    lake = _scratch("mo_lake")
+    run_config({"processType": "DB_QUICK_LOAD", "etlConfiguration": [{
+        "srcConf": {"sourceFolders": [
+            {"appOriginCode": "siteA", "importDir": dir_a},
+            {"appOriginCode": "siteB", "importDir": dir_b}],
+            "format": "json"},
+        "dstConf": [{"stageDir": stage}],
+    }]})
+    run_config({"processType": "DB_MERGE_FROM_JSON", "etlConfiguration": [{
+        "srcConf": {"stageDir": stage},
+        "dstConf": [{"lakeRoot": lake,
+                     "keyCols": ["recordOriginLocationCode", "c_custkey"],
+                     "uniqueKeys": [["recordOriginLocationCode",
+                                     "c_custkey"]],
+                     "numBuckets": 16}],
+    }]})
+    return read_lake(lake).select_columns(
+        ["recordOriginLocationCode", "c_custkey", "c_name"])
+
+
+QUERIES["multi_origin_merge"] = q_multi_origin_merge
+
+ORACLE_SQL["multi_origin_merge"] = """
+SELECT 'siteA' AS recordOriginLocationCode, c_custkey, c_name
+FROM customer WHERE c_custkey % 3 IN (0, 1)
+UNION ALL
+SELECT 'siteB', c_custkey, c_name
+FROM customer WHERE c_custkey % 3 IN (1, 2)
+"""

@@ -352,3 +352,96 @@ def test_export_partition_by_resumable(tmp_path):
     assert n1 == 25
     run_config(cfg)  # idempotent re-run: markers make every partition skip
     assert len(rd.read_parquet(out).to_pandas()) == 25
+
+
+def custom_upper_name_processor(ds, dst):
+    """Test fixture for the processorFullClassName analogue: replaces the
+    mapping dataflow with a custom one (uppercase names, keep two cols)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({"nation_id": t["n_nationkey"],
+                         "name": pc.utf8_upper(t["n_name"])})
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def test_processor_replaces_mapping(tmp_path, ray_session):
+    """item.processor = 'module:callable' substitutes the whole dataflow
+    (reference processorFullClassName, EtlOperationConfig.java:65-67)."""
+    import ray.data as rd
+
+    from openmrs_module_epts_etl_ray.pipelines.config import run_config
+
+    out = str(tmp_path / "nat_proc")
+    run_config({
+        "processType": "etl",
+        "etlConfiguration": [{
+            "srcConf": {"tableName": "nation",
+                        "sfDir": "/root/testdata/sf0.001"},
+            "processor": "tests.test_config_vocabulary:"
+                         "custom_upper_name_processor",
+            "dstConf": [{"tableName": "nation_proc", "outDir": out}],
+        }],
+    })
+    got = rd.read_parquet(out).to_pandas().sort_values("nation_id")
+    assert len(got) == 25
+    assert set(got.columns) == {"nation_id", "name"}
+    assert (got["name"] == got["name"].str.upper()).all()
+
+
+def test_source_folders_duplicate_origin_rejected(tmp_path, ray_session):
+    import json
+
+    import pytest
+
+    from openmrs_module_epts_etl_ray.pipelines.config import run_config
+
+    d = tmp_path / "exp"
+    d.mkdir()
+    (d / "a.json").write_text(json.dumps({"k": 1}) + "\n")
+    with pytest.raises(ValueError, match="duplicate appOriginCode"):
+        run_config({"processType": "DB_QUICK_LOAD", "etlConfiguration": [{
+            "srcConf": {"sourceFolders": [
+                {"appOriginCode": "x", "importDir": str(d)},
+                {"appOriginCode": "x", "importDir": str(d)}],
+                "format": "json"},
+            "dstConf": [{"stageDir": str(tmp_path / "stage")}],
+        }]})
+
+
+def test_source_folders_bare_dirs_tag_basename(tmp_path, ray_session):
+    import json
+
+    import ray.data as rd
+
+    from openmrs_module_epts_etl_ray.pipelines.config import run_config
+
+    for site, key in (("siteA", 1), ("siteB", 2)):
+        d = tmp_path / site
+        d.mkdir()
+        (d / "rows.json").write_text(json.dumps({"id": key}) + "\n")
+    stage = str(tmp_path / "stage")
+    run_config({"processType": "DB_QUICK_LOAD", "etlConfiguration": [{
+        "srcConf": {"sourceFolders": [str(tmp_path / "siteA"),
+                                      str(tmp_path / "siteB")],
+                    "format": "json"},
+        "dstConf": [{"stageDir": stage}],
+    }]})
+    got = rd.read_parquet(stage).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    assert got["recordOriginLocationCode"].tolist() == ["siteA", "siteB"]
+    assert got["id"].tolist() == [1, 2]
+
+
+def test_re_sync_unsupported_no_more(ray_session):
+    """DB_RE_SYNC dispatches (was the one missing processType string)."""
+    import pytest
+
+    from openmrs_module_epts_etl_ray.pipelines.config import run_config
+
+    # a malformed re-sync config should fail on ITS OWN contract (missing
+    # srcConf keys), not on 'unsupported processType'
+    with pytest.raises(KeyError):
+        run_config({"processType": "DB_RE_SYNC",
+                    "etlConfiguration": [{"srcConf": {}, "dstConf": [{}]}]})
