@@ -88,8 +88,11 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.replay import replay
 
             events = rd.read_parquet(args.event_dir)
-            rng = ((args.lsn_lo if args.lsn_lo is not None else -1, args.lsn_hi)
-                   if args.lsn_hi is not None else None)
+            # either bound alone is meaningful: --lsn-lo N replays (N, inf),
+            # --lsn-hi K replays (watermark, K]; replay() accepts (lo, None)
+            rng = (None if args.lsn_lo is None and args.lsn_hi is None
+                   else (args.lsn_lo if args.lsn_lo is not None else -1,
+                         args.lsn_hi))
             lin = replay(events, args.lake, num_buckets=args.num_buckets,
                          engine=args.engine, lsn_range=rng,
                          dead_letter_dir=args.dead_letter_dir).materialize()

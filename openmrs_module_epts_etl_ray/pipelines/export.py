@@ -10,6 +10,13 @@ appends partially).
 
 ``export_files`` returns a manifest table (file, rows, bytes) — the analogue
 of the reference marking exported batches in the stage table.
+
+Dump-sink exactly-once: a failed task attempt may have written files before
+dying, and Ray can re-run the batch on a STILL-ALIVE actor whose instance
+counters persist — so per-attempt names cannot be made deterministic.
+Instead the dataset's OUTPUT is the authority (only successful attempts
+contribute blocks): :func:`export_dump` sweeps any on-disk .sql file not
+named in the returned manifest.
 """
 from __future__ import annotations
 
@@ -103,31 +110,54 @@ def export_partitioned(ds: rd.Dataset, out_dir: str, by_col: str,
     import pyarrow.compute as pc
     import ray
 
+    import json
+
     _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
     own_marker = os.path.join(out_dir, "_PARTITIONED_EXPORT")
-    if os.path.isdir(out_dir) and os.listdir(out_dir) \
-            and not os.path.exists(own_marker):
+    stored_by = None
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
+        if not os.path.exists(own_marker):
+            raise ValueError(
+                f"refusing to write into non-empty directory {out_dir!r}: "
+                f"it carries no _PARTITIONED_EXPORT marker, so it was not "
+                f"produced by this sink — choose an empty directory")
+        try:
+            with open(own_marker) as fh:
+                stored_by = json.load(fh).get("by_col")
+        except Exception:
+            stored_by = None    # legacy marker (pre-by_col): unknown scheme
+    if stored_by is not None and stored_by != by_col and not overwrite:
+        # re-running the same outDir with a DIFFERENT partition column must
+        # not rmtree the previous run's finished partitions (they'd fail
+        # the prefix filter below) nor mix two hive schemes silently
         raise ValueError(
-            f"refusing to write into non-empty directory {out_dir!r}: it "
-            f"carries no _PARTITIONED_EXPORT marker, so it was not "
-            f"produced by this sink — choose an empty directory")
+            f"{out_dir!r} holds partitions keyed by {stored_by!r}; "
+            f"partitioning by {by_col!r} would mix two hive schemes — "
+            f"pass overwrite=True (dstConf.partitionOverwrite) to rewrite")
     os.makedirs(out_dir, exist_ok=True)
     with open(own_marker, "w") as fh:
-        fh.write("ok")
+        json.dump({"by_col": by_col}, fh)
     if overwrite:
         resume = False
 
+    prefix = by_col + "="
     raw_done = {d.split("=", 1)[1] for d in os.listdir(out_dir)
-                if "=" in d and
+                if d.startswith(prefix) and
                 os.path.exists(os.path.join(out_dir, d, "_FINISHED"))} \
         if resume else set()
     done = {unquote(v) for v in raw_done if v != _HIVE_NULL}
     null_done = _HIVE_NULL in {v for v in raw_done}
 
     for d in list(os.listdir(out_dir)):
-        # drop every non-finished partition dir: crash partials on resume,
-        # everything on a fresh/overwrite run
-        if "=" in d and (not resume or d.split("=", 1)[1] not in raw_done):
+        if "=" not in d:
+            continue
+        if not resume:
+            # fresh/overwrite run discards every partition dir, ANY scheme
+            shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
+        elif d.startswith(prefix) and d.split("=", 1)[1] not in raw_done:
+            # resume drops only THIS sink's crash partials (marker-less
+            # dirs of the current scheme); a legacy-marker dir of another
+            # scheme is left untouched rather than deleted by accident
             shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
 
     if done or null_done:
@@ -149,7 +179,7 @@ def export_partitioned(ds: rd.Dataset, out_dir: str, by_col: str,
     rows = []
     for d in sorted(os.listdir(out_dir)):
         p = os.path.join(out_dir, d)
-        if "=" not in d or not os.path.isdir(p):
+        if not d.startswith(prefix) or not os.path.isdir(p):
             continue
         v = d.split("=", 1)[1]
         files = [f for f in os.listdir(p) if f.endswith(".parquet")]
@@ -216,11 +246,13 @@ class _DumpWriter:
             "(" + ", ".join(_sql_literal(r[c]) for c in t.column_names) + ")"
             for r in rows)
         sql = f"INSERT INTO {self.table_name} ({cols}) VALUES\n{values};\n"
-        # file name = (task id, per-task batch seq, content hash): a retried
-        # task replays the same batches under the same task id, so true
-        # retries still dedup to one file, while two DISTINCT blocks that
-        # happen to render identical SQL (duplicate data split identically)
-        # no longer collapse to one file
+        # file name = (task id, per-task batch seq, content hash) keeps two
+        # DISTINCT blocks rendering identical SQL (duplicate data split
+        # identically) from collapsing to one file. The seq counter is NOT
+        # retry-stable (Ray reuses a live actor, whose counters persist
+        # across an application-error retry) — that is fine because
+        # export_dump keeps only the files named in the manifest rows of
+        # SUCCESSFUL attempts and unlinks every orphan afterwards
         try:
             tid = ray.get_runtime_context().get_task_id() or "driver"
         except Exception:
@@ -254,14 +286,22 @@ def export_dump(ds: rd.Dataset, out_dir: str, table_name: str,
         _DumpWriter, fn_constructor_kwargs=dict(out_dir=out_dir,
                                                 table_name=table_name),
         batch_format="pyarrow", concurrency=(1, 8)).to_pandas()
+    # exactly-once sweep: only SUCCESSFUL attempts contribute manifest rows,
+    # so any .sql file not named there is an orphan of a failed/retried
+    # attempt (a live actor's seq counter persists across retries and emits
+    # fresh names for the replayed batches) — unlink it
+    keep = set(manifest["file"]) if len(manifest) else set()
     rows = []
     for f in sorted(os.listdir(out_dir)):
         p = os.path.join(out_dir, f)
-        if os.path.isfile(p):
-            rows.append({"file": f, "bytes": os.path.getsize(p)})
+        if not os.path.isfile(p):
+            continue
+        if f.endswith(".sql") and f not in keep or f.endswith(".tmp"):
+            os.unlink(p)
+            continue
+        rows.append({"file": f, "bytes": os.path.getsize(p)})
     with open(_marker_path(out_dir), "w") as fh:
         json.dump({"fmt": "dump", "table": table_name, "files": rows}, fh)
-    del manifest
     return pa.Table.from_pylist(rows)
 
 

@@ -288,8 +288,8 @@ def multi_stream_lww(
     may carry overlapping writes for the same key) into one final state:
     per key the winner is the row with the highest LSN; an LSN tie across
     streams is broken by stream priority (lower = more authoritative, e.g.
-    primary over replica), then by ``seq_col`` ascending — fully
-    deterministic regardless of arrival order.  This is the reference's
+    primary over replica), then the highest ``seq_col`` within the same
+    (lsn, stream) wins — fully deterministic regardless of arrival order.  This is the reference's
     multi-origin conflict rule (record-origin + update timestamp,
     ``SURVEY.md §2.12``) lifted to stream granularity.
 

@@ -182,24 +182,38 @@ class CommitLog:
         every upsert would insert a twin. Rebucketing is an offline rewrite
         (read_lake -> replay into a fresh lake)."""
         path = os.path.join(self.log_dir, "bucketing.json")
-        if os.path.exists(path):
-            with open(path) as fh:
-                pin = json.load(fh)
+
+        def _validate(pin: dict) -> int:
             stored_cols = pin.get("bucket_cols")
             if (bucket_cols is not None and stored_cols is not None
                     and list(bucket_cols) != list(stored_cols)):
                 raise ValueError(
-                    f"lake {self.lake_root!r} is bucketed by "
+                    f"lake {self.root!r} is bucketed by "
                     f"{stored_cols}; routing by {list(bucket_cols)} would "
                     f"never co-locate probes with state — use a separate "
                     f"lake or rebucket offline")
-            return pin["num_buckets"]
+            if stored_cols is None and bucket_cols is not None:
+                # legacy pin (written before bucket_cols existed): backfill
+                # so the NEXT differently-keyed caller hits the guard
+                # instead of silently creating never-co-located twins.
+                # tmp + os.replace: a concurrent backfill of the same cols
+                # is idempotent, and num_buckets never changes here.
+                fd2, tmp2 = tempfile.mkstemp(dir=self.log_dir,
+                                             suffix=".tmp")
+                with os.fdopen(fd2, "w") as fh2:
+                    json.dump({"num_buckets": int(pin["num_buckets"]),
+                               "bucket_cols": list(bucket_cols)}, fh2)
+                os.replace(tmp2, path)
+            return int(pin["num_buckets"])
+
+        if os.path.exists(path):
+            with open(path) as fh:
+                return _validate(json.load(fh))
         os.makedirs(self.log_dir, exist_ok=True)
         # write the FULL content to a tmp file first, then publish with an
         # exclusive hard link: exactly one concurrent first-replay wins the
         # pin (like O_EXCL), and a crash can never leave a truncated
         # bucketing.json whose mere existence would brick every later run
-        import tempfile
         fd, tmp = tempfile.mkstemp(dir=self.log_dir, suffix=".tmp")
         with os.fdopen(fd, "w") as fh:
             json.dump({"num_buckets": int(num_buckets),
@@ -209,8 +223,11 @@ class CommitLog:
         try:
             os.link(tmp, path)
         except FileExistsError:
+            # the race loser must run the SAME column-set validation as the
+            # fast path — returning the stored count unchecked would let a
+            # differently-keyed merge proceed into the duplicate-twin hazard
             with open(path) as fh:
-                return json.load(fh)["num_buckets"]
+                return _validate(json.load(fh))
         finally:
             os.unlink(tmp)
         return int(num_buckets)

@@ -131,3 +131,48 @@ def test_merge_exact_lsn_above_2_53(tmp_path):
     df = out.to_pandas().set_index("path")
     assert df.loc["a", "content"] == "newer"   # strictly newer must win
     assert stats["updated"] == 1 and stats["inserted"] == 1
+
+
+def test_ensure_bucketing_legacy_pin_backfills_and_guards(tmp_path):
+    """A pin written before bucket_cols existed (stored cols None) is
+    backfilled on the next keyed call, so a later differently-keyed merge
+    hits the mismatch guard instead of creating never-co-located twins."""
+    import json
+    import os
+
+    import pytest
+
+    from openmrs_module_epts_etl_ray.state.commit_log import CommitLog
+
+    lake = str(tmp_path / "lake")
+    log = CommitLog(lake)
+    os.makedirs(log.log_dir, exist_ok=True)
+    with open(os.path.join(log.log_dir, "bucketing.json"), "w") as fh:
+        json.dump({"num_buckets": 8}, fh)   # legacy: no bucket_cols key
+    assert CommitLog(lake).ensure_bucketing(16, bucket_cols=("id",)) == 8
+    with open(os.path.join(log.log_dir, "bucketing.json")) as fh:
+        assert json.load(fh)["bucket_cols"] == ["id"]
+    with pytest.raises(ValueError, match="never co-locate"):
+        CommitLog(lake).ensure_bucketing(8, bucket_cols=("name",))
+
+
+def test_export_partitioned_by_col_change_refused(tmp_path, ray_session):
+    import os
+
+    import pytest
+    import pyarrow as pa
+    import ray.data as rd
+
+    from openmrs_module_epts_etl_ray.pipelines.export import export_partitioned
+
+    ds = rd.from_arrow(pa.table({
+        "g": [0, 0, 1, 1], "h": [0, 1, 0, 1], "v": [1, 2, 3, 4]}))
+    out = str(tmp_path / "part")
+    export_partitioned(ds, out, "g")
+    with pytest.raises(ValueError, match="hive schemes"):
+        export_partitioned(ds, out, "h")
+    # overwrite rewrites under the new scheme and removes the old dirs
+    m = export_partitioned(ds, out, "h", overwrite=True).to_pydict()
+    dirs = sorted(d for d in os.listdir(out) if "=" in d)
+    assert dirs == ["h=0", "h=1"]
+    assert sorted(m["partition"]) == ["0", "1"]
