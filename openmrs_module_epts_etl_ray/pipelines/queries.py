@@ -1028,7 +1028,13 @@ def q_quality_scores(sf_dir: str):
 
 
 def q_ann_topk(sf_dir: str):
-    """Brute-force cosine top-k: query matrix broadcast once, scatter-gather."""
+    """Brute-force cosine top-k: query matrix broadcast once,
+    scatter-gather. Exact-recall oracle on (query, neighbor, rank): the
+    returned ids/ranks must equal SQL's full cross-join ranking (cosine
+    VALUES stay out of the compared columns — numpy matmul and DuckDB's
+    list_cosine_similarity differ in the last ulp, but the synthetic
+    embeddings' cosine gaps are orders of magnitude wider, so the ORDER
+    is engine-independent)."""
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"],
                      override_num_blocks=16)
     qrows = filter_expr(emb, lambda t: pc.less(t["vec_id"], 8)).take_all()
@@ -1043,7 +1049,6 @@ def q_ann_topk(sf_dir: str):
             "query_id": df["query_id"].astype("int64"),
             "vec_id": df["vec_id"].astype("int64"),
             "rank": df["rank"].astype("int64"),
-            "cosine": df["cosine"].round(4),
         })
 
     return topk.map_batches(finish, batch_format="pandas")
@@ -4342,4 +4347,100 @@ FROM customer WHERE c_custkey % 3 IN (0, 1)
 UNION ALL
 SELECT 'siteB', c_custkey, c_name
 FROM customer WHERE c_custkey % 3 IN (1, 2)
+"""
+
+
+def _png_stat_frame(feats):
+    """(media_id, width, height, mean_r) projection for the PNG oracle
+    rows: constant-color images make the mean an exact integer; payload
+    length is zlib-dependent and deliberately NOT part of the contract."""
+    def out(df: pd.DataFrame) -> pd.DataFrame:
+        f = (np.stack(df["feature"].to_numpy())
+             if len(df) else np.zeros((0, 8)))
+        return pd.DataFrame({
+            "media_id": df["media_id"].to_numpy(),
+            "width": f[:, 0].astype("int64"),
+            "height": f[:, 1].astype("int64"),
+            "mean_r": f[:, 2].astype("int64"),
+        })
+    return feats.map_batches(out, batch_format="pandas")
+
+
+def q_media_png_features(sf_dir: str):
+    """REAL PNG decode (stages/multimodal.py::decode_png — pure-stdlib
+    zlib + scanline unfilters, DecodeStage(fake=False)): constant-color
+    PNGs derived from doc_id, the scanline filter rotating over all five
+    types by id, so every unfilter path runs under the oracle gate."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id"],
+                      override_num_blocks=16)
+    media = multimodal.png_media_from_ids(docs)
+    return _png_stat_frame(multimodal.decode_features(media))
+
+
+def q_media_png_resize(sf_dir: str):
+    """PNG decode -> nearest resize -> PNG re-encode -> decode again
+    (ResizeStage on the stdlib codec): dims become 8x8, the constant mean
+    survives exactly."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id"],
+                      override_num_blocks=16)
+    media = multimodal.png_media_from_ids(docs)
+    resized = multimodal.resize_images(media, 8, 8)
+    return _png_stat_frame(multimodal.decode_features(resized))
+
+
+QUERIES["media_png_features"] = q_media_png_features
+QUERIES["media_png_resize"] = q_media_png_resize
+
+ORACLE_SQL["media_png_features"] = """
+SELECT doc_id AS media_id,
+       CAST(16 + (doc_id % 4) * 8 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       CAST(doc_id % 256 AS BIGINT) AS mean_r
+FROM documents
+"""
+
+ORACLE_SQL["media_png_resize"] = """
+SELECT doc_id AS media_id,
+       CAST(8 AS BIGINT) AS width,
+       CAST(8 AS BIGINT) AS height,
+       CAST(doc_id % 256 AS BIGINT) AS mean_r
+FROM documents
+"""
+
+
+def q_surrogate_ids_dense(sf_dir: str):
+    """Deterministic surrogate-id allocation (ST2, the oracle-checkable
+    twin of surrogate_ids): contiguous per-bucket ranges in key order —
+    the reference's IdGeneratorManager block reservation
+    (IdGeneratorManager.java:15-90) pinned to a reproducible processor
+    order, so id = row_number() OVER (ORDER BY c_custkey)."""
+    from ..stages.idgen import assign_surrogate_ids_ordered
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+    return assign_surrogate_ids_ordered(cust, ["c_custkey"])
+
+
+QUERIES["surrogate_ids_dense"] = q_surrogate_ids_dense
+
+ORACLE_SQL["surrogate_ids_dense"] = """
+SELECT c_custkey,
+       CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT)
+         AS surrogate_id
+FROM customer
+"""
+
+ORACLE_SQL["ann_topk"] = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+      FROM embeddings WHERE vec_id >= 8),
+s AS (SELECT q.query_id, c.vec_id,
+             list_cosine_similarity(c.ce, q.qe) AS cos
+      FROM q CROSS JOIN c),
+r AS (SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id ASC) AS rnk
+      FROM s)
+SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank
+FROM r WHERE rnk <= 5
 """

@@ -24,17 +24,36 @@ import pyarrow as pa
 import ray.data as rd
 
 
+#: resolve_id_collisions collects both sides to the driver — fine for the
+#: metadata tables the reference applies it to, fatal if someone points it
+#: at a fact table. The guard makes that misuse fail loudly instead of
+#: OOMing the driver; raise it deliberately if your metadata really is
+#: bigger (the child rewrites scale regardless via remap_fk).
+MAX_DRIVER_ROWS = 5_000_000
+
+
 def resolve_id_collisions(
     existing: rd.Dataset,
     incoming: rd.Dataset,
     *,
     id_col: str,
     uuid_col: str,
+    max_driver_rows: int | None = None,
 ) -> tuple[rd.Dataset, rd.Dataset]:
     """Returns ``(merged, remap)``: the merged table after collision
     resolution and the (old_id -> new_id) remap for child-FK rewriting
     (feed it to ``remap_fk``). Incoming rows always land under their own
     (possibly contested) id, matching the reference's insert-after-move."""
+    limit = MAX_DRIVER_ROWS if max_driver_rows is None else max_driver_rows
+    n = existing.count() + incoming.count()
+    if n > limit:
+        raise ValueError(
+            f"resolve_id_collisions is a METADATA-scale operator (both "
+            f"sides collect to the driver); got {n} rows > limit {limit}. "
+            f"For fact tables, dedupe/merge by key distributedly "
+            f"(stages.lww / pipelines.replay.quick_merge) and rewrite "
+            f"children with stages.lookup.remap_fk; or pass "
+            f"max_driver_rows to raise the bound deliberately.")
     ex = existing.to_pandas()
     inc = incoming.to_pandas()
     if len(ex) == 0 or id_col not in ex.columns:

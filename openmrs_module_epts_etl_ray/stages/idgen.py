@@ -59,3 +59,39 @@ def assign_surrogate_ids(
             return t.append_column(id_col, pa.array(ids))
 
     return ds.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def assign_surrogate_ids_ordered(
+    ds: rd.Dataset,
+    order_cols: list[str],
+    *,
+    id_col: str = "surrogate_id",
+    start: int = 1,
+) -> rd.Dataset:
+    """Deterministic surrogate ids: the reference's contiguous block
+    reservation (``conf/IdGeneratorManager.java:15-90`` — each processor
+    takes ``[last+1, last+qty]``) pinned to a REPRODUCIBLE processor order.
+    Range-partition the rows on ``order_cols[0]`` (the prefix scan's
+    layout), give bucket ``b`` the contiguous range starting after the sum
+    of all earlier buckets' sizes, and number rows inside a bucket in
+    ``order_cols`` order — i.e. ``id = start - 1 + row_number() OVER
+    (ORDER BY order_cols)``, computed distributed via
+    ``stages.scan.running_sum`` over ones (only O(num_buckets) counts
+    touch the driver). Same id on every re-run, so it is oracle-checkable,
+    unlike the actor-allocated :func:`assign_surrogate_ids` whose ranges
+    depend on batch arrival order."""
+    from .scan import running_sum
+
+    def ones(t: pa.Table) -> pa.Table:
+        return t.append_column("_one", pa.array(
+            np.ones(len(t), dtype=np.int64)))
+
+    ranked = running_sum(ds.map_batches(ones, batch_format="pyarrow"),
+                         order_cols, "_one", out_col=id_col)
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        col = pc.add(t[id_col], pa.scalar(int(start) - 1, pa.int64()))
+        return t.drop_columns(["_one", id_col]).append_column(id_col, col)
+
+    return ranked.map_batches(finish, batch_format="pyarrow")

@@ -2,15 +2,15 @@
 
 Two decode tiers:
 
-- **Real decode** for container-friendly formats that need NO codec
-  libraries: PPM (P6) images and PCM-16 WAV audio are parsed with
-  numpy/struct alone — header + raw samples. Decode, nearest-neighbor
-  resize, frame-sampling and feature extraction over these are genuinely
-  executed and tested.
-- **Stub** for formats that require codecs absent in this container
-  (PNG/JPEG/libav): ``DecodeStage(fake=False)`` raises ``NotImplementedError``
-  for them; ``fake=True`` derives a deterministic sha256-seeded feature so
-  the pipeline shape stays testable.
+- **Real decode** for formats that need NO external codec library: PPM
+  (P6) images and PCM-16 WAV audio (numpy/struct: header + raw samples)
+  and PNG (pure stdlib: zlib inflate + the five scanline filters —
+  :func:`decode_png`). Decode, nearest-neighbor resize, frame-sampling and
+  feature extraction over these are genuinely executed and tested.
+- **Stub** for formats that require codec libraries absent in this
+  container (JPEG/libav): ``DecodeStage(fake=False)`` raises
+  ``NotImplementedError`` for them; ``fake=True`` derives a deterministic
+  sha256-seeded feature so the pipeline shape stays testable.
 
 Ray-side design is real in both tiers: typed binary schema, actor-pool
 stage (decoder state per actor), SMALL batches because payloads are wide
@@ -197,12 +197,13 @@ def media_from_ids(ds: rd.Dataset, id_col: str = "doc_id",
 class DecodeStage:
     """Actor-pool decode stage.
 
-    ``fake=False`` (default) REALLY decodes codec-free mimes (PPM, WAV) and
-    emits per-media features: images -> [width, height, mean R, G, B, std];
-    audio -> [rate, n_samples, rms, zero-crossing rate]; vectors are
-    zero-padded to ``feature_dim``. Any other mime raises
-    ``NotImplementedError`` (PNG/JPEG/libav need codec libraries absent
-    here). ``fake=True`` derives a sha256-seeded deterministic vector.
+    ``fake=False`` (default) REALLY decodes the library-free mimes (PPM,
+    PNG via the stdlib codec below, WAV) and emits per-media features:
+    images -> [width, height, mean R, G, B, std]; audio -> [rate,
+    n_samples, rms, zero-crossing rate]; vectors are zero-padded to
+    ``feature_dim``. Any other mime raises ``NotImplementedError``
+    (JPEG/libav need codec libraries absent here). ``fake=True`` derives a
+    sha256-seeded deterministic vector.
     """
 
     def __init__(self, fake: bool = False, feature_dim: int = 8):
@@ -216,8 +217,9 @@ class DecodeStage:
 
     def _real_feature(self, payload: bytes, mime: str) -> np.ndarray:
         out = np.zeros(self.feature_dim, dtype=np.float64)
-        if mime == PPM_MIME:
-            img = decode_ppm(bytes(payload))
+        if mime in (PPM_MIME, PNG_MIME):
+            img = (decode_ppm(bytes(payload)) if mime == PPM_MIME
+                   else decode_png(bytes(payload)))
             h, w = img.shape[:2]
             f = [w, h, img[..., 0].mean(), img[..., 1].mean(),
                  img[..., 2].mean(), img.std()]
@@ -229,8 +231,9 @@ class DecodeStage:
         else:
             raise NotImplementedError(
                 f"mime {mime!r} needs codec libraries (PIL/libav) not "
-                f"present in this environment; supported codec-free formats: "
-                f"{PPM_MIME}, {WAV_MIME} — or use fake=True")
+                f"present in this environment; REAL decode covers "
+                f"{PPM_MIME}, image/png (pure-stdlib codec), {WAV_MIME} — "
+                f"or use fake=True")
         out[: min(len(f), self.feature_dim)] = f[: self.feature_dim]
         return out
 
@@ -259,19 +262,24 @@ class ResizeStage:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = []
+        image_mimes = (PPM_MIME, PNG_MIME)
         for payload, mime in zip(batch["payload"], batch["mime"]):
             if mime == PPM_MIME:
                 out.append(encode_ppm(
                     resize_nearest(decode_ppm(bytes(payload)),
+                                   self.width, self.height)))
+            elif mime == PNG_MIME:
+                out.append(encode_png(
+                    resize_nearest(decode_png(bytes(payload)),
                                    self.width, self.height)))
             else:
                 out.append(payload)
         batch = batch.copy()
         batch["payload"] = out
         batch["width"] = batch["mime"].map(
-            lambda m: self.width if m == PPM_MIME else None).astype("Int32")
+            lambda m: self.width if m in image_mimes else None).astype("Int32")
         batch["height"] = batch["mime"].map(
-            lambda m: self.height if m == PPM_MIME else None).astype("Int32")
+            lambda m: self.height if m in image_mimes else None).astype("Int32")
         return batch
 
 
@@ -397,3 +405,179 @@ def sample_frames(ds: rd.Dataset, every: int = 2, *,
                           fn_constructor_kwargs=dict(every=every),
                           batch_format="pandas",
                           batch_size=batch_size, concurrency=concurrency)
+
+
+# -- real PNG codec, pure stdlib (public spec: W3C PNG / RFC 2083) -----------
+# zlib (stdlib) + the five scanline filters; no external codec library.
+
+PNG_MIME = "image/png"
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def _paeth_pred(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (filter type 4) on int32 arrays."""
+    p = a + b - c
+    pa, pb, pc_ = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc_), a, np.where(pb <= pc_, b, c))
+
+
+def encode_png(img: np.ndarray, *, row_filter: int = 0) -> bytes:
+    """(h, w, 3) uint8 RGB -> PNG (color type 2, bit depth 8, no
+    interlace). ``row_filter`` picks the scanline filter (0..4) for every
+    row — the encoder is lossless under all five, which the tests use to
+    exercise each decoder unfilter path."""
+    import zlib
+
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    if row_filter not in (0, 1, 2, 3, 4):
+        raise ValueError(f"row_filter {row_filter} not in 0..4")
+    bpp = 3
+    stride = w * bpp
+    rows = img.reshape(h, stride).astype(np.int32)
+    left = np.zeros_like(rows)
+    left[:, bpp:] = rows[:, :-bpp]
+    up = np.zeros_like(rows)
+    up[1:] = rows[:-1]
+    ul = np.zeros_like(rows)
+    ul[1:, bpp:] = rows[:-1, :-bpp]
+    if row_filter == 0:
+        filt = rows
+    elif row_filter == 1:
+        filt = rows - left
+    elif row_filter == 2:
+        filt = rows - up
+    elif row_filter == 3:
+        filt = rows - ((left + up) >> 1)
+    else:
+        filt = rows - _paeth_pred(left, up, ul)
+    body = np.empty((h, stride + 1), np.uint8)
+    body[:, 0] = row_filter
+    body[:, 1:] = (filt & 0xFF).astype(np.uint8)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(body.tobytes(), 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG -> (h, w, 3) uint8. Supports bit depth 8, color types 0 (gray,
+    expanded), 2 (RGB) and 6 (RGBA, alpha dropped), no interlace — the
+    shapes a data pipeline's thumbnails/screenshots use; palette and
+    16-bit raise. Sub/Up rows unfilter fully vectorized (Sub is a per-lane
+    prefix sum mod 256); Average/Paeth rows fall back to a per-byte scan
+    (inherently sequential in x)."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    idat = []
+    w = h = None
+    channels = None
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack(">I", payload[pos:pos + 4])
+        tag = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + size]
+        pos += 12 + size          # length + tag + body + crc
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", body)
+            if depth != 8 or comp != 0 or filt != 0 or inter != 0:
+                raise ValueError(
+                    f"unsupported PNG shape (depth={depth}, interlace="
+                    f"{inter}); this decoder handles 8-bit non-interlaced")
+            channels = {0: 1, 2: 3, 6: 4}.get(ctype)
+            if channels is None:
+                raise ValueError(f"unsupported PNG color type {ctype}")
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    raw = zlib.decompress(b"".join(idat))
+    bpp = channels
+    stride = w * bpp
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    lines = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    recon = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for y in range(h):
+        ftype = int(lines[y, 0])
+        line = lines[y, 1:]
+        if ftype == 0:
+            cur = line.copy()
+        elif ftype == 2:
+            cur = line + prev                      # uint8 wraps mod 256
+        elif ftype == 1:
+            # recon[x] = filt[x] + recon[x-bpp]: per byte-lane prefix sum
+            lanes = line.reshape(w, bpp).astype(np.uint64)
+            cur = np.cumsum(lanes, axis=0).astype(np.uint8).reshape(stride)
+        elif ftype in (3, 4):
+            cur = np.empty(stride, np.uint8)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                if ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    cc = int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + b - cc
+                    pa, pb, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if (pa <= pb and pa <= pc_) else \
+                        (b if pb <= pc_ else cc)
+                cur[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        recon[y] = cur
+        prev = cur
+    img = recon.reshape(h, w, bpp)
+    if bpp == 1:
+        return np.repeat(img, 3, axis=2)
+    if bpp == 4:
+        return np.ascontiguousarray(img[:, :, :3])
+    return img
+
+
+def png_media_from_ids(ds: rd.Dataset, id_col: str = "doc_id",
+                       *, batch_size: int = 1024) -> rd.Dataset:
+    """REAL PNG payloads derived deterministically from an id column:
+    every id becomes a constant-color PNG, w = 16 + (id%4)*8, h = 16,
+    every channel ``id % 256`` — so the decoded stats are closed forms a
+    SQL oracle can state (the PNG counterpart of :func:`media_from_ids`;
+    payload LENGTH is zlib-dependent and deliberately not part of the
+    oracle contract)."""
+
+    def build(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = {k: [] for k in ("media_id", "kind", "payload", "mime",
+                                "width", "height", "duration_ms")}
+        for i in batch[id_col]:
+            i = int(i)
+            w = 16 + (i % 4) * 8
+            img = np.full((16, w, 3), i % 256, dtype=np.uint8)
+            rows["media_id"].append(i)
+            rows["kind"].append("image")
+            # rotate the scanline filter by id so the oracle row also
+            # exercises every decoder unfilter path, not just type 0
+            rows["payload"].append(encode_png(img, row_filter=i % 5))
+            rows["mime"].append(PNG_MIME)
+            rows["width"].append(w)
+            rows["height"].append(16)
+            rows["duration_ms"].append(None)
+        out = pd.DataFrame(rows)
+        out["width"] = out["width"].astype("Int32")
+        out["height"] = out["height"].astype("Int32")
+        out["duration_ms"] = out["duration_ms"].astype("Int64")
+        return out
+
+    return ds.map_batches(build, batch_format="pandas",
+                          batch_size=batch_size)

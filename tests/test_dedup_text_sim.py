@@ -171,13 +171,19 @@ def test_multimodal_resize_stage():
 
 
 def test_multimodal_codec_formats_stay_stubbed():
+    # JPEG still needs an external codec and stays stubbed; PNG is REAL
+    # since round 4 (pure-stdlib codec) — a malformed PNG payload is now a
+    # decode error, not NotImplementedError
     import pandas as pd
     stage = multimodal.DecodeStage(fake=False)
     batch = pd.DataFrame({
         "media_id": [1], "kind": ["image"],
-        "payload": [b"\x89PNG...."], "mime": ["image/png"]})
+        "payload": [b"\xff\xd8\xff\xe0...."], "mime": ["image/jpeg"]})
     with pytest.raises(NotImplementedError):
         stage(batch)
+    bad_png = batch.assign(payload=[b"\x89PNG...."], mime=["image/png"])
+    with pytest.raises(ValueError, match="not a PNG"):
+        stage(bad_png)
 
 
 def test_verify_jaccard_shuffle_matches_broadcast():

@@ -186,3 +186,24 @@ def test_broadcast_inner_join_matches_shuffle(ray_session, monkeypatch):
     monkeypatch.setattr(joins, "BROADCAST_THRESHOLD", 0)
     shuf = run()
     pd.testing.assert_frame_equal(bcast, shuf.astype(bcast.dtypes.to_dict()))
+
+
+def test_id_collision_driver_size_guard(ray_session):
+    """The metadata-scale contract is ENFORCED: a fact-table misuse raises
+    with a pointer to the distributed path instead of OOMing the driver."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from openmrs_module_epts_etl_ray.stages.id_collision import (
+        resolve_id_collisions,
+    )
+
+    ex = rd.from_arrow(pa.table({"id": [1, 2], "uuid": ["a", "b"]}))
+    inc = rd.from_arrow(pa.table({"id": [2, 3], "uuid": ["c", "d"]}))
+    with pytest.raises(ValueError, match="METADATA-scale"):
+        resolve_id_collisions(ex, inc, id_col="id", uuid_col="uuid",
+                              max_driver_rows=3)
+    merged, remap = resolve_id_collisions(ex, inc, id_col="id",
+                                          uuid_col="uuid", max_driver_rows=10)
+    assert merged.count() == 4 and remap.count() == 1

@@ -605,3 +605,52 @@ def test_remap_fk_exact_above_2_53():
     got = set(out["fk"].dropna().astype("int64"))
     # the big value must survive EXACTLY (float64 would round it)
     assert big + 1 in got and 7 in got
+
+
+def test_png_roundtrip_all_filters(ray_session):
+    """encode_png is lossless under every scanline filter type and
+    decode_png unfilters each correctly (Sub via lane prefix sum, Up
+    vectorized, Average/Paeth sequential)."""
+    import numpy as np
+
+    from openmrs_module_epts_etl_ray.stages.multimodal import (
+        decode_png, encode_png,
+    )
+
+    rng = np.random.default_rng(11)
+    for f in range(5):
+        img = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+        out = decode_png(encode_png(img, row_filter=f))
+        assert (out == img).all(), f"filter {f}"
+    # 1x1 and single-row edges
+    for shape in ((1, 1, 3), (1, 9, 3), (9, 1, 3)):
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for f in range(5):
+            assert (decode_png(encode_png(img, row_filter=f)) == img).all()
+
+
+def test_png_decode_rejects_unsupported(ray_session):
+    import pytest
+
+    from openmrs_module_epts_etl_ray.stages.multimodal import decode_png
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"P6\n1 1\n255\nabc")
+
+
+def test_png_real_decode_stage(ray_session):
+    """DecodeStage(fake=False) really decodes PNG payloads."""
+    import numpy as np
+    import pandas as pd
+
+    from openmrs_module_epts_etl_ray.stages.multimodal import (
+        PNG_MIME, DecodeStage, encode_png,
+    )
+
+    img = np.full((4, 6, 3), 9, dtype=np.uint8)
+    batch = pd.DataFrame({
+        "media_id": [1], "kind": ["image"],
+        "payload": [encode_png(img, row_filter=4)], "mime": [PNG_MIME]})
+    out = DecodeStage(fake=False)(batch)
+    f = out["feature"].iloc[0]
+    assert list(f[:4]) == [6.0, 4.0, 9.0, 9.0]
