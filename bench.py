@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "union_extracts",
     "value_percentiles",
     "value_percentiles_approx",
+    "re_sync", "multi_origin_merge", "media_png_features", "media_png_resize", "surrogate_ids_dense",
 ]
 
 

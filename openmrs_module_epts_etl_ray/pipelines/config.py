@@ -385,28 +385,64 @@ def _run_re_sync(cfg: dict, outputs: dict[str, str]) -> None:
     from .export import export_files
     from .replay import quick_merge
 
+    import tempfile
+
     for item in cfg["etlConfiguration"]:
         src = item["srcConf"]
+        dst = item["dstConf"][0]
         ds = read_table(src["sfDir"], src["tableName"],
                         columns=src.get("columns"))
         cond = bind_params(src.get("extraConditionForExtract"),
                            cfg.get("params"))
         if cond:
             ds = ds.map_batches(_ConditionFilter(cond), batch_format="pyarrow")
-        since = pd.Timestamp(src["since"])
+        state_path = os.path.join(dst["lakeRoot"], "_resync",
+                                  f"{src['tableName']}.json")
+        if str(src["since"]).lower() == "auto":
+            # incremental lifecycle (the reference's ProcessInfo file,
+            # ProcessController.java:562-586: a DB_RE_SYNC re-runs only
+            # when its process info changed): the window advances from the
+            # previous run's `until`, persisted per (lake, table)
+            if not src.get("until"):
+                raise ValueError("since='auto' needs an explicit 'until' "
+                                 "(the new window's exclusive end)")
+            if os.path.exists(state_path):
+                with open(state_path) as fh:
+                    since = pd.Timestamp(json.load(fh)["last_until"])
+            else:
+                # first run: everything before `until` counts as the window
+                # (Timestamp.min would cast lossily to microseconds)
+                since = pd.Timestamp("1900-01-01")
+        else:
+            since = pd.Timestamp(src["since"])
         until = pd.Timestamp(src["until"]) if src.get("until") else None
+        # each incremental window must outrank the previous one in the LWW
+        # merge (quick_merge drops incoming rows at-or-below a bucket's
+        # committed watermark): default the window's lsn to its end-time
+        # epoch, monotone with the schedule
+        auto = str(src["since"]).lower() == "auto"
+        lsn_default = int(until.value) if auto else 1
         detected = classify_new_changed(
             ds, src["createdColumn"], src["changedColumn"], since, until=until)
         if src.get("detectedDir"):
             export_files(detected, src["detectedDir"], fmt="parquet")
-        dst = item["dstConf"][0]
         payload = _events_defaults(detected.drop_columns(["change_class"]),
-                                   lsn=int(dst.get("lsn", 1)))
+                                   lsn=int(dst.get("lsn", lsn_default)))
         quick_merge(payload, dst["lakeRoot"],
                     key_cols=tuple(dst["keyCols"]),
                     unique_keys=[list(g) for g in dst["uniqueKeys"]],
                     policy=_compile_policy(dst),
                     num_buckets=int(dst.get("numBuckets", 64))).materialize()
+        if auto:
+            # publish the new watermark only AFTER the merge committed
+            # (tmp + os.replace: a crash re-detects the same window, and
+            # the merge's commit-log watermark makes the redo a no-op)
+            os.makedirs(os.path.dirname(state_path), exist_ok=True)
+            fd, tmp = tempfile.mkstemp(dir=os.path.dirname(state_path),
+                                       suffix=".tmp")
+            with os.fdopen(fd, "w") as fh:
+                json.dump({"last_until": str(until)}, fh)
+            os.replace(tmp, state_path)
         outputs[dst.get("tableName", src["tableName"])] = dst["lakeRoot"]
 
 

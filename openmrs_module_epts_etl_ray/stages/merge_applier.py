@@ -162,6 +162,9 @@ def merge_bucket_state(
     # pipelines.replay.quick_merge) so probe and state co-locate.
     for uk in policy.unique_keys:
         uk = [c for c in uk]
+        if uk == list(key_cols):
+            # identical to the PK probe above — nothing new to match
+            continue
         if any(c not in merged.columns for c in uk) or any(c not in sdf.columns for c in uk):
             continue
         miss = merged["_existing_lsn"].isna().to_numpy()
@@ -169,8 +172,14 @@ def merge_bucket_state(
         rows = np.flatnonzero(miss & valid)
         if rows.size == 0:
             continue
-        uprobe = sdf[uk + key_cols + ["lsn"]].rename(
-            columns={"lsn": "_uk_lsn", **{k: f"_uk_{k}" for k in key_cols}})
+        # a column in BOTH uk and key_cols must serve twice: as the join
+        # key (kept under its own name) and as the adopted PK value (the
+        # _uk_ copy) — naive select-then-rename would collapse or KeyError
+        uprobe = sdf[list(dict.fromkeys(uk + key_cols))].copy()
+        uprobe["_uk_lsn"] = sdf["lsn"].to_numpy()
+        for k in key_cols:
+            uprobe[f"_uk_{k}"] = uprobe[k].to_numpy()
+        uprobe = uprobe[uk + [f"_uk_{k}" for k in key_cols] + ["_uk_lsn"]]
         uprobe = uprobe.drop_duplicates(subset=uk, keep="first")
         uprobe["_uk_lsn"] = uprobe["_uk_lsn"].astype("Int64")
         sub = merged.iloc[rows][uk].merge(uprobe, on=uk, how="left")

@@ -445,3 +445,45 @@ def test_re_sync_unsupported_no_more(ray_session):
     with pytest.raises(KeyError):
         run_config({"processType": "DB_RE_SYNC",
                     "etlConfiguration": [{"srcConf": {}, "dstConf": [{}]}]})
+
+
+def test_re_sync_auto_window_incremental(tmp_path, ray_session):
+    """DB_RE_SYNC since='auto': the window advances from the persisted
+    last_until (the reference's ProcessInfo re-run lifecycle); each window
+    outranks the previous in the LWW merge; re-running the same window is
+    a no-op (commit-log watermark)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from openmrs_module_epts_etl_ray.pipelines.config import run_config
+    from openmrs_module_epts_etl_ray.pipelines.replay import read_lake
+
+    mon_dir = tmp_path / "mon"
+    mon_dir.mkdir()
+    ts = pd.to_datetime(["2024-01-05", "2024-02-05", "2024-03-05"])
+    pq.write_table(pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "created": pa.array(ts.astype("datetime64[us]")),
+        "changed": pa.array(ts.astype("datetime64[us]")),
+        "v": ["a1", "b1", "c1"],
+    }), str(mon_dir / "items.parquet"))
+    lake = str(tmp_path / "lake")
+
+    def window(until):
+        run_config({"processType": "DB_RE_SYNC", "etlConfiguration": [{
+            "srcConf": {"sfDir": str(mon_dir), "tableName": "items",
+                        "createdColumn": "created",
+                        "changedColumn": "changed",
+                        "since": "auto", "until": until},
+            "dstConf": [{"lakeRoot": lake, "keyCols": ["k"],
+                         "uniqueKeys": [["k"]], "numBuckets": 4}],
+        }]})
+        df = read_lake(lake).to_pandas()
+        return sorted(df["k"].tolist())
+
+    assert window("2024-02-01") == [1]          # first window: row 1 only
+    assert window("2024-03-01") == [1, 2]       # advances: row 2 joins
+    assert window("2024-03-01") == [1, 2]       # same window: no-op
+    assert window("2024-04-01") == [1, 2, 3]

@@ -153,3 +153,28 @@ def test_keep_existing_policy_across_windows(tmp_path):
     replay(rd.from_arrow(w2), lake2, num_buckets=2).materialize()
     df2 = read_lake(lake2).to_pandas()
     assert list(df2["content"]) == ["second"]
+
+
+def test_uk_fallback_overlapping_pk_columns():
+    """A unique-key group equal to the PK is skipped (the PK probe already
+    covers it); a group that CONTAINS a PK column runs without the
+    select-then-rename column collision (round-4 regression: KeyError in
+    drop_duplicates when uk and key_cols shared names)."""
+    import pyarrow as pa
+
+    from openmrs_module_epts_etl_ray.stages.merge_applier import (
+        ConflictPolicy, merge_bucket_state,
+    )
+
+    state = pa.table({
+        "id": pa.array([1], pa.int64()), "origin": ["a"], "v": ["old"],
+        "lsn": pa.array([1], pa.int64()), "_deleted": [False]})
+    incoming = pa.table({
+        "id": pa.array([2], pa.int64()), "origin": ["a"], "v": ["new"],
+        "lsn": pa.array([2], pa.int64()), "op": ["insert"]})
+    for uks in ([["id"]], [["origin", "id"]]):
+        pol = ConflictPolicy()
+        pol.unique_keys = [list(g) for g in uks]
+        s, stats = merge_bucket_state(state, incoming, pol,
+                                      key_cols=("id",))
+        assert sorted(s["id"].to_pylist()) == [1, 2], uks
