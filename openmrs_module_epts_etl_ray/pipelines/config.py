@@ -416,18 +416,37 @@ def _run_re_sync(cfg: dict, outputs: dict[str, str]) -> None:
         else:
             since = pd.Timestamp(src["since"])
         until = pd.Timestamp(src["until"]) if src.get("until") else None
-        # each incremental window must outrank the previous one in the LWW
-        # merge (quick_merge drops incoming rows at-or-below a bucket's
-        # committed watermark): default the window's lsn to its end-time
-        # epoch, monotone with the schedule
         auto = str(src["since"]).lower() == "auto"
-        lsn_default = int(until.value) if auto else 1
         detected = classify_new_changed(
             ds, src["createdColumn"], src["changedColumn"], since, until=until)
         if src.get("detectedDir"):
+            # export the audit FIRST and merge from the exported parquet:
+            # consuming the lazy `detected` twice would re-execute the full
+            # source read + classify lineage a second time
             export_files(detected, src["detectedDir"], fmt="parquet")
-        payload = _events_defaults(detected.drop_columns(["change_class"]),
-                                   lsn=int(dst.get("lsn", lsn_default)))
+            detected = rd.read_parquet(src["detectedDir"],
+                                       file_extensions=["parquet"])
+        payload = detected.drop_columns(["change_class"])
+        if dst.get("lsn") is not None:
+            payload = _events_defaults(payload, lsn=int(dst["lsn"]))
+        else:
+            # default per-row lsn = epoch-us of the row's LAST activity:
+            # a row changed again after an earlier re-sync outranks the
+            # bucket watermark the earlier merge committed, while an
+            # unchanged window replays as a no-op. NOTE this puts the
+            # lake's lsn domain on the microsecond-epoch scale — do not
+            # mix such a lake with replay() of an integer-LSN CDC log
+            # (pass an explicit dst.lsn to stay in your own domain).
+            created, changed = src["createdColumn"], src["changedColumn"]
+
+            def row_lsn(t: pa.Table, _c=created, _g=changed) -> pa.Table:
+                last = pc.max_element_wise(
+                    pc.cast(t[_c], pa.timestamp("us")),
+                    pc.cast(t[_g], pa.timestamp("us")))
+                t = t.append_column("lsn", pc.cast(last, pa.int64()))
+                return t.append_column("op", pa.array(["insert"] * len(t)))
+
+            payload = payload.map_batches(row_lsn, batch_format="pyarrow")
         quick_merge(payload, dst["lakeRoot"],
                     key_cols=tuple(dst["keyCols"]),
                     unique_keys=[list(g) for g in dst["uniqueKeys"]],

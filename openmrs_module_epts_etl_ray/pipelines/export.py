@@ -126,6 +126,13 @@ def export_partitioned(ds: rd.Dataset, out_dir: str, by_col: str,
                 stored_by = json.load(fh).get("by_col")
         except Exception:
             stored_by = None    # legacy marker (pre-by_col): unknown scheme
+        if stored_by is None:
+            # legacy marker carries no scheme — infer it from the partition
+            # dirs actually on disk so the mix guard still fires
+            schemes = {d.split("=", 1)[0] for d in os.listdir(out_dir)
+                       if "=" in d}
+            if len(schemes) == 1:
+                stored_by = schemes.pop()
     if stored_by is not None and stored_by != by_col and not overwrite:
         # re-running the same outDir with a DIFFERENT partition column must
         # not rmtree the previous run's finished partitions (they'd fail

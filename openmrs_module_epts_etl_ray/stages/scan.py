@@ -34,6 +34,12 @@ sort them NULLS LAST; we raise instead of silently mis-bucketing).
 Partitioning assumption: the primary order column distributes roughly
 uniformly over its range (ids / timestamps do); a skewed order axis needs
 quantile-based range bounds upstream.
+
+Determinism contract: the input pipeline re-executes once per pass (the
+price of not pinning it in the object store), so its lineage must be
+deterministic; callers with a nondeterministic upstream (unseeded RNG,
+``random_sample``, arrival-order-dependent ids) must ``materialize()``
+the input themselves before scanning.
 """
 from __future__ import annotations
 
@@ -81,13 +87,28 @@ def _running_scan(
 ) -> rd.Dataset:
     from ray.data.aggregate import Max, Min
 
+    from ray.data.aggregate import Count
+
     nb = num_buckets or _num_buckets()
     primary = order_cols[0]
     # Bounds and pass A consume only (order axis, value): run them on a
     # column slice of the pipeline so the full input is never pinned.
+    # DETERMINISM CONTRACT: the upstream lineage re-executes once per pass
+    # (bounds, pass A, pass B) — it must be deterministic, or pass A's
+    # carry-ins would describe a different execution than pass B's rows.
+    # A nondeterministic upstream (unseeded RNG, random_sample, arrival-
+    # order-dependent ids) must be materialize()d by the CALLER first.
     slim = ds.select_columns(list(dict.fromkeys([primary, value_col])))
-    bounds = slim.aggregate(Min(primary), Max(primary))
-    if not bounds or bounds.get(f"min({primary})") is None:
+    bounds = slim.aggregate(Min(primary), Max(primary), Count())
+    n_rows = int(bounds.get("count()", 0)) if bounds else 0
+    if bounds and n_rows and bounds.get(f"min({primary})") is None:
+        # rows exist but the order axis has no values at all — the
+        # per-batch null guard in _order_ints never saw them because the
+        # aggregate path runs first; fail the same way it would
+        raise ValueError(
+            f"running scan: the primary order column {primary!r} contains "
+            f"nulls; a null order key has no position in the scan order")
+    if not n_rows:
         # empty input: keep the schema contract (out_col present, 0 rows)
         return ds.map_batches(
             lambda df: df.assign(**{out_col: df[value_col]}),

@@ -168,11 +168,10 @@ def test_running_sum_nulls_negatives_vs_duckdb(ray_session):
     n = 4000
     order = rng.permutation(n).astype("int64")
     vals = rng.integers(-10_000, 10_000, n).astype("float64")
-    vals[rng.random(n) < 0.15] = np.nan          # -> arrow nulls
-    t = pa.table({"o": order, "v": pa.array(vals)})   # NaN becomes null?
-    # pa.array(float ndarray) keeps NaN as NaN, not null: build explicitly
+    vals[rng.random(n) < 0.15] = np.nan
+    # from_pandas=True maps NaN -> arrow null (a plain pa.array keeps NaN)
     t = pa.table({"o": order,
-                  "v": pa.array(vals, from_pandas=True)})  # NaN -> null
+                  "v": pa.array(vals, from_pandas=True)})
     want = duckdb.connect().execute("""
         SELECT o, CAST(SUM(CAST(v AS BIGINT))
                OVER (ORDER BY o ROWS BETWEEN UNBOUNDED PRECEDING
@@ -229,3 +228,20 @@ def test_running_scan_null_order_raises(ray_session):
         "v": pa.array([1, 2, 3], type=pa.int64())}))
     with pytest.raises(Exception, match="order column"):
         running_sum(ds, ["o"], "v").materialize()
+
+
+def test_running_scan_all_null_order_raises(ray_session):
+    import pytest
+
+    from openmrs_module_epts_etl_ray.stages.scan import running_sum
+
+    ds = rd.from_arrow(pa.table({
+        "o": pa.array([None, None], type=pa.int64()),
+        "v": pa.array([1, 2], type=pa.int64())}))
+    with pytest.raises(Exception, match="order column"):
+        running_sum(ds, ["o"], "v").materialize()
+    # truly empty input still keeps the schema contract (0 rows, no raise)
+    empty = rd.from_arrow(pa.table({
+        "o": pa.array([], type=pa.int64()),
+        "v": pa.array([], type=pa.int64())}))
+    assert running_sum(empty, ["o"], "v").count() == 0

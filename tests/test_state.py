@@ -176,3 +176,27 @@ def test_export_partitioned_by_col_change_refused(tmp_path, ray_session):
     dirs = sorted(d for d in os.listdir(out) if "=" in d)
     assert dirs == ["h=0", "h=1"]
     assert sorted(m["partition"]) == ["0", "1"]
+
+
+def test_export_partitioned_legacy_marker_scheme_inferred(tmp_path, ray_session):
+    """A pre-by_col marker ('ok') must not bypass the scheme-mix guard:
+    the stored scheme is inferred from the on-disk partition dirs."""
+    import os
+
+    import pytest
+    import pyarrow as pa
+    import ray.data as rd
+
+    from openmrs_module_epts_etl_ray.pipelines.export import export_partitioned
+
+    ds = rd.from_arrow(pa.table({
+        "g": [0, 1], "h": [0, 1], "v": [1, 2]}))
+    out = str(tmp_path / "part")
+    export_partitioned(ds, out, "g")
+    with open(os.path.join(out, "_PARTITIONED_EXPORT"), "w") as fh:
+        fh.write("ok")                        # simulate the legacy marker
+    with pytest.raises(ValueError, match="hive schemes"):
+        export_partitioned(ds, out, "h")
+    # same column under a legacy marker still resumes fine
+    m = export_partitioned(ds, out, "g").to_pydict()
+    assert all(m["skipped"])
