@@ -31,9 +31,13 @@ at-or-before it — and the output is NULL only while no non-null value has
 been seen yet. The ORDER columns themselves must be non-null (SQL would
 sort them NULLS LAST; we raise instead of silently mis-bucketing).
 
-Partitioning assumption: the primary order column distributes roughly
-uniformly over its range (ids / timestamps do); a skewed order axis needs
-quantile-based range bounds upstream.
+Partitioning assumption: with the default ``balance="range"`` the primary
+order column should distribute roughly uniformly over its range (ids /
+timestamps do); for a skewed axis pass ``balance="quantile"`` — one extra
+sampling pass over the two-column projection picks boundaries from the
+data's quantiles, and bucket assignment never changes the scan's RESULT
+(any contiguous range partition yields the same prefix aggregate), only
+its balance.
 
 Determinism contract: the input pipeline re-executes once per pass (the
 price of not pinning it in the object store), so its lineage must be
@@ -84,6 +88,8 @@ def _running_scan(
     accumulate,               # np ufunc .accumulate for within-bucket scan
     apply_carry,              # (scanned ndarray, carry scalar) -> ndarray
     null_fill,                # (values ChunkedArray, carry|None) -> fill scalar
+    balance: str = "range",   # 'range' (affine, zero extra passes) or
+                              # 'quantile' (sampled boundaries, skew-robust)
 ) -> rd.Dataset:
     from ray.data.aggregate import Max, Min
 
@@ -130,8 +136,39 @@ def _running_scan(
     width = max(1, -(-span // nb))  # ceil: divide-first avoids the int64
                                     # overflow of (x-lo)*nb on wide domains
 
-    def _buckets(t: pa.Table) -> np.ndarray:
-        return (_order_ints(t[primary]) - lo) // width
+    if balance == "quantile":
+        # skewed order axis: equal-WIDTH ranges would concentrate most
+        # rows in a few buckets, making pass B's per-bucket cogroup a
+        # straggler. One extra pass over the slim projection collects a
+        # deterministic per-block sample (every ceil(n/64)-th value of
+        # the sorted block) and the merged sample's nb-quantiles become
+        # the bucket boundaries. Bucket ASSIGNMENT only affects balance,
+        # never the scan result (any contiguous range partition yields
+        # the same prefix aggregate), so an approximate sample is safe.
+        def sample(t: pa.Table) -> pd.DataFrame:
+            p = np.sort(_order_ints(t[primary]))
+            step = max(1, -(-len(p) // 64))
+            return pd.DataFrame({"s": p[::step]})
+
+        samp = np.sort(np.array(
+            [r["s"] for r in slim.map_batches(
+                sample, batch_format="pyarrow").take_all()],
+            dtype=np.int64))
+        qs = np.quantile(samp, np.linspace(0, 1, nb + 1)[1:-1],
+                         method="nearest").astype(np.int64) \
+            if len(samp) > 1 else np.array([], dtype=np.int64)
+        qs = np.unique(qs)          # duplicate quantiles on heavy values
+
+        def _buckets(t: pa.Table) -> np.ndarray:
+            # side='right': rows equal to a boundary land LEFT of it, so
+            # each bucket is still a contiguous half-open order range
+            return np.searchsorted(qs, _order_ints(t[primary]),
+                                   side="right").astype(np.int64)
+    elif balance == "range":
+        def _buckets(t: pa.Table) -> np.ndarray:
+            return (_order_ints(t[primary]) - lo) // width
+    else:
+        raise ValueError(f"balance={balance!r} (want 'range'|'quantile')")
 
     # pass A: per-block (bucket, fold-of-non-null, n-non-null) partials.
     # Nulls are dropped BEFORE the fold (SQL aggregates skip them); Arrow
@@ -209,14 +246,17 @@ def running_max(
     *,
     out_col: str = "running_max",
     num_buckets: int | None = None,
+    balance: str = "range",
 ) -> rd.Dataset:
     """Append ``out_col`` = max of ``value_col`` over all non-null values
     at-or-before each row in ``order_cols`` order (inclusive); NULL until
     the first non-null value. ``order_cols[0]`` must be integer-like or a
     timestamp (the range-partition axis) and non-null; the remaining
-    columns only break ties."""
+    columns only break ties. ``balance='quantile'`` spends one extra
+    sampling pass to pick skew-robust bucket boundaries."""
     return _running_scan(
         ds, order_cols, value_col, out_col=out_col, num_buckets=num_buckets,
+        balance=balance,
         block_fold="max", py_fold=max,
         accumulate=np.maximum.accumulate, apply_carry=np.maximum,
         # nulls must not raise the running max: fill with the carry-in when
@@ -232,14 +272,17 @@ def running_sum(
     *,
     out_col: str = "running_sum",
     num_buckets: int | None = None,
+    balance: str = "range",
 ) -> rd.Dataset:
     """Inclusive prefix sum in ``order_cols`` order; null values add zero
     (SQL ``SUM OVER`` skips them) and the output is NULL until the first
     non-null value. Use an INTEGER value column: float addition is
     non-associative, so a bucketed scan's summation tree would drift from
-    a sequential oracle in the last ulp."""
+    a sequential oracle in the last ulp. ``balance='quantile'`` spends one
+    extra sampling pass to pick skew-robust bucket boundaries."""
     return _running_scan(
         ds, order_cols, value_col, out_col=out_col, num_buckets=num_buckets,
+        balance=balance,
         block_fold="sum", py_fold=lambda a, b: a + b,
         accumulate=np.cumsum, apply_carry=lambda out, c: out + c,
         null_fill=lambda v, cin: 0)

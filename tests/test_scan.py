@@ -245,3 +245,30 @@ def test_running_scan_all_null_order_raises(ray_session):
         "o": pa.array([], type=pa.int64()),
         "v": pa.array([], type=pa.int64())}))
     assert running_sum(empty, ["o"], "v").count() == 0
+
+
+def test_running_sum_quantile_balance_skewed_axis(ray_session):
+    """balance='quantile' on a heavily skewed order axis returns exactly
+    the sequential truth (bucket boundaries change balance, never the
+    result), including heavy duplicate values sitting ON a boundary."""
+    rng = np.random.default_rng(13)
+    n = 6000
+    # lognormal-ish skew + a mega-duplicate order value
+    order = np.unique((rng.lognormal(0, 2.5, n * 2) * 1000).astype("int64"))
+    order = order[:n]
+    order = np.concatenate([order, np.full(500, order[len(order) // 2])])
+    rng.shuffle(order)
+    vals = rng.integers(-100, 100, len(order)).astype("int64")
+    tb = np.arange(len(order), dtype="int64")   # unique tie-break
+    ds = rd.from_arrow(pa.table({"o": order, "tb": tb, "v": vals})) \
+        .repartition(8)
+
+    from openmrs_module_epts_etl_ray.stages.scan import running_sum
+    seq = pd.DataFrame({"o": order, "tb": tb, "v": vals}) \
+        .sort_values(["o", "tb"], kind="stable")
+    want = seq["v"].cumsum().to_numpy()
+    for bal in ("range", "quantile"):
+        got = running_sum(ds, ["o", "tb"], "v", out_col="rs",
+                          num_buckets=7, balance=bal) \
+            .to_pandas().sort_values(["o", "tb"]).reset_index(drop=True)
+        assert (got["rs"].to_numpy() == want).all(), bal
