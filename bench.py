@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "value_percentiles",
     "value_percentiles_approx",
     "re_sync", "multi_origin_merge", "media_png_features", "media_png_resize", "surrogate_ids_dense",
+    "quality_logit",
 ]
 
 

@@ -4444,3 +4444,46 @@ r AS (SELECT query_id, vec_id,
 SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank
 FROM r WHERE rnk <= 5
 """
+
+
+def q_quality_logit(sf_dir: str):
+    """Batched model inference (stages/inference.py::score_linear): a
+    linear quality scorer with dyadic-rational weights over integer text
+    features — weights broadcast once, actor-pool scoring, and the raw
+    margin is bitwise-reproducible across engines (fixed-order IEEE
+    accumulation), so a SQL oracle checks the 'model' end to end."""
+    from ..stages.inference import score_linear
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      override_num_blocks=16)
+    scored = score_linear(
+        docs,
+        weights=[0.015625, 0.25, -0.125, 0.0625, -0.5],  # 2^-6, 2^-2, ...
+        bias=0.5, out_col="score")
+    return scored.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "score": t["score"]}),
+        batch_format="pyarrow")
+
+
+QUERIES["quality_logit"] = q_quality_logit
+
+ORACLE_SQL["quality_logit"] = """
+WITH f AS (
+  SELECT doc_id,
+         CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,
+         CAST(length(coalesce(text, ''))
+              - length(replace(coalesce(text, ''), ' ', '')) AS BIGINT)
+           AS n_spaces,
+         CAST(len(regexp_extract_all(coalesce(text, ''), '[0-9]'))
+           AS BIGINT) AS n_digits,
+         CAST(len(regexp_extract_all(coalesce(text, ''), '[A-Z]'))
+           AS BIGINT) AS n_upper,
+         CAST(len(regexp_extract_all(coalesce(text, ''), '[.,!?]'))
+           AS BIGINT) AS n_punct
+  FROM documents)
+SELECT doc_id,
+       ((((0.5 + n_chars * 0.015625) + n_spaces * 0.25)
+          + n_digits * -0.125) + n_upper * 0.0625) + n_punct * -0.5
+         AS score
+FROM f
+"""

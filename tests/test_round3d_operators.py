@@ -654,3 +654,46 @@ def test_png_real_decode_stage(ray_session):
     out = DecodeStage(fake=False)(batch)
     f = out["feature"].iloc[0]
     assert list(f[:4]) == [6.0, 4.0, 9.0, 9.0]
+
+
+def test_linear_scorer_inference(ray_session):
+    """Broadcast-weights actor-pool inference: margin matches a sequential
+    recompute exactly; sigmoid link is monotone in the margin; feature
+    counts match python string ops."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from openmrs_module_epts_etl_ray.stages.inference import (
+        doc_quality_features, score_linear,
+    )
+
+    texts = ["Hello, World! 123", "", None, "a b  c", "UPPER.lower?9"]
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    F = doc_quality_features(t)
+    for i, s in enumerate(texts):
+        s = s or ""
+        assert F[i, 0] == len(s)
+        assert F[i, 1] == s.count(" ")
+        assert F[i, 2] == sum(c.isdigit() for c in s)
+        assert F[i, 3] == sum(c.isupper() and c.isascii() for c in s)
+        assert F[i, 4] == sum(c in ".,!?" for c in s)
+
+    w, b = [0.015625, 0.25, -0.125, 0.0625, -0.5], 0.5
+    ds = rd.from_arrow(t).repartition(3)
+    got = score_linear(ds, w, bias=b).to_pandas().sort_values("doc_id")
+    want = []
+    for i in range(5):
+        s = np.float64(b)
+        for j in range(5):
+            s = s + np.float64(F[i, j]) * np.float64(w[j])
+        want.append(float(s))
+    assert got["score"].tolist() == want
+
+    sig = score_linear(ds, w, bias=b, link="sigmoid") \
+        .to_pandas().sort_values("doc_id")["score"]
+    order_lin = np.argsort(got["score"].to_numpy())
+    order_sig = np.argsort(sig.to_numpy())
+    assert (order_lin == order_sig).all()
+    assert ((sig > 0) & (sig < 1)).all()
