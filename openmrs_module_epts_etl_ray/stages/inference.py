@@ -62,6 +62,10 @@ class LinearScorer:
         self.link = link
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        if self.out_col in t.column_names:
+            raise ValueError(
+                f"output column {self.out_col!r} already exists in the "
+                f"input (re-scoring? pass a different out_col)")
         F = self.featurize(t).astype(np.float64)
         if F.shape[1] != len(self.w):
             raise ValueError(

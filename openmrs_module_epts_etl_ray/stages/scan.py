@@ -91,60 +91,44 @@ def _running_scan(
     balance: str = "range",   # 'range' (affine, zero extra passes) or
                               # 'quantile' (sampled boundaries, skew-robust)
 ) -> rd.Dataset:
-    from ray.data.aggregate import Max, Min
+    from ray.data.aggregate import Count, Max, Min
 
-    from ray.data.aggregate import Count
-
+    if balance not in ("range", "quantile"):
+        # validate BEFORE any pipeline execution: a typo must not cost a
+        # full upstream pass (or hide behind an empty input) first
+        raise ValueError(f"balance={balance!r} (want 'range'|'quantile')")
     nb = num_buckets or _num_buckets()
     primary = order_cols[0]
-    # Bounds and pass A consume only (order axis, value): run them on a
-    # column slice of the pipeline so the full input is never pinned.
-    # DETERMINISM CONTRACT: the upstream lineage re-executes once per pass
-    # (bounds, pass A, pass B) — it must be deterministic, or pass A's
-    # carry-ins would describe a different execution than pass B's rows.
-    # A nondeterministic upstream (unseeded RNG, random_sample, arrival-
-    # order-dependent ids) must be materialize()d by the CALLER first.
-    slim = ds.select_columns(list(dict.fromkeys([primary, value_col])))
-    bounds = slim.aggregate(Min(primary), Max(primary), Count())
-    n_rows = int(bounds.get("count()", 0)) if bounds else 0
-    if bounds and n_rows and bounds.get(f"min({primary})") is None:
-        # rows exist but the order axis has no values at all — the
-        # per-batch null guard in _order_ints never saw them because the
-        # aggregate path runs first; fail the same way it would
-        raise ValueError(
-            f"running scan: the primary order column {primary!r} contains "
-            f"nulls; a null order key has no position in the scan order")
-    if not n_rows:
+
+    def _empty_result() -> rd.Dataset:
         # empty input: keep the schema contract (out_col present, 0 rows)
         return ds.map_batches(
             lambda df: df.assign(**{out_col: df[value_col]}),
             batch_format="pandas")
 
-    def _as_int(v) -> int:
-        # the primary order axis may be a timestamp: pandas Timestamp /
-        # numpy datetime64 carry .value (epoch ns) — int() alone raises
-        if hasattr(v, "value"):
-            return int(v.value)
-        if isinstance(v, np.datetime64):
-            return int(v.astype("datetime64[ns]").astype(np.int64))
-        return int(v)
-
-    lo = _as_int(bounds[f"min({primary})"])
-    hi = _as_int(bounds[f"max({primary})"])
-    span = max(1, hi - lo + 1)
-
-    width = max(1, -(-span // nb))  # ceil: divide-first avoids the int64
-                                    # overflow of (x-lo)*nb on wide domains
+    # Boundary discovery and pass A consume only (order axis, value): run
+    # them on a column slice of the pipeline so the full input is never
+    # pinned.
+    # DETERMINISM CONTRACT: the upstream lineage re-executes once per pass
+    # (boundaries, pass A, pass B) — it must be deterministic, or pass A's
+    # carry-ins would describe a different execution than pass B's rows.
+    # A nondeterministic upstream (unseeded RNG, random_sample, arrival-
+    # order-dependent ids) must be materialize()d by the CALLER first.
+    slim = ds.select_columns(list(dict.fromkeys([primary, value_col])))
 
     if balance == "quantile":
         # skewed order axis: equal-WIDTH ranges would concentrate most
         # rows in a few buckets, making pass B's per-bucket cogroup a
-        # straggler. One extra pass over the slim projection collects a
-        # deterministic per-block sample (every ceil(n/64)-th value of
-        # the sorted block) and the merged sample's nb-quantiles become
-        # the bucket boundaries. Bucket ASSIGNMENT only affects balance,
-        # never the scan result (any contiguous range partition yields
-        # the same prefix aggregate), so an approximate sample is safe.
+        # straggler. The boundary pass collects a deterministic per-block
+        # sample (every ceil(n/64)-th value of the sorted block; blocks
+        # arrive whole because batch_size=None is the map_batches default)
+        # and the merged sample's nb-quantiles become the bucket
+        # boundaries. This pass REPLACES the range mode's Min/Max
+        # aggregate (it also raises on null order keys via _order_ints and
+        # detects emptiness), so both modes cost three passes total.
+        # Bucket ASSIGNMENT only affects balance, never the scan result
+        # (any contiguous range partition yields the same prefix
+        # aggregate), so an approximate sample is safe.
         def sample(t: pa.Table) -> pd.DataFrame:
             p = np.sort(_order_ints(t[primary]))
             step = max(1, -(-len(p) // 64))
@@ -154,21 +138,52 @@ def _running_scan(
             [r["s"] for r in slim.map_batches(
                 sample, batch_format="pyarrow").take_all()],
             dtype=np.int64))
+        if not len(samp):
+            return _empty_result()
         qs = np.quantile(samp, np.linspace(0, 1, nb + 1)[1:-1],
                          method="nearest").astype(np.int64) \
             if len(samp) > 1 else np.array([], dtype=np.int64)
         qs = np.unique(qs)          # duplicate quantiles on heavy values
 
         def _buckets(t: pa.Table) -> np.ndarray:
-            # side='right': rows equal to a boundary land LEFT of it, so
-            # each bucket is still a contiguous half-open order range
+            # side='right' keeps each bucket a contiguous half-open order
+            # range: a row EQUAL to boundary qs[k] gets bucket k+1 (the
+            # range starting AT the boundary), and equal primary values
+            # always share a bucket
             return np.searchsorted(qs, _order_ints(t[primary]),
                                    side="right").astype(np.int64)
-    elif balance == "range":
+    else:
+        bounds = slim.aggregate(Min(primary), Max(primary), Count())
+        n_rows = int(bounds.get("count()", 0)) if bounds else 0
+        if n_rows and bounds.get(f"min({primary})") is None:
+            # rows exist but the order axis has no values at all — the
+            # per-batch null guard in _order_ints never saw them because
+            # the aggregate path runs first; fail the same way it would
+            raise ValueError(
+                f"running scan: the primary order column {primary!r} "
+                f"contains nulls; a null order key has no position in "
+                f"the scan order")
+        if not n_rows:
+            return _empty_result()
+
+        def _as_int(v) -> int:
+            # the primary order axis may be a timestamp: pandas Timestamp
+            # / numpy datetime64 carry .value (epoch ns) — int() raises
+            if hasattr(v, "value"):
+                return int(v.value)
+            if isinstance(v, np.datetime64):
+                return int(v.astype("datetime64[ns]").astype(np.int64))
+            return int(v)
+
+        lo = _as_int(bounds[f"min({primary})"])
+        hi = _as_int(bounds[f"max({primary})"])
+        span = max(1, hi - lo + 1)
+        width = max(1, -(-span // nb))  # ceil: divide-first avoids the
+                                        # int64 overflow of (x-lo)*nb on
+                                        # wide domains
+
         def _buckets(t: pa.Table) -> np.ndarray:
             return (_order_ints(t[primary]) - lo) // width
-    else:
-        raise ValueError(f"balance={balance!r} (want 'range'|'quantile')")
 
     # pass A: per-block (bucket, fold-of-non-null, n-non-null) partials.
     # Nulls are dropped BEFORE the fold (SQL aggregates skip them); Arrow

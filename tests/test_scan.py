@@ -272,3 +272,33 @@ def test_running_sum_quantile_balance_skewed_axis(ray_session):
                           num_buckets=7, balance=bal) \
             .to_pandas().sort_values(["o", "tb"]).reset_index(drop=True)
         assert (got["rs"].to_numpy() == want).all(), bal
+
+
+def test_running_max_quantile_balance_with_nulls(ray_session):
+    """running_max's carry/null_fill path under quantile bucketing: a
+    sampled boundary can open a bucket on an all-null run; the carry-in
+    must fill those rows, matching the SQL running MAX."""
+    rng = np.random.default_rng(17)
+    n = 3000
+    order = np.unique((rng.lognormal(0, 2.0, n * 2) * 100).astype("int64"))[:n]
+    rng.shuffle(order)
+    vals = rng.integers(0, 10**6, len(order)).astype("float64")
+    vals[rng.random(len(order)) < 0.3] = np.nan
+    t = pa.table({"o": order,
+                  "v": pa.array(vals, from_pandas=True)})
+    ds = rd.from_arrow(t).repartition(6).map_batches(
+        lambda b: b.set_column(b.schema.get_field_index("v"), "v",
+                               b["v"].cast(pa.int64())),
+        batch_format="pyarrow")
+    from openmrs_module_epts_etl_ray.stages.scan import running_max
+    got = running_max(ds, ["o"], "v", out_col="rm", num_buckets=9,
+                      balance="quantile") \
+        .to_pandas().sort_values("o").reset_index(drop=True)
+    seq = pd.DataFrame({"o": order, "v": vals}).sort_values("o")
+    # pandas cummax leaves NaN AT null slots; SQL's running MAX carries
+    # the previous max through them — forward-fill to get SQL semantics
+    want = seq["v"].cummax().ffill().to_numpy()
+    wn = pd.isna(want)
+    gn = got["rm"].isna().to_numpy()
+    assert (wn == gn).all()
+    assert (got["rm"].to_numpy()[~gn] == want[~wn]).all()
