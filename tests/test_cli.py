@@ -43,3 +43,32 @@ def test_cli_replay_lookup_compact(tmp_path, ray_session):
 
     c = _cli("compact", str(lake))
     assert c["buckets"] == 8
+
+
+def test_cli_replay_lsn_lo_alone(tmp_path, ray_session):
+    """--lsn-lo without --lsn-hi replays (lo, inf) instead of being
+    silently ignored (advisor fix): on a fresh lake, events at-or-below
+    lo never apply."""
+    from openmrs_module_epts_etl_ray.pipelines.replay import read_lake
+    from openmrs_module_epts_etl_ray.sources.event_log import (
+        events_from_documents,
+    )
+
+    events = tmp_path / "events"
+    lake = tmp_path / "lake"
+    ev = events_from_documents("/root/testdata/sf0.001").materialize()
+    ev.write_parquet(str(events))
+    lsns = sorted(r["lsn"] for r in ev.select_columns(["lsn"]).take_all())
+    cut = lsns[len(lsns) // 2]
+
+    _cli("replay", str(events), str(lake), "--num-buckets", "4",
+         "--lsn-lo", str(cut))
+    state = read_lake(str(lake)).to_pandas()
+    assert len(state) > 0
+    # a full replay applies MORE events than the bounded one did
+    lake2 = tmp_path / "lake_full"
+    r_full = _cli("replay", str(events), str(lake2), "--num-buckets", "4")
+    r_again = _cli("replay", str(events), str(lake), "--num-buckets", "4",
+                   "--lsn-lo", str(cut))
+    assert r_again["rows_applied"] == 0     # idempotent window
+    assert r_full["rows_applied"] > 0
