@@ -697,3 +697,25 @@ def test_linear_scorer_inference(ray_session):
     order_sig = np.argsort(sig.to_numpy())
     assert (order_lin == order_sig).all()
     assert ((sig > 0) & (sig < 1)).all()
+
+
+def test_png_roundtrip_hypothesis(ray_session):
+    """Fuzzed PNG roundtrip: random dims/content under every filter type
+    (hypothesis drives shape + seed; content from a seeded RNG keeps the
+    example shrinkable)."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from openmrs_module_epts_etl_ray.stages.multimodal import (
+        decode_png, encode_png,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(w=st.integers(1, 40), h=st.integers(1, 24),
+           f=st.integers(0, 4), seed=st.integers(0, 2**31 - 1))
+    def roundtrip(w, h, f, seed):
+        img = np.random.default_rng(seed).integers(
+            0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (decode_png(encode_png(img, row_filter=f)) == img).all()
+
+    roundtrip()
