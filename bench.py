@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "value_percentiles_approx",
     "re_sync", "multi_origin_merge", "media_png_features", "media_png_resize", "surrogate_ids_dense",
     "quality_logit",
+    "span_corrupt",
 ]
 
 

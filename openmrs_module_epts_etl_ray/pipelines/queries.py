@@ -4487,3 +4487,40 @@ SELECT doc_id,
          AS score
 FROM f
 """
+
+
+def q_span_corrupt(sf_dir: str):
+    """Denoising-LM span corruption (stages/text.py::span_corrupt):
+    sha-keyed aligned 3-word spans, ~1/6 masked; exact SQL oracle via the
+    unnest-range + list_slice + string_agg(ORDER BY) shape."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      override_num_blocks=16)
+    return text_stages.span_corrupt(docs)
+
+
+QUERIES["span_corrupt"] = q_span_corrupt
+
+ORACLE_SQL["span_corrupt"] = """
+WITH w AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws
+  FROM documents),
+sp AS (
+  SELECT doc_id, ws,
+         unnest(range(0, CAST(ceil(len(ws) / 3.0) AS BIGINT))) AS s
+  FROM w),
+piece AS (
+  SELECT doc_id, s,
+         substr(sha256(CAST(doc_id AS VARCHAR) || ':'
+                       || CAST(s AS VARCHAR)), 1, 4) < '2aaa' AS m,
+         array_to_string(list_slice(ws, s * 3 + 1, s * 3 + 3), ' ') AS kept
+  FROM sp),
+agg AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN m THEN '<X>' ELSE kept END, ' '
+                    ORDER BY s) AS text,
+         CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked
+  FROM piece GROUP BY doc_id)
+SELECT a.doc_id, a.text, a.n_masked,
+       CAST(len(w.ws) AS BIGINT) AS n_words
+FROM agg a JOIN w ON w.doc_id = a.doc_id
+"""

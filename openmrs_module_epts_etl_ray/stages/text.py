@@ -748,3 +748,55 @@ def approx_top_terms(
         "term": pa.array(carr[order], pa.string()),
         "n_est": pa.array(est[order].astype("int64")),
     }))
+
+
+def span_corrupt(
+    ds: "rd.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 3,
+    rate_hex: str = "2aaa",
+    mask_token: str = "<X>",
+):
+    """T5-style span corruption with a PORTABLE deterministic mask rule
+    (the masking/augmentation step of denoising-LM data prep): words are
+    grouped into aligned spans of ``span_words``; span ``s`` of doc ``d``
+    is masked iff ``sha256(f"{d}:{s}")[:4] < rate_hex`` (≈ rate_hex/0x10000
+    of spans — the same content-keyed rule family as hash_split /
+    deterministic_shuffle, so re-runs and engines agree bit-for-bit). A
+    masked span collapses to ONE ``mask_token``.
+
+    Output: (id, text corrupted, n_masked spans, n_words). Stateless map —
+    no shuffle; cost is one sha per span (~n_words/span_words), which IS
+    the rule, same as the other sha-keyed sampling operators. Splitting is
+    on single spaces (SQL ``string_split(x, ' ')`` parity, empty tokens
+    preserved)."""
+    import hashlib
+
+    def corrupt(df: "pd.DataFrame") -> "pd.DataFrame":
+        texts = df[text_col].fillna("")
+        ids = df[id_col].to_numpy()
+        out_text, out_masked, out_words = [], [], []
+        sha = hashlib.sha256
+        for d, text in zip(ids, texts):
+            w = text.split(" ")
+            pieces, masked = [], 0
+            for s in range(0, len(w), span_words):
+                h = sha(f"{d}:{s // span_words}".encode()).hexdigest()[:4]
+                if h < rate_hex:
+                    pieces.append(mask_token)
+                    masked += 1
+                else:
+                    pieces.append(" ".join(w[s:s + span_words]))
+            out_text.append(" ".join(pieces))
+            out_masked.append(masked)
+            out_words.append(len(w))
+        return pd.DataFrame({
+            id_col: ids,
+            text_col: out_text,
+            "n_masked": pd.array(out_masked, dtype="int64"),
+            "n_words": pd.array(out_words, dtype="int64"),
+        })
+
+    return ds.map_batches(corrupt, batch_format="pandas")

@@ -719,3 +719,37 @@ def test_png_roundtrip_hypothesis(ray_session):
         assert (decode_png(encode_png(img, row_filter=f)) == img).all()
 
     roundtrip()
+
+
+def test_span_corrupt_properties(ray_session):
+    """Unmasked spans reproduce the original words; masked count matches
+    the sha rule; word counts preserved; deterministic across re-runs."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from openmrs_module_epts_etl_ray.stages.text import span_corrupt
+
+    texts = ["one two three four five six seven", "", None, "a b", "x " * 50]
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ds = rd.from_arrow(t).repartition(2)
+    a = span_corrupt(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = span_corrupt(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)                       # deterministic
+    for i, text in enumerate(texts):
+        w = (text or "").split(" ")
+        want_masked = 0
+        pieces = []
+        for s in range(0, len(w), 3):
+            h = hashlib.sha256(f"{i}:{s // 3}".encode()).hexdigest()[:4]
+            if h < "2aaa":
+                want_masked += 1
+                pieces.append("<X>")
+            else:
+                pieces.append(" ".join(w[s:s + 3]))
+        row = a.iloc[i]
+        assert row["n_words"] == len(w)
+        assert row["n_masked"] == want_masked
+        assert row["text"] == " ".join(pieces)
