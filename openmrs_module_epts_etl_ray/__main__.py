@@ -73,6 +73,9 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     q.add_argument("--out", default=None,
                    help="write result parquet here instead of printing a head")
+    q.add_argument("--stats", action="store_true",
+                   help="also emit per-operator wall/cpu/rows from "
+                        "Dataset.stats() — the per-stage tuning loop")
 
     args = p.parse_args(argv)
     _init_ray()
@@ -130,10 +133,26 @@ def main(argv: list[str] | None = None) -> int:
                                     else pa.Table.from_pandas(res))
             if args.out:
                 res.write_parquet(args.out)
-                _emit({"query": args.name, "out": args.out})
+                payload = {"query": args.name, "out": args.out}
             else:
-                _emit({"query": args.name, "head": res.take(5),
-                       "rows": res.count()})
+                res = res.materialize()
+                payload = {"query": args.name, "head": res.take(5),
+                           "rows": res.count()}
+            if args.stats:
+                import re as _re
+
+                lines = res.stats().splitlines()
+                ops = []
+                for i, ln in enumerate(lines):
+                    m = _re.match(
+                        r"Operator (\d+) (.+?): .*\bin ([0-9.]+)s\b",
+                        ln.strip())
+                    if m:
+                        ops.append({"operator": m.group(2),
+                                    "wall_sec": float(m.group(3))})
+                payload["stats"] = ops
+                payload["stats_raw_tail"] = lines[-3:]
+            _emit(payload)
         return 0
     finally:
         ray.shutdown()

@@ -72,3 +72,13 @@ def test_cli_replay_lsn_lo_alone(tmp_path, ray_session):
                    "--lsn-lo", str(cut))
     assert r_again["rows_applied"] == 0     # idempotent window
     assert r_full["rows_applied"] > 0
+
+
+def test_cli_query_stats(ray_session):
+    """query --stats emits per-operator wall times from Dataset.stats()."""
+    j = _cli("query", "pricing_summary", "--sf-dir", "/root/testdata/sf0.001",
+             "--stats")
+    assert j["rows"] == 6
+    ops = [o["operator"] for o in j["stats"]]
+    assert any("ReadParquet" in o for o in ops)
+    assert all(isinstance(o["wall_sec"], float) for o in j["stats"])
