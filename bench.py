@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "re_sync", "multi_origin_merge", "media_png_features", "media_png_resize", "surrogate_ids_dense",
     "quality_logit",
     "span_corrupt",
+    "scored_corpus_pack",
 ]
 
 

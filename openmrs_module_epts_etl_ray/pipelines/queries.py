@@ -4524,3 +4524,78 @@ SELECT a.doc_id, a.text, a.n_masked,
        CAST(len(w.ws) AS BIGINT) AS n_words
 FROM agg a JOIN w ON w.doc_id = a.doc_id
 """
+
+
+def q_scored_corpus_pack(sf_dir: str):
+    """Model-scored corpus prep composite: linear quality scorer (broadcast
+    weights, actor pool) -> threshold filter -> sequence packing over the
+    survivors (distributed prefix sum). Every stage exact: the dyadic
+    margin makes the >= 19.0 cut engine-identical, and pack offsets are a
+    pure function of the prefix sum of survivor token counts."""
+    from ..functions import text as T
+    from ..stages.inference import score_linear
+    from ..stages.packing import pack_sequences
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    scored = score_linear(
+        docs, weights=[0.015625, 0.25, -0.125, 0.0625, -0.5],
+        bias=0.5, out_col="score")
+    kept = scored.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["score"], pa.scalar(19.0))),
+        batch_format="pyarrow")
+
+    def toks(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "score": df["score"].to_numpy(),
+            "n_tokens": T.token_count(df["text"]).to_numpy(),
+        })
+
+    packed = pack_sequences(kept.map_batches(toks, batch_format="pandas"),
+                            order_cols=["doc_id"], token_col="n_tokens",
+                            capacity=1024)
+    return packed.map_batches(
+        lambda df: df[["doc_id", "score", "n_tokens",
+                       "pack_id", "pack_offset"]],
+        batch_format="pandas")
+
+
+QUERIES["scored_corpus_pack"] = q_scored_corpus_pack
+
+ORACLE_SQL["scored_corpus_pack"] = """
+WITH f AS (
+  SELECT doc_id, text,
+         CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,
+         CAST(length(coalesce(text, ''))
+              - length(replace(coalesce(text, ''), ' ', '')) AS BIGINT)
+           AS n_spaces,
+         CAST(len(regexp_extract_all(coalesce(text, ''), '[0-9]'))
+           AS BIGINT) AS n_digits,
+         CAST(len(regexp_extract_all(coalesce(text, ''), '[A-Z]'))
+           AS BIGINT) AS n_upper,
+         CAST(len(regexp_extract_all(coalesce(text, ''), '[.,!?]'))
+           AS BIGINT) AS n_punct
+  FROM documents),
+scored AS (
+  SELECT doc_id, text,
+         ((((0.5 + n_chars * 0.015625) + n_spaces * 0.25)
+            + n_digits * -0.125) + n_upper * 0.0625) + n_punct * -0.5
+           AS score
+  FROM f),
+kept AS (
+  SELECT doc_id, score,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+              AS BIGINT) AS n_tokens
+  FROM scored WHERE score >= 19.0),
+cum AS (
+  SELECT doc_id, score, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - n_tokens AS start
+  FROM kept)
+SELECT doc_id, score, n_tokens,
+       CAST(start // 1024 AS BIGINT) AS pack_id,
+       CAST(start % 1024 AS BIGINT) AS pack_offset
+FROM cum
+"""
