@@ -74,7 +74,7 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--out", default=None,
                    help="write result parquet here instead of printing a head")
     q.add_argument("--stats", action="store_true",
-                   help="also emit per-operator wall/cpu/rows from "
+                   help="also emit per-operator wall seconds from "
                         "Dataset.stats() — the per-stage tuning loop")
 
     args = p.parse_args(argv)
@@ -143,12 +143,14 @@ def main(argv: list[str] | None = None) -> int:
 
                 lines = res.stats().splitlines()
                 ops = []
-                for i, ln in enumerate(lines):
+                for ln in lines:
                     m = _re.match(
                         r"Operator (\d+) (.+?): .*\bin ([0-9.]+)s\b",
                         ln.strip())
                     if m:
-                        ops.append({"operator": m.group(2),
+                        # operator number disambiguates repeated names
+                        ops.append({"n": int(m.group(1)),
+                                    "operator": m.group(2),
                                     "wall_sec": float(m.group(3))})
                 payload["stats"] = ops
                 payload["stats_raw_tail"] = lines[-3:]

@@ -4551,9 +4551,13 @@ def q_scored_corpus_pack(sf_dir: str):
             "n_tokens": T.token_count(df["text"]).to_numpy(),
         })
 
-    packed = pack_sequences(kept.map_batches(toks, batch_format="pandas"),
-                            order_cols=["doc_id"], token_col="n_tokens",
-                            capacity=1024)
+    # materialize the 3-narrow-column survivor projection: the packing
+    # scan re-executes its upstream once per pass, and here the upstream
+    # is actor-pool model inference — one scoring run, not three (the
+    # pinned slice is survivors-only metadata, not the corpus)
+    slim = kept.map_batches(toks, batch_format="pandas").materialize()
+    packed = pack_sequences(slim, order_cols=["doc_id"],
+                            token_col="n_tokens", capacity=1024)
     return packed.map_batches(
         lambda df: df[["doc_id", "score", "n_tokens",
                        "pack_id", "pack_offset"]],
