@@ -821,6 +821,19 @@ def run_config(cfg: dict | str, _seen: frozenset = frozenset()) -> dict[str, str
     if ptype in ("ETL", "RE_ETL", "DB_EXTRACT", "DB_QUICK_EXPORT"):
         for item in cfg["etlConfiguration"]:
             _run_item(item, outputs, cfg.get("params"))
+    elif ptype == "GENERIC_PROCESS":
+        # the reference's problems-solver process: every operation MUST
+        # supply a custom GenericProcessor class
+        # (conf/types/EtlProcessType.java:17; the class-compatibility
+        # validation at conf/EtlOperationConfig.java:613-618) — here the
+        # item-level `processor` callable plays that role
+        for item in cfg["etlConfiguration"]:
+            if not item.get("processor"):
+                raise ValueError(
+                    "GENERIC_PROCESS items must name a `processor` "
+                    "(module:callable) — the reference requires a "
+                    "GenericProcessor subclass per operation")
+            _run_item(item, outputs, cfg.get("params"))
     elif ptype in ("DB_QUICK_MERGE_WITH_DATABASE_GENERATION",
                    "DB_QUICK_MERGE_WITH_ENTITY_GENERATION", "DB_QUICK_MERGE"):
         _run_quick_merge(cfg, outputs)

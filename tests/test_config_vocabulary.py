@@ -487,3 +487,26 @@ def test_re_sync_auto_window_incremental(tmp_path, ray_session):
     assert window("2024-03-01") == [1, 2]       # advances: row 2 joins
     assert window("2024-03-01") == [1, 2]       # same window: no-op
     assert window("2024-04-01") == [1, 2, 3]
+
+
+def test_generic_process_requires_processor(tmp_path, ray_session):
+    """GENERIC_PROCESS dispatches (the reference's problems-solver process)
+    and enforces its one contract: every item names a processor."""
+    import pytest
+    import ray.data as rd
+
+    from openmrs_module_epts_etl_ray.pipelines.config import run_config
+
+    item = {
+        "srcConf": {"tableName": "nation", "sfDir": "/root/testdata/sf0.001"},
+        "dstConf": [{"tableName": "nation_gp",
+                     "outDir": str(tmp_path / "gp")}],
+    }
+    with pytest.raises(ValueError, match="GENERIC_PROCESS items"):
+        run_config({"processType": "GENERIC_PROCESS",
+                    "etlConfiguration": [dict(item)]})
+    item["processor"] = ("tests.test_config_vocabulary:"
+                         "custom_upper_name_processor")
+    out = run_config({"processType": "GENERIC_PROCESS",
+                      "etlConfiguration": [item]})
+    assert rd.read_parquet(out["nation_gp"]).count() == 25
