@@ -8,6 +8,17 @@ with ``srcField`` / ``dstField`` / ``srcValue`` / ``mapToNullValue``). This
 module accepts the same vocabulary and compiles it to the Ray pipeline, so a
 reference process config ports by renaming connection details to paths.
 
+Every reference process type dispatches (POJO_GENERATION/PREPARATION are
+n/a by design): ETL/RE_ETL/DB_EXTRACT/DB_QUICK_EXPORT, DB_QUICK_MERGE_*,
+LOAD/DB_QUICK_LOAD (multi-origin ``sourceFolders``), DB_MERGE_FROM_JSON,
+DB_RE_SYNC (incremental ``since="auto"`` windows), TRANSPORT,
+RESOLVE_CONFLICTS_IN_STAGE_AREA, DETECT_GAPES_ON_DB_TABLES,
+DB_INCONSISTENCY_CHECK, CHANGED/NEW_RECORDS_DETECTOR,
+DATA_RECONCILIATION/DETECT_MISSING_RECORDS, SOURCE_SYNC, and
+GENERIC_PROCESS (requires an item-level ``processor``). Items may also
+carry ``processor: "module:callable"`` to replace the stock dataflow
+(the ``processorFullClassName`` analogue).
+
 Supported config shape::
 
     {
