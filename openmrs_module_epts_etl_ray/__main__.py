@@ -154,6 +154,16 @@ def main(argv: list[str] | None = None) -> int:
                                     "wall_sec": float(m.group(3))})
                 payload["stats"] = ops
                 payload["stats_raw_tail"] = lines[-3:]
+                if not ops and lines:
+                    # Ray reformatted its human-readable stats prose and
+                    # the regex matched nothing: surface the drift instead
+                    # of silently emitting an empty list (ADVICE r4) — the
+                    # raw head+tail keeps the numbers reachable
+                    payload["stats_parse_miss"] = (
+                        "no 'Operator N ... in Xs' lines matched "
+                        f"{len(lines)} stats lines; Ray's stats format "
+                        "may have changed — see stats_raw_head/tail")
+                    payload["stats_raw_head"] = lines[:5]
             _emit(payload)
         return 0
     finally:

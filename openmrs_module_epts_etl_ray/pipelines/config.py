@@ -376,6 +376,22 @@ def _run_item(item: dict, outputs: dict[str, str],
         _run_item(c, outputs, params)
 
 
+
+def _single_dst(item: dict) -> dict:
+    """The single-destination runners (RE_SYNC, quick-merge, LOAD,
+    RESOLVE_CONFLICTS, ...) consume exactly one dstConf; a config listing
+    several would have the rest SILENTLY dropped (the ETL runner is the
+    one that fans out per EtlItemConfiguration, reference
+    conf/EtlItemConfiguration.java). Raise instead (ADVICE r4)."""
+    dsts = item["dstConf"]
+    if len(dsts) != 1:
+        raise ValueError(
+            f"this process type supports exactly one dstConf per item; "
+            f"got {len(dsts)} for srcConf "
+            f"{item.get('srcConf', {}).get('tableName')!r} — split the "
+            f"item or use an ETL process type, which fans out")
+    return dsts[0]
+
 def _run_re_sync(cfg: dict, outputs: dict[str, str]) -> None:
     """DB_RE_SYNC — re-synchronize a destination with the records created
     or changed since the last sync. The reference process type
@@ -400,7 +416,7 @@ def _run_re_sync(cfg: dict, outputs: dict[str, str]) -> None:
 
     for item in cfg["etlConfiguration"]:
         src = item["srcConf"]
-        dst = item["dstConf"][0]
+        dst = _single_dst(item)
         ds = read_table(src["sfDir"], src["tableName"],
                         columns=src.get("columns"))
         cond = bind_params(src.get("extraConditionForExtract"),
@@ -494,7 +510,7 @@ def _run_quick_merge(cfg: dict, outputs: dict[str, str]) -> None:
                            cfg.get("params"))
         if cond:
             ds = ds.map_batches(_ConditionFilter(cond), batch_format="pyarrow")
-        dst = item["dstConf"][0]
+        dst = _single_dst(item)
         lake = dst["lakeRoot"]
         quick_merge(ds, lake,
                     key_cols=tuple(dst["keyCols"]),
@@ -577,7 +593,7 @@ def _run_load(cfg: dict, outputs: dict[str, str]) -> None:
                            cfg.get("params"))
         if cond:
             ds = ds.map_batches(_ConditionFilter(cond), batch_format="pyarrow")
-        dst = item["dstConf"][0]
+        dst = _single_dst(item)
         stage_dir = dst["stageDir"]
         export_files(ds, stage_dir, fmt="parquet")
         outputs[dst.get("tableName", os.path.basename(stage_dir))] = stage_dir
@@ -601,7 +617,7 @@ def _run_merge_from_json(cfg: dict, outputs: dict[str, str]) -> None:
         else:
             ds = _read_import_origins(src)
         ds = _events_defaults(ds, lsn=int(src.get("lsn", 0)))
-        dst = item["dstConf"][0]
+        dst = _single_dst(item)
         lake = dst["lakeRoot"]
         quick_merge(ds, lake,
                     key_cols=tuple(dst["keyCols"]),
@@ -627,7 +643,7 @@ def _run_transport(cfg: dict, outputs: dict[str, str]) -> None:
 
     for item in cfg["etlConfiguration"]:
         src = item["srcConf"]
-        dst = item["dstConf"][0]
+        dst = _single_dst(item)
         export_dir = src["exportDir"]
         import_dir = dst["importDir"]
         bkp_dir = src.get("bkpDir")
@@ -797,7 +813,7 @@ def _run_source_sync(cfg: dict, outputs: dict[str, str]) -> None:
         import ray.data as rd_
 
         events = rd_.read_parquet(src["eventsPath"])
-        dst = item["dstConf"][0]
+        dst = _single_dst(item)
         replay(events, dst["lakeRoot"],
                num_buckets=int(dst.get("numBuckets", 64)),
                key_cols=tuple(dst.get("keyCols", ("repo", "path"))),

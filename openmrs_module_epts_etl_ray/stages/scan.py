@@ -90,6 +90,7 @@ def _running_scan(
     null_fill,                # (values ChunkedArray, carry|None) -> fill scalar
     balance: str = "range",   # 'range' (affine, zero extra passes) or
                               # 'quantile' (sampled boundaries, skew-robust)
+    materialize: bool = False,
 ) -> rd.Dataset:
     from ray.data.aggregate import Count, Max, Min
 
@@ -99,6 +100,13 @@ def _running_scan(
         raise ValueError(f"balance={balance!r} (want 'range'|'quantile')")
     nb = num_buckets or _num_buckets()
     primary = order_cols[0]
+    if materialize:
+        # opt-in for callers whose upstream lineage is NOT deterministic
+        # (unseeded RNG, random_sample, arrival-order ids): pin the input
+        # once so the three passes see the same rows. Off by default — at
+        # 100 TB the pin is an object-store spill storm, and deterministic
+        # lineages (the common case) don't need it.
+        ds = ds.materialize()
 
     def _empty_result() -> rd.Dataset:
         # empty input: keep the schema contract (out_col present, 0 rows)
@@ -134,9 +142,22 @@ def _running_scan(
             step = max(1, -(-len(p) // 64))
             return pd.DataFrame({"s": p[::step]})
 
+        def resample(t: pa.Table) -> pd.DataFrame:
+            p = np.sort(t["s"].to_numpy(zero_copy_only=False)
+                        .astype(np.int64))
+            step = max(1, -(-len(p) // 64))
+            return pd.DataFrame({"s": p[::step]})
+
+        # two-level sample: per-block samples are coalesced to nb blocks
+        # (a shuffle of SAMPLE values only — ~64 int64s per input block)
+        # and re-summarized, so the driver sees O(num_buckets) values, not
+        # O(#blocks) — at 100 TB / 128 MB blocks the one-level collect
+        # would drive ~800k blocks x 64 samples driver-side (ADVICE r4)
         samp = np.sort(np.array(
-            [r["s"] for r in slim.map_batches(
-                sample, batch_format="pyarrow").take_all()],
+            [r["s"] for r in slim.map_batches(sample, batch_format="pyarrow")
+                .repartition(nb)
+                .map_batches(resample, batch_format="pyarrow")
+                .take_all()],
             dtype=np.int64))
         if not len(samp):
             return _empty_result()
@@ -210,11 +231,16 @@ def _running_scan(
             else py_fold(fold_v[b], row["v"])
         fold_n[b] = fold_n.get(b, 0) + int(row["n"])
     # exclusive prefix fold for EVERY bucket index (a bucket whose values
-    # are all null emits no partial but still needs its carry-in)
+    # are all null emits no partial but still needs its carry-in). The
+    # third slot is the bucket's OWN pass-A non-null count: pass B
+    # re-counts it and raises on mismatch — a cheap runtime enforcement of
+    # the determinism contract (a nondeterministic upstream whose pass-B
+    # execution differs from pass A's is caught instead of silently
+    # producing prefix aggregates of a phantom execution; ADVICE r4).
     carry: dict[int, tuple] = {}
     run_v, run_n = None, 0
     for b in range(nb + 1):
-        carry[b] = (run_v, run_n)
+        carry[b] = (run_v, run_n, fold_n.get(b, 0))
         if b in fold_v:
             run_v = fold_v[b] if run_v is None else py_fold(run_v, fold_v[b])
             run_n += fold_n[b]
@@ -228,8 +254,15 @@ def _running_scan(
         t = t.take(pc.sort_indices(
             t, sort_keys=[(c, "ascending") for c in order_cols]))
         v = t[value_col]
-        cin_v, cin_n = cmap.get(int(t[_RB][0].as_py()), (None, 0))
+        cin_v, cin_n, own_n = cmap.get(int(t[_RB][0].as_py()), (None, 0, 0))
         valid = pc.is_valid(v).to_numpy(zero_copy_only=False)
+        if int(valid.sum()) != own_n:
+            raise RuntimeError(
+                f"running scan: bucket {int(t[_RB][0].as_py())} saw "
+                f"{int(valid.sum())} non-null values in pass B but "
+                f"{own_n} in pass A — the input lineage is not "
+                f"deterministic across passes; materialize() the input "
+                f"(pass materialize=True) before scanning")
         body = t.drop_columns([_RB])
         if cin_v is None and not valid.any():
             # leading all-null bucket: no value seen yet anywhere
@@ -262,16 +295,19 @@ def running_max(
     out_col: str = "running_max",
     num_buckets: int | None = None,
     balance: str = "range",
+    materialize: bool = False,
 ) -> rd.Dataset:
     """Append ``out_col`` = max of ``value_col`` over all non-null values
     at-or-before each row in ``order_cols`` order (inclusive); NULL until
     the first non-null value. ``order_cols[0]`` must be integer-like or a
     timestamp (the range-partition axis) and non-null; the remaining
     columns only break ties. ``balance='quantile'`` spends one extra
-    sampling pass to pick skew-robust bucket boundaries."""
+    sampling pass to pick skew-robust bucket boundaries.
+    ``materialize=True`` pins the input for nondeterministic upstreams
+    (see the module determinism contract; mismatches raise either way)."""
     return _running_scan(
         ds, order_cols, value_col, out_col=out_col, num_buckets=num_buckets,
-        balance=balance,
+        balance=balance, materialize=materialize,
         block_fold="max", py_fold=max,
         accumulate=np.maximum.accumulate, apply_carry=np.maximum,
         # nulls must not raise the running max: fill with the carry-in when
@@ -288,16 +324,19 @@ def running_sum(
     out_col: str = "running_sum",
     num_buckets: int | None = None,
     balance: str = "range",
+    materialize: bool = False,
 ) -> rd.Dataset:
     """Inclusive prefix sum in ``order_cols`` order; null values add zero
     (SQL ``SUM OVER`` skips them) and the output is NULL until the first
     non-null value. Use an INTEGER value column: float addition is
     non-associative, so a bucketed scan's summation tree would drift from
     a sequential oracle in the last ulp. ``balance='quantile'`` spends one
-    extra sampling pass to pick skew-robust bucket boundaries."""
+    extra sampling pass to pick skew-robust bucket boundaries.
+    ``materialize=True`` pins the input for nondeterministic upstreams
+    (see the module determinism contract; mismatches raise either way)."""
     return _running_scan(
         ds, order_cols, value_col, out_col=out_col, num_buckets=num_buckets,
-        balance=balance,
+        balance=balance, materialize=materialize,
         block_fold="sum", py_fold=lambda a, b: a + b,
         accumulate=np.cumsum, apply_carry=lambda out, c: out + c,
         null_fill=lambda v, cin: 0)

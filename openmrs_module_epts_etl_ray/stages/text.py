@@ -83,32 +83,45 @@ def term_doc_frequency(
 
     - **tf is block-local** — a document lives in one row, so per-doc term
       counts never cross blocks: explode + groupby inside ``map_batches``.
-    - **df moves only (term, partial_count) pairs** — each block's tf rows
-      are already (doc, term)-unique, so the block's per-term row count IS
-      its df contribution; one small groupby folds the partials.
+    - **df moves only (term, partial_count) pairs** — per-block the
+      exploded (doc, term) pairs are deduplicated, so the block's per-term
+      row count IS its df contribution; one small groupby folds the
+      partials.
     - **the join back is a broadcast** — vocabulary is sublinear in corpus
       size; ``broadcast_inner_join`` ships the df relation once and falls
       back to the hash join above threshold.
+    - **nothing corpus-scale is pinned** — the df pass and the tf pass are
+      two independent lineages over the (column-pruned) input scan, so the
+      corpus-sized (doc, term, tf) relation streams straight into the
+      broadcast join and is never ``.materialize()``-ed (the round-4 scan
+      surgery applied here). Determinism contract as in ``stages/scan.py``:
+      the input lineage re-executes once per pass, so a nondeterministic
+      upstream must be materialized by the CALLER first.
     """
     import numpy as np
 
     from .joins import broadcast_inner_join
 
-    def tf_block(df: pd.DataFrame) -> pd.DataFrame:
+    def _explode(df: pd.DataFrame) -> pd.DataFrame:
         toks = df[text_col].fillna("").str.split()
         n = toks.str.len().fillna(0).astype(int).to_numpy()
-        flat = pd.DataFrame({
+        return pd.DataFrame({
             id_col: np.repeat(df[id_col].to_numpy(), n),
             "term": np.concatenate(
                 [t for t in toks if len(t)] or
                 [np.array([], dtype=object)]),  # keep string dtype on empty
         })
-        out = flat.groupby([id_col, "term"], as_index=False, sort=False) \
-                  .size().rename(columns={"size": "tf"})
-        out["tf"] = out["tf"].astype("int64")
-        return out
 
-    tf = ds.map_batches(tf_block, batch_format="pandas").materialize()
+    def tf_block(df: pd.DataFrame) -> pd.DataFrame:
+        out = _explode(df).groupby([id_col, "term"], as_index=False,
+                                   sort=False) \
+                          .size().rename(columns={"size": "tf"})
+        out["tf"] = out["tf"].astype("int64")
+        if min_tf > 1:
+            # fused here so the relation shrinks before it ever leaves the
+            # block (the pre-round-5 version filtered a pinned tf relation)
+            out = out[out["tf"] >= min_tf]
+        return out
 
     # Arrow partials: Ray's sort-aggregate runs a per-group Python loop on
     # PANDAS blocks (measured 15-50x slower at >=1k groups/block); Arrow
@@ -121,18 +134,17 @@ def term_doc_frequency(
         # the UDF RETURNS Arrow (measured 8.5 s vs 1.1 s on a 3.8k-group
         # aggregate)
         import pyarrow as pa
-        df = t.to_pandas()
-        out = df.groupby("term", as_index=False, sort=False).size()
+        out = _explode(t.to_pandas()).drop_duplicates() \
+            .groupby("term", as_index=False, sort=False).size()
         return pa.table({"term": out["term"].to_numpy(),
                          "df": out["size"].to_numpy().astype("int64")})
 
     from ray.data.aggregate import Sum
-    df_rel = tf.map_batches(df_partial, batch_format="pyarrow") \
+    df_rel = ds.map_batches(df_partial, batch_format="pyarrow") \
                .groupby("term").aggregate(Sum("df", alias_name="df"))
 
-    keep = tf if min_tf <= 1 else tf.map_batches(
-        lambda d: d[d["tf"] >= min_tf], batch_format="pandas")
-    return broadcast_inner_join(keep, df_rel, ["term"])
+    tf = ds.map_batches(tf_block, batch_format="pandas")
+    return broadcast_inner_join(tf, df_rel, ["term"])
 
 
 # snippet count at which decontaminate() switches from per-snippet
