@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "quality_logit",
     "span_corrupt",
     "scored_corpus_pack",
+    "generic_process",
 ]
 
 
@@ -248,7 +249,7 @@ def main():
             queries[name] = round(time.time() - t0, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    payload = {
         "metric": "cdc_replay_throughput",
         "value": head["replay_sec"],
         "unit": "sec",
@@ -258,7 +259,22 @@ def main():
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "num_cpus": NUM_CPUS,
-    }))
+    }
+    # The driver records only a bounded TAIL of stdout: a 139-entry queries
+    # dict makes the closing JSON line unparseable (BENCH_r2-r4 all landed
+    # "parsed": null). Keep the LAST line short and machine-readable; the
+    # full per-query dict goes to a sibling file (committed per round).
+    full_path = str(Path(__file__).parent / "BENCH_FULL.json")
+    if not headline_only:   # --scaling children must not clobber a full run
+        with open(full_path, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+    short = dict(payload)
+    cat = sorted(queries.items(), key=lambda kv: -kv[1])
+    short["queries"] = dict(cat[:5])          # the 5 slowest, for a glance
+    short["queries_total_sec"] = round(sum(queries.values()), 3)
+    short["n_queries"] = len(queries)
+    short["queries_file"] = full_path
+    print(json.dumps(short))
     ray.shutdown()
 
 

@@ -4603,3 +4603,41 @@ SELECT doc_id, score, n_tokens,
        CAST(start % 1024 AS BIGINT) AS pack_offset
 FROM cum
 """
+
+
+def q_generic_process(sf_dir: str):
+    """GENERIC_PROCESS (the reference's problems-solver process,
+    ``conf/types/EtlProcessType.java:17``): every operation must supply a
+    custom GenericProcessor (``conf/EtlOperationConfig.java:613-618``) —
+    here the packaged ``solve_negative_balance`` processor classifies each
+    customer's account-balance problem and emits the clamp-repaired value.
+    Exercises the full dispatch: config -> GENERIC_PROCESS runner ->
+    processor hook -> parquet sink -> re-read."""
+    from .config import run_config
+
+    out_dir = _scratch("generic_process_out")
+    outputs = run_config({
+        "processType": "GENERIC_PROCESS",
+        "etlConfiguration": [{
+            "srcConf": {"tableName": "customer", "sfDir": sf_dir,
+                        "columns": ["c_custkey", "c_acctbal"]},
+            "processor": "openmrs_module_epts_etl_ray.functions."
+                         "processors:solve_negative_balance",
+            "dstConf": [{"tableName": "customer_problems",
+                         "outDir": out_dir}],
+        }],
+    })
+    return rd.read_parquet(outputs["customer_problems"],
+                           file_extensions=["parquet"])
+
+
+QUERIES["generic_process"] = q_generic_process
+
+ORACLE_SQL["generic_process"] = """
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'negative_balance' ELSE 'ok' END
+         AS problem,
+       CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END
+         AS repaired_acctbal
+FROM customer
+"""
