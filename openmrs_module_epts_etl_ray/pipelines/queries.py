@@ -1083,6 +1083,16 @@ def q_corpus_prep(sf_dir: str):
 # -- rows-only checked (non-SQL-expressible; verified in tests/) -----------
 
 def q_minhash_near_dups(sf_dir: str):
+    """MinHash-LSH candidates (64 perms, 16 bands) verified by exact
+    3-shingle Jaccard >= 0.5. Oracle: brute-force all-pairs Jaccard via an
+    inverted shingle index. Ray output is always a SUBSET (the verify
+    stage is exact); equality additionally asserts 100% LSH recall, which
+    holds at the gate scales because the synthetic near-dup pairs sit far
+    above the 0.5 threshold (measured: 28/28 @sf0.001, 25/25 @sf0.01; at
+    J=0.9 a missed pair is a ~4e-8 event per the 16x4 banding curve).
+    Assumes non-empty texts (two EMPTY docs would pair with Jaccard 1.0 in
+    the kernel but have no shingle rows in the SQL; the generated tables
+    have none)."""
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
                       override_num_blocks=32)
     cand = dedup.minhash_lsh_candidates(docs, num_perm=64, num_bands=16, k=3)
@@ -1090,9 +1100,16 @@ def q_minhash_near_dups(sf_dir: str):
 
 
 def q_simhash_near_dups(sf_dir: str):
+    """All pairs with 64-bit SimHash hamming distance <= 3 — EXACT, not
+    just rows-checked: ``hasher="sha"`` swaps the SipHash word hash for
+    sha256's first 8 bytes (numeric bit order), which DuckDB restates
+    verbatim, and the 4x16-bit chunk banding guarantees recall <= 3 by
+    pigeonhole, with ``max_bucket=None`` disabling the quadratic guard so
+    no collision bucket is truncated (fine at gate scale; at 100 TB keep
+    the guard and the SipHash hot path)."""
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
                       override_num_blocks=32)
-    return dedup.simhash_candidates(docs)
+    return dedup.simhash_candidates(docs, hasher="sha", max_bucket=None)
 
 
 def q_langid(sf_dir: str):
@@ -1108,9 +1125,26 @@ def q_fingerprints(sf_dir: str):
 
 
 def q_embedding_near_dups(sf_dir: str):
+    """Hyperplane-LSH candidate pairs verified by exact cosine >= 0.5.
+    Oracle: brute-force all-pairs cosine (DuckDB list_cosine_similarity);
+    equality asserts 100% LSH recall, which holds at gate scales (the
+    synthetic near-dups sit near cosine 1.0, everything else below ~0.47
+    — measured margin >= 0.03, so the float threshold decision is
+    engine-stable too). The cosine column is projected out of the compared
+    output (numpy vs DuckDB differ in the last ulp — the ann_topk
+    lesson)."""
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"],
                      override_num_blocks=16)
-    return dedup.embedding_near_dups(emb, threshold=0.5)
+    out = dedup.embedding_near_dups(emb, threshold=0.5)
+    # return a TYPED frame: a zero-pair corpus (sf0.001) yields a
+    # zero-block Dataset whose to_pandas() drops the schema, failing the
+    # gate's column compare. The verified-pair relation is sublinear in
+    # the corpus (near-dups only), so collecting it here is fine.
+    df = out.to_pandas()
+    if "id_a" not in df.columns:
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                             "id_b": pd.Series(dtype="int64")})
+    return df[["id_a", "id_b"]].astype({"id_a": "int64", "id_b": "int64"})
 
 
 def q_asof_last_purchase(sf_dir: str):
@@ -1310,7 +1344,9 @@ def q_session_windows(sf_dir: str):
 
 def q_near_dup_clusters(sf_dir: str):
     """MinHash pairs -> Jaccard verify -> connected components -> canonical
-    doc per cluster (the full near-dedup pipeline a training corpus needs)."""
+    doc per cluster (the full near-dedup pipeline a training corpus needs).
+    Oracle: the brute-force Jaccard edge set (see q_minhash_near_dups'
+    recall note) clustered by a recursive min-label CTE."""
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
                       override_num_blocks=32)
     cand = dedup.minhash_lsh_candidates(docs, num_perm=64, num_bands=16, k=3)
@@ -4640,4 +4676,98 @@ SELECT c_custkey,
        CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END
          AS repaired_acctbal
 FROM customer
+"""
+
+
+# --- round-5 exact oracles for the near-dup family (VERDICT r4 #4) --------
+
+# shared shingle CTE prefix (the jaccard_pairs machinery, generalized to
+# ALL pairs via an inverted shingle-index join; jaccard >= 0.5 is decided
+# in EXACT integer math 2i >= u, equivalent to the kernel's float test
+# because |i/u - 0.5| >= 1/(2u) whenever 2i != u)
+_JACCARD_PAIRS_SQL = """
+t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
+  FROM documents),
+tok AS (
+  SELECT doc_id, unnest(w) AS word,
+         unnest(range(1, len(w) + 1)) AS pos
+  FROM t),
+tri AS (
+  SELECT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS sh
+  FROM tok a
+  JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+shingle AS (
+  SELECT DISTINCT doc_id, sh FROM tri
+  UNION
+  SELECT doc_id, array_to_string(w, ' ') AS sh FROM t
+  WHERE len(w) > 0 AND len(w) < 3),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingle GROUP BY doc_id),
+inter AS (
+  SELECT s1.doc_id AS id_a, s2.doc_id AS id_b, COUNT(*) AS i
+  FROM shingle s1
+  JOIN shingle s2 ON s2.sh = s1.sh AND s2.doc_id > s1.doc_id
+  GROUP BY 1, 2),
+jpairs AS (
+  SELECT i.id_a, i.id_b, i.i * 1.0 / (na.n + nb.n - i.i) AS jaccard
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.id_a
+  JOIN sizes nb ON nb.doc_id = i.id_b
+  WHERE i.i * 2 >= na.n + nb.n - i.i)
+"""
+
+ORACLE_SQL["minhash_near_dups"] = (
+    "WITH " + _JACCARD_PAIRS_SQL +
+    "SELECT id_a, id_b, jaccard FROM jpairs")
+
+ORACLE_SQL["near_dup_clusters"] = (
+    "WITH RECURSIVE " + _JACCARD_PAIRS_SQL + """,
+und AS (SELECT id_a AS a, id_b AS b FROM jpairs
+        UNION SELECT id_b, id_a FROM jpairs),
+v AS (SELECT DISTINCT a AS id FROM und),
+reach(id, r) AS (
+  SELECT id, id FROM v
+  UNION
+  SELECT u.a, reach.r FROM und u JOIN reach ON reach.id = u.b)
+SELECT id AS doc_id, MIN(r) AS canonical_id FROM reach GROUP BY id
+""")
+
+ORACLE_SQL["simhash_near_dups"] = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
+  FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS word FROM t),
+wh AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(sha256(word), 1, 16)) AS UBIGINT) AS h
+  FROM tok),
+bits AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN (h >> CAST(j AS UBIGINT)) & 1 = 1
+                  THEN 1 ELSE 0 END) AS ones,
+         COUNT(*) AS n
+  FROM wh CROSS JOIN range(64) r(j)
+  GROUP BY doc_id, j),
+sh AS (
+  -- bit_or, NOT SUM: DuckDB's SUM over UHUGEINT promotes to DOUBLE and
+  -- rounds away the low ~11 bits of a 64-bit value (measured)
+  SELECT doc_id,
+         bit_or(CASE WHEN 2 * ones > n
+                     THEN CAST((CAST(1 AS UHUGEINT) << CAST(j AS UHUGEINT))
+                               AS UBIGINT)
+                     ELSE CAST(0 AS UBIGINT) END) AS sh
+  FROM bits GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+"""
+
+ORACLE_SQL["embedding_near_dups"] = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
 """

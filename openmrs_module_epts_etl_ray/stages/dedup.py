@@ -385,29 +385,55 @@ class SimHasher:
     every word of the batch, bit expansion via ``np.unpackbits`` on the raw
     hash bytes, per-doc majority vote via segmented ``np.add.reduceat``, and
     ``np.packbits`` back to uint64 — no per-word Python hashing (the old
-    per-word ``hashlib.blake2b`` loop mirrored the MinHash hot spot)."""
+    per-word ``hashlib.blake2b`` loop mirrored the MinHash hot spot).
 
-    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+    ``hasher="sha"`` swaps the per-word hash for the big-endian first 8
+    bytes of ``sha256(word)`` with NUMERIC bit order (bit j of the simhash
+    = majority of ``(h >> j) & 1``) — slower (hashlib over the batch's
+    unique words) but portably restatable in ANY SQL engine with a sha256
+    function, which is what gives ``simhash_near_dups`` an exact DuckDB
+    oracle. Default stays SipHash for the hot path."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 hasher: str = "sip"):
+        if hasher not in ("sip", "sha"):
+            raise ValueError(f"hasher={hasher!r} (want 'sip'|'sha')")
         self.text_col = text_col
         self.id_col = id_col
+        self.hasher = hasher
 
     def simhash64(self, text: str) -> np.uint64:
         """Single-doc form (tests); the batch path is __call__."""
         return self._batch_simhash([(text or "")])[0]
 
-    @staticmethod
-    def _batch_simhash(texts) -> np.ndarray:
+    def _batch_simhash(self, texts) -> np.ndarray:
         splits = [t.split() for t in texts]
         lens = np.fromiter((len(s) for s in splits), np.int64, count=len(splits))
         flat = list(chain.from_iterable(splits))
         sh = np.zeros(len(splits), dtype=np.uint64)
         if not flat:
             return sh
-        wh = hash_array(np.array(flat, dtype=object), categorize=True)
-        bits = np.unpackbits(wh.view(np.uint8).reshape(len(wh), 8), axis=1)
         starts = np.r_[0, np.cumsum(lens)]
         nz = lens > 0
         seg = starts[:-1][nz]
+        if self.hasher == "sha":
+            import hashlib
+            uniq, inv = np.unique(np.array(flat, dtype=object),
+                                  return_inverse=True)
+            hu = np.fromiter(
+                (int.from_bytes(hashlib.sha256(w.encode()).digest()[:8],
+                                "big") for w in uniq),
+                dtype=np.uint64, count=len(uniq))
+            wh = hu[inv]
+            j = np.arange(64, dtype=np.uint64)
+            bits = ((wh[:, None] >> j) & np.uint64(1)).astype(np.int64)
+            ones = np.add.reduceat(bits, seg, axis=0)
+            majority = (2 * ones) > lens[nz][:, None]
+            sh[nz] = (majority.astype(np.uint64) << j).sum(
+                axis=1, dtype=np.uint64)
+            return sh
+        wh = hash_array(np.array(flat, dtype=object), categorize=True)
+        bits = np.unpackbits(wh.view(np.uint8).reshape(len(wh), 8), axis=1)
         ones = np.add.reduceat(bits.astype(np.int64), seg, axis=0)
         majority = (2 * ones) > lens[nz][:, None]       # votes > 0
         packed = np.packbits(majority.astype(np.uint8), axis=1)
@@ -534,12 +560,16 @@ def _bucket_pairs(ds: rd.Dataset, fine_keys: list[str], id_col: str,
 
 
 def simhash_candidates(ds: rd.Dataset, *, text_col="text", id_col="doc_id",
-                       max_hamming: int = 3, max_bucket: int = 64) -> rd.Dataset:
+                       max_hamming: int = 3, max_bucket: int | None = 64,
+                       hasher: str = "sip") -> rd.Dataset:
     """Near-dup pairs with simhash Hamming distance <= max_hamming. The 4x16
     bit chunk banding guarantees recall only for hamming <= 3 (pigeonhole);
-    higher thresholds are best-effort within colliding chunks."""
+    higher thresholds are best-effort within colliding chunks.
+    ``hasher="sha"`` + ``max_bucket=None`` makes the output EXACT (every
+    hamming<=3 pair, SQL-restatable hash) — see :class:`SimHasher`."""
     # instance form => task-pool fusion with the read (cheap constructor)
-    hashed = ds.map_batches(SimHasher(text_col=text_col, id_col=id_col),
+    hashed = ds.map_batches(SimHasher(text_col=text_col, id_col=id_col,
+                                      hasher=hasher),
                             batch_format="pandas")
 
     def pair_fn(sub: pd.DataFrame | None) -> pd.DataFrame:
