@@ -34,6 +34,10 @@ NUM_BUCKETS = int(os.environ.get("BENCH_BUCKETS", "128"))
 # = number of event-log files: keeps ReadParquet->PartialLww fused in one
 # task (no SplitBlocks stage), so raw events never hit the object store
 NUM_READ_BLOCKS = int(os.environ.get("BENCH_READ_BLOCKS", "64"))
+# exchange engine for the headline replay: 'push' (bucket-owning
+# MergeActors, default) or 'sort' (Dataset groupby exchange) — the A/B
+# knob for the multi-node deployment choice documented in BASELINE.md
+ENGINE = os.environ.get("BENCH_ENGINE", "push")
 
 BENCH_QUERIES = [
     "cdc_replay_lww", "cdc_events_lww", "pricing_summary", "revenue_by_nation",
@@ -112,6 +116,8 @@ BENCH_QUERIES = [
     "span_corrupt",
     "scored_corpus_pack",
     "generic_process",
+    "media_jpeg_features",
+    "media_jpeg_resize",
 ]
 
 
@@ -135,7 +141,8 @@ def run_headline(event_dir: str) -> dict:
         events = rd.read_parquet(event_dir, override_num_blocks=NUM_READ_BLOCKS)
         t0 = time.time()
         lineage = replay(events, lake, num_buckets=NUM_BUCKETS,
-                         concurrency=(1, NUM_CPUS)).materialize()
+                         concurrency=(1, NUM_CPUS),
+                         engine=ENGINE).materialize()
         dt = time.time() - t0
         applied = int(lineage.sum("rows_applied"))
         return {"replay_sec": round(dt, 3),

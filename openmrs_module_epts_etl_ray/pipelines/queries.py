@@ -4444,6 +4444,49 @@ FROM documents
 """
 
 
+def q_media_jpeg_features(sf_dir: str):
+    """REAL baseline-JPEG decode (stages/jpeg.py — pure-stdlib Huffman +
+    dequant + matrix IDCT + YCbCr, DecodeStage(fake=False)): constant-gray
+    JPEGs derived from doc_id at quality=100 (the exact-roundtrip regime),
+    subsampling and restart intervals rotating by id so the 4:4:4, 4:2:0
+    and RSTn decoder paths all run under the oracle gate."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id"],
+                      override_num_blocks=16)
+    media = multimodal.jpeg_media_from_ids(docs)
+    return _png_stat_frame(multimodal.decode_features(media))
+
+
+def q_media_jpeg_resize(sf_dir: str):
+    """JPEG decode -> nearest resize -> JPEG re-encode -> decode again
+    (ResizeStage on the stdlib codec): dims become 8x8, the constant gray
+    mean survives exactly (single DC-only MCU after resize)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id"],
+                      override_num_blocks=16)
+    media = multimodal.jpeg_media_from_ids(docs)
+    resized = multimodal.resize_images(media, 8, 8)
+    return _png_stat_frame(multimodal.decode_features(resized))
+
+
+QUERIES["media_jpeg_features"] = q_media_jpeg_features
+QUERIES["media_jpeg_resize"] = q_media_jpeg_resize
+
+ORACLE_SQL["media_jpeg_features"] = """
+SELECT doc_id AS media_id,
+       CAST(16 + (doc_id % 4) * 8 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       CAST(doc_id % 256 AS BIGINT) AS mean_r
+FROM documents
+"""
+
+ORACLE_SQL["media_jpeg_resize"] = """
+SELECT doc_id AS media_id,
+       CAST(8 AS BIGINT) AS width,
+       CAST(8 AS BIGINT) AS height,
+       CAST(doc_id % 256 AS BIGINT) AS mean_r
+FROM documents
+"""
+
+
 def q_surrogate_ids_dense(sf_dir: str):
     """Deterministic surrogate-id allocation (ST2, the oracle-checkable
     twin of surrogate_ids): contiguous per-bucket ranges in key order —

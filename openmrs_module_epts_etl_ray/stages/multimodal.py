@@ -7,10 +7,14 @@ Two decode tiers:
   and PNG (pure stdlib: zlib inflate + the five scanline filters —
   :func:`decode_png`). Decode, nearest-neighbor resize, frame-sampling and
   feature extraction over these are genuinely executed and tested.
-- **Stub** for formats that require codec libraries absent in this
-  container (JPEG/libav): ``DecodeStage(fake=False)`` raises
-  ``NotImplementedError`` for them; ``fake=True`` derives a deterministic
-  sha256-seeded feature so the pipeline shape stays testable.
+- **Real decode** for JPEG too (round 5): baseline sequential JPEG via
+  the pure-stdlib codec in :mod:`.jpeg` (Huffman + dequant + exact matrix
+  IDCT + YCbCr, 4:4:4 and 4:2:0, restart intervals).
+- **Stub** only for video-container formats that require codec libraries
+  absent in this container (libav/mp4 etc.): ``DecodeStage(fake=False)``
+  raises ``NotImplementedError`` for them; ``fake=True`` derives a
+  deterministic sha256-seeded feature so the pipeline shape stays
+  testable.
 
 Ray-side design is real in both tiers: typed binary schema, actor-pool
 stage (decoder state per actor), SMALL batches because payloads are wide
@@ -25,6 +29,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
+
+from .jpeg import JPEG_MIME, decode_jpeg, encode_jpeg
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -217,9 +223,10 @@ class DecodeStage:
 
     def _real_feature(self, payload: bytes, mime: str) -> np.ndarray:
         out = np.zeros(self.feature_dim, dtype=np.float64)
-        if mime in (PPM_MIME, PNG_MIME):
+        if mime in (PPM_MIME, PNG_MIME, JPEG_MIME):
             img = (decode_ppm(bytes(payload)) if mime == PPM_MIME
-                   else decode_png(bytes(payload)))
+                   else decode_png(bytes(payload)) if mime == PNG_MIME
+                   else decode_jpeg(bytes(payload)))
             h, w = img.shape[:2]
             f = [w, h, img[..., 0].mean(), img[..., 1].mean(),
                  img[..., 2].mean(), img.std()]
@@ -230,10 +237,10 @@ class DecodeStage:
             f = [rate, len(samples), float(np.sqrt(np.mean(x * x))), zc]
         else:
             raise NotImplementedError(
-                f"mime {mime!r} needs codec libraries (PIL/libav) not "
+                f"mime {mime!r} needs codec libraries (libav) not "
                 f"present in this environment; REAL decode covers "
-                f"{PPM_MIME}, image/png (pure-stdlib codec), {WAV_MIME} — "
-                f"or use fake=True")
+                f"{PPM_MIME}, image/png, image/jpeg (pure-stdlib "
+                f"codecs), {WAV_MIME} — or use fake=True")
         out[: min(len(f), self.feature_dim)] = f[: self.feature_dim]
         return out
 
@@ -262,7 +269,7 @@ class ResizeStage:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = []
-        image_mimes = (PPM_MIME, PNG_MIME)
+        image_mimes = (PPM_MIME, PNG_MIME, JPEG_MIME)
         for payload, mime in zip(batch["payload"], batch["mime"]):
             if mime == PPM_MIME:
                 out.append(encode_ppm(
@@ -271,6 +278,10 @@ class ResizeStage:
             elif mime == PNG_MIME:
                 out.append(encode_png(
                     resize_nearest(decode_png(bytes(payload)),
+                                   self.width, self.height)))
+            elif mime == JPEG_MIME:
+                out.append(encode_jpeg(
+                    resize_nearest(decode_jpeg(bytes(payload)),
                                    self.width, self.height)))
             else:
                 out.append(payload)
@@ -570,6 +581,45 @@ def png_media_from_ids(ds: rd.Dataset, id_col: str = "doc_id",
             # exercises every decoder unfilter path, not just type 0
             rows["payload"].append(encode_png(img, row_filter=i % 5))
             rows["mime"].append(PNG_MIME)
+            rows["width"].append(w)
+            rows["height"].append(16)
+            rows["duration_ms"].append(None)
+        out = pd.DataFrame(rows)
+        out["width"] = out["width"].astype("Int32")
+        out["height"] = out["height"].astype("Int32")
+        out["duration_ms"] = out["duration_ms"].astype("Int64")
+        return out
+
+    return ds.map_batches(build, batch_format="pandas",
+                          batch_size=batch_size)
+
+
+def jpeg_media_from_ids(ds: rd.Dataset, id_col: str = "doc_id",
+                        *, batch_size: int = 1024) -> rd.Dataset:
+    """REAL baseline-JPEG payloads derived deterministically from an id
+    column: every id becomes a constant GRAY image (R=G=B = id % 256),
+    w = 16 + (id % 4) * 8, h = 16, encoded at quality=100 — the exact-
+    roundtrip regime of :mod:`.jpeg` (unit quant tables + Cb=Cr=128 + DC-
+    only blocks), so the decoded stats are closed forms a SQL oracle can
+    state. Chroma subsampling rotates by id (even = 4:4:4, odd = 4:2:0)
+    and ids % 3 == 0 add a restart interval, so the MCU-interleave,
+    upsample and RSTn decoder paths all run under the oracle gate.
+    Payload LENGTH is entropy-coding-dependent and NOT part of the
+    contract."""
+
+    def build(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = {k: [] for k in ("media_id", "kind", "payload", "mime",
+                                "width", "height", "duration_ms")}
+        for i in batch[id_col]:
+            i = int(i)
+            w = 16 + (i % 4) * 8
+            img = np.full((16, w, 3), i % 256, dtype=np.uint8)
+            rows["media_id"].append(i)
+            rows["kind"].append("image")
+            rows["payload"].append(encode_jpeg(
+                img, quality=100, subsample=bool(i % 2),
+                restart_interval=(2 if i % 3 == 0 else 0)))
+            rows["mime"].append(JPEG_MIME)
             rows["width"].append(w)
             rows["height"].append(16)
             rows["duration_ms"].append(None)

@@ -171,19 +171,23 @@ def test_multimodal_resize_stage():
 
 
 def test_multimodal_codec_formats_stay_stubbed():
-    # JPEG still needs an external codec and stays stubbed; PNG is REAL
-    # since round 4 (pure-stdlib codec) — a malformed PNG payload is now a
-    # decode error, not NotImplementedError
+    # PNG is REAL since round 4, JPEG since round 5 (pure-stdlib codecs):
+    # a malformed payload of either is now a decode error, not
+    # NotImplementedError; only video-container mimes remain stubbed
     import pandas as pd
     stage = multimodal.DecodeStage(fake=False)
     batch = pd.DataFrame({
         "media_id": [1], "kind": ["image"],
         "payload": [b"\xff\xd8\xff\xe0...."], "mime": ["image/jpeg"]})
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         stage(batch)
     bad_png = batch.assign(payload=[b"\x89PNG...."], mime=["image/png"])
     with pytest.raises(ValueError, match="not a PNG"):
         stage(bad_png)
+    mp4 = batch.assign(payload=[b"\x00\x00\x00\x18ftypmp42"],
+                       mime=["video/mp4"])
+    with pytest.raises(NotImplementedError):
+        stage(mp4)
 
 
 def test_verify_jaccard_shuffle_matches_broadcast():

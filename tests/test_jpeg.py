@@ -1,0 +1,116 @@
+"""Baseline JPEG codec (stages/jpeg.py): exact-regime roundtrips, bounded
+lossy error, decoder path coverage (4:4:4 / 4:2:0 / restarts / grayscale),
+stage integration, and a hypothesis fuzz."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from openmrs_module_epts_etl_ray.stages.jpeg import (
+    JPEG_MIME, decode_jpeg, encode_jpeg,
+)
+
+
+def test_constant_gray_exact_all_paths():
+    """Quality-100 constant gray roundtrips BIT-EXACTLY (unit quant, DC-only
+    blocks, Cb=Cr=128) across subsampling and restart variants — the
+    regime the media_jpeg_* oracle rows rely on."""
+    for c in (0, 1, 17, 128, 254, 255):
+        for sub in (False, True):
+            for ri in (0, 2):
+                img = np.full((16, 24, 3), c, dtype=np.uint8)
+                out = decode_jpeg(encode_jpeg(
+                    img, quality=100, subsample=sub, restart_interval=ri))
+                assert out.shape == img.shape
+                assert (out == c).all(), (c, sub, ri, np.unique(out))
+
+
+def test_q100_444_bounded_error():
+    rng = np.random.default_rng(11)
+    for _ in range(4):
+        h, w = rng.integers(5, 48, 2)
+        img = rng.integers(0, 256, (int(h), int(w), 3), dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(img, quality=100))
+        assert out.shape == img.shape
+        # q100 error = YCbCr float rounding only: tight bound
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+
+
+def test_restart_interval_identical_decode():
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    a = decode_jpeg(encode_jpeg(img, quality=100))
+    b = decode_jpeg(encode_jpeg(img, quality=100, restart_interval=1))
+    c = decode_jpeg(encode_jpeg(img, quality=100, restart_interval=3))
+    assert (a == b).all() and (a == c).all()
+
+
+def test_smooth_image_lossy_quality():
+    """A smooth gradient at quality 50 stays close — the DCT is doing its
+    job (random noise would not be a fair lossy-fidelity probe)."""
+    xx = np.linspace(0, 255, 64)
+    img = np.stack([np.tile(xx, (64, 1))] * 3, axis=-1).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=50))
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 3.0
+
+
+def test_decoder_rejects_progressive_and_garbage():
+    img = np.full((8, 8, 3), 9, dtype=np.uint8)
+    payload = bytearray(encode_jpeg(img))
+    # flip SOF0 (0xC0) to SOF2 (0xC2 progressive)
+    i = payload.index(b"\xff\xc0")
+    payload[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(payload))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+
+
+def test_odd_dimensions_and_subsample_crop():
+    """Non-multiple-of-8 (and of-16 for 4:2:0) dims crop exactly."""
+    rng = np.random.default_rng(13)
+    for h, w in ((7, 9), (17, 31), (15, 33), (1, 1)):
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for sub in (False, True):
+            out = decode_jpeg(encode_jpeg(img, quality=100, subsample=sub))
+            assert out.shape == (h, w, 3)
+
+
+def test_decode_stage_and_resize_stage_jpeg(ray_session):
+    from openmrs_module_epts_etl_ray.stages.multimodal import (
+        DecodeStage, ResizeStage,
+    )
+    img = np.full((16, 16, 3), 99, dtype=np.uint8)
+    batch = pd.DataFrame({
+        "media_id": [1], "kind": ["image"],
+        "payload": [encode_jpeg(img, quality=100)], "mime": [JPEG_MIME],
+        "width": [16], "height": [16], "duration_ms": [None],
+    })
+    feats = DecodeStage(fake=False)(batch)
+    f = feats["feature"].iloc[0]
+    assert f[0] == 16 and f[1] == 16 and f[2] == 99.0
+    resized = ResizeStage(4, 4)(batch)
+    out = DecodeStage(fake=False)(resized)["feature"].iloc[0]
+    assert out[0] == 4 and out[1] == 4 and out[2] == 99.0
+
+
+def test_jpeg_roundtrip_hypothesis(ray_session):
+    """Fuzz shapes/quality/subsample/restarts; decode must return the
+    exact shape with bounded error at q100 and never crash at q35."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(h=st.integers(1, 40), w=st.integers(1, 40),
+           seed=st.integers(0, 2**16), sub=st.booleans(),
+           ri=st.integers(0, 3))
+    def run(h, w, seed, sub, ri):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(img, quality=100, subsample=sub,
+                                      restart_interval=ri))
+        assert out.shape == (h, w, 3)
+        if not sub:
+            assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+        out35 = decode_jpeg(encode_jpeg(img, quality=35, subsample=sub))
+        assert out35.shape == (h, w, 3)
+
+    run()
