@@ -305,7 +305,12 @@ def verify_jaccard(
     import ray
 
     if strategy == "auto":
-        docs = docs.materialize()
+        # count WITHOUT pinning: for a plain read lineage Ray answers from
+        # parquet metadata; otherwise it costs one streamed pass — either
+        # way no corpus-sized object-store pin just to pick a strategy
+        # (the round-5 de-materialize sweep). Each chosen path re-executes
+        # the docs lineage once more; determinism contract as in
+        # stages/scan.py.
         strategy = ("broadcast" if docs.count() <= VERIFY_BROADCAST_MAX_DOCS
                     else "shuffle")
 

@@ -202,7 +202,12 @@ def mad_outliers(
                 .groupby(BUCKET_COL).map_groups(fold, batch_format="pandas") \
                 .to_pandas()
 
-    proj = ds.select_columns(group_cols + [value_col]).materialize()
+    # NOT materialized: the projection is corpus-sized (narrow, but 100 TB
+    # of rows is 100 TB of rows) — the median and MAD passes each stream
+    # the column-pruned scan instead (the round-5 de-materialize sweep;
+    # determinism contract as in stages/scan.py: a nondeterministic
+    # upstream must be materialized by the caller)
+    proj = ds.select_columns(list(dict.fromkeys(group_cols + [value_col])))
     med = med_of(proj, value_col, "_med")
 
     med_ref = ray.put(med)
