@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "generic_process",
     "media_jpeg_features",
     "media_jpeg_resize",
+    "media_avi_frames",
 ]
 
 

@@ -4814,3 +4814,32 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
 """
+
+
+def q_media_avi_frames(sf_dir: str):
+    """REAL video-container decode (stages/multimodal.py::decode_avi_mjpeg
+    — RIFF walk + per-frame baseline JPEG via stages/jpeg.py): MJPEG AVIs
+    of constant-gray quality-100 frames (the exact-roundtrip regime),
+    every-2nd-frame sampling re-encodes kept frames as PPM images whose
+    decode stats are closed forms of (id, frame index). The last video
+    stub is gone; only codec-bound streams (H.264 etc.) would still
+    raise."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id"],
+                      override_num_blocks=16)
+    videos = multimodal.avi_videos_from_ids(docs)
+    frames = multimodal.sample_frames(videos, every=2)
+    return _media_stat_frame(multimodal.decode_features(frames))
+
+
+QUERIES["media_avi_frames"] = q_media_avi_frames
+
+ORACLE_SQL["media_avi_frames"] = """
+WITH v AS (SELECT doc_id, doc_id % 4 + 2 AS nf FROM documents
+           WHERE doc_id % 10 = 0),
+f AS (SELECT doc_id, unnest(range(0, nf, 2)) AS i FROM v)
+SELECT doc_id * 1000000 + i AS media_id,
+       'image' AS kind,
+       CAST(13 + 16 * 16 * 3 AS BIGINT) AS payload_bytes,
+       CAST((doc_id + i) % 256 AS DOUBLE) AS stat
+FROM f
+"""

@@ -182,6 +182,22 @@ class _HuffDecoder:
             code <<= 1
 
 
+# LUT cache keyed by the table definition: every image of a corpus
+# typically shares a handful of Huffman tables, and building a 2x65536-
+# entry window LUT per DHT segment was 47% of decode wall time (profiled)
+_HUFF_MEMO: dict[tuple, _HuffDecoder] = {}
+
+
+def _huff_decoder(bits: list[int], vals: list[int]) -> _HuffDecoder:
+    key = (tuple(bits), tuple(vals))
+    d = _HUFF_MEMO.get(key)
+    if d is None:
+        if len(_HUFF_MEMO) >= 64:      # custom-table flood guard
+            _HUFF_MEMO.clear()
+        d = _HUFF_MEMO[key] = _HuffDecoder(bits, vals)
+    return d
+
+
 class _BitReader:
     """MSB-first reader over the UNSTUFFED entropy byte stream."""
 
@@ -271,7 +287,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 bits = list(body[i + 1:i + 17])
                 cnt = sum(bits)
                 vals = list(body[i + 17:i + 17 + cnt])
-                huff[(cls, tid)] = _HuffDecoder(bits, vals)
+                huff[(cls, tid)] = _huff_decoder(bits, vals)
                 i += 17 + cnt
         elif marker == 0xDD:                     # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]

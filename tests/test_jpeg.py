@@ -114,3 +114,33 @@ def test_jpeg_roundtrip_hypothesis(ray_session):
         assert out35.shape == (h, w, 3)
 
     run()
+
+
+def test_avi_mjpeg_roundtrip_and_stage(ray_session):
+    """MJPEG-AVI container: bounded-error roundtrip, constant-gray
+    exactness, and FrameSampleStage integration (the last video stub is
+    gone)."""
+    from openmrs_module_epts_etl_ray.stages.multimodal import (
+        AVI_MIME, FrameSampleStage, DecodeStage,
+        decode_avi_mjpeg, encode_avi_mjpeg,
+    )
+    rng = np.random.default_rng(5)
+    frames = [rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+              for _ in range(5)]
+    out = decode_avi_mjpeg(encode_avi_mjpeg(frames, quality=100))
+    assert len(out) == 5
+    for a, b in zip(frames, out):
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 4
+    gray = [np.full((16, 16, 3), v, dtype=np.uint8) for v in (0, 77, 255)]
+    got = decode_avi_mjpeg(encode_avi_mjpeg(gray))
+    assert all((o == f).all() for o, f in zip(gray, got))
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(b"RIFFxxxxWAVE")
+    batch = pd.DataFrame({
+        "media_id": [3], "kind": ["video"],
+        "payload": [encode_avi_mjpeg(gray)], "mime": [AVI_MIME],
+        "width": [16], "height": [16], "duration_ms": [120]})
+    sampled = FrameSampleStage(every=2)(batch)
+    assert list(sampled["media_id"]) == [3_000_000, 3_000_002]
+    feats = DecodeStage(fake=False)(sampled)
+    assert [f[2] for f in feats["feature"]] == [0.0, 255.0]
