@@ -59,14 +59,39 @@ def paging_key(conn: sqlite3.Connection, table: str) -> str:
     return "rowid"
 
 
+def arrow_schema(conn: sqlite3.Connection, table: str) -> pa.Schema:
+    """One fixed Arrow schema per table from the DECLARED column types
+    (sqlite type-affinity rules), so every page casts to the same schema
+    — per-page inference would pin the ParquetWriter to whatever page 1
+    happened to contain (an all-NULL first page infers ``null`` and the
+    next page crashes the writer)."""
+    fields = []
+    for r in conn.execute(f'PRAGMA table_info("{table}")'):
+        decl = str(r[2] or "").upper()
+        if "INT" in decl:
+            t = pa.int64()
+        elif any(k in decl for k in ("CHAR", "CLOB", "TEXT")):
+            t = pa.string()
+        elif "BLOB" in decl or not decl:
+            t = pa.binary()
+        elif any(k in decl for k in ("REAL", "FLOA", "DOUB")):
+            t = pa.float64()
+        else:                       # NUMERIC affinity
+            t = pa.float64()
+        fields.append(pa.field(r[1], t))
+    return pa.schema(fields)
+
+
 def pages(conn: sqlite3.Connection, table: str, key: str,
           page_size: int) -> Iterator[pa.Table]:
     """Stream the table as Arrow pages: WHERE key > last ORDER BY key
-    LIMIT n — each page is one bounded-memory unit of work."""
-    cols = [r[1] for r in conn.execute(f'PRAGMA table_info("{table}")')]
-    sel = ", ".join(f'"{c}"' for c in cols)
+    LIMIT n — each page is one bounded-memory unit of work. Every page
+    carries the same declared-type schema (see ``arrow_schema``); the
+    rowid paging axis never appears in the output."""
+    schema = arrow_schema(conn, table)
+    sel = ", ".join(f'"{c}"' for c in schema.names)
     if key == "rowid":
-        sel = f'rowid AS "_rowid", {sel}'
+        sel = f"rowid, {sel}"
         keyexpr = "rowid"
     else:
         keyexpr = f'"{key}"'
@@ -77,14 +102,16 @@ def pages(conn: sqlite3.Connection, table: str, key: str,
         cur = conn.execute(
             f'SELECT {sel} FROM "{table}" {where} '
             f"ORDER BY {keyexpr} LIMIT ?", args)
-        names = [d[0] for d in cur.description]
         rows = cur.fetchall()
         if not rows:
             return
-        last = rows[-1][0] if key == "rowid" else \
-            rows[-1][names.index(key)]
+        if key == "rowid":
+            last = rows[-1][0]
+            rows = [r[1:] for r in rows]    # drop the paging axis
+        else:
+            last = rows[-1][schema.names.index(key)]
         yield pa.Table.from_pylist(
-            [dict(zip(names, r)) for r in rows])
+            [dict(zip(schema.names, r)) for r in rows], schema=schema)
 
 
 def export_table(conn: sqlite3.Connection, table: str, out_dir: str,
@@ -105,11 +132,7 @@ def export_table(conn: sqlite3.Connection, table: str, out_dir: str,
             if writer is not None:
                 writer.close()
         if writer is None:                 # empty table still gets a file
-            cols = [r[1] for r in
-                    conn.execute(f'PRAGMA table_info("{table}")')]
-            pq.write_table(
-                pa.table({c: pa.array([], pa.string()) for c in cols}),
-                path)
+            pq.write_table(arrow_schema(conn, table).empty_table(), path)
         return {"table": table, "rows": n_rows, "pages": n_pages,
                 "path": path}
     # export layout: JSON-lines page files, the LOAD importDir shape

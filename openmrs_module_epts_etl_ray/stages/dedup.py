@@ -430,16 +430,21 @@ class SimHasher:
                                 "big") for w in uniq),
                 dtype=np.uint64, count=len(uniq))
             wh = hu[inv]
-            j = np.arange(64, dtype=np.uint64)
-            bits = ((wh[:, None] >> j) & np.uint64(1)).astype(np.int64)
-            ones = np.add.reduceat(bits, seg, axis=0)
+            # same uint8 bit matrix + symmetric packbits reassembly as the
+            # sip path below (an int64 shift matrix here was 8x the
+            # memory); per-position majority is layout-invariant, so the
+            # reconstructed word equals the numeric (wh >> j) & 1 form the
+            # SQL oracle restates
+            bits = np.unpackbits(wh.view(np.uint8).reshape(len(wh), 8),
+                                 axis=1)
+            ones = np.add.reduceat(bits, seg, axis=0, dtype=np.int64)
             majority = (2 * ones) > lens[nz][:, None]
-            sh[nz] = (majority.astype(np.uint64) << j).sum(
-                axis=1, dtype=np.uint64)
+            packed = np.packbits(majority.astype(np.uint8), axis=1)
+            sh[nz] = packed.view(np.uint64).reshape(-1)
             return sh
         wh = hash_array(np.array(flat, dtype=object), categorize=True)
         bits = np.unpackbits(wh.view(np.uint8).reshape(len(wh), 8), axis=1)
-        ones = np.add.reduceat(bits.astype(np.int64), seg, axis=0)
+        ones = np.add.reduceat(bits, seg, axis=0, dtype=np.int64)
         majority = (2 * ones) > lens[nz][:, None]       # votes > 0
         packed = np.packbits(majority.astype(np.uint8), axis=1)
         sh[nz] = packed.view(np.uint64).reshape(-1)

@@ -169,17 +169,11 @@ class _HuffDecoder:
     def __init__(self, bits: list[int], vals: list[int]):
         self.lut_sym = np.zeros(1 << 16, dtype=np.int16) - 1
         self.lut_len = np.zeros(1 << 16, dtype=np.int8)
-        code = 0
-        k = 0
-        for length in range(1, 17):
-            for _ in range(bits[length - 1]):
-                lo = code << (16 - length)
-                hi = lo + (1 << (16 - length))
-                self.lut_sym[lo:hi] = vals[k]
-                self.lut_len[lo:hi] = length
-                code += 1
-                k += 1
-            code <<= 1
+        for sym, (code, length) in _canonical_codes(bits, vals).items():
+            lo = code << (16 - length)
+            hi = lo + (1 << (16 - length))
+            self.lut_sym[lo:hi] = sym
+            self.lut_len[lo:hi] = length
 
 
 # LUT cache keyed by the table definition: every image of a corpus
@@ -234,9 +228,6 @@ class _BitReader:
         self.nbits -= n
         return (self.acc >> self.nbits) & ((1 << n) - 1)
 
-    def align(self) -> None:
-        self.nbits -= self.nbits % 8
-
 
 def _extend(v: int, size: int) -> int:
     """T.81 F.2.2.1 sign extension of a size-bit magnitude."""
@@ -258,6 +249,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             raise ValueError(f"marker sync lost at byte {pos}")
+        while pos + 2 <= n and payload[pos + 1] == 0xFF:
+            pos += 1                 # T.81 B.1.1.2 optional 0xFF fill bytes
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:                       # EOI
@@ -459,6 +452,9 @@ class _BitWriter:
             self.out.append(b)
             if b == 0xFF:
                 self.out.append(0x00)            # byte stuffing
+        self.acc &= (1 << self.nbits) - 1        # drop emitted bits — an
+        # unbounded accumulator makes every later shift copy a bigint of
+        # the whole entropy stream (quadratic encode)
 
     def pad(self) -> None:
         if self.nbits:

@@ -287,10 +287,14 @@ class ResizeStage:
                 out.append(payload)
         batch = batch.copy()
         batch["payload"] = out
-        batch["width"] = batch["mime"].map(
-            lambda m: self.width if m in image_mimes else None).astype("Int32")
-        batch["height"] = batch["mime"].map(
-            lambda m: self.height if m in image_mimes else None).astype("Int32")
+        # only resized rows get the new dimensions — pass-through rows
+        # (audio, video containers) keep their original width/height
+        # metadata; mapping them to None would destroy it
+        is_img = batch["mime"].isin(image_mimes)
+        batch["width"] = batch["width"].astype("Int32").mask(
+            is_img, self.width)
+        batch["height"] = batch["height"].astype("Int32").mask(
+            is_img, self.height)
         return batch
 
 

@@ -55,6 +55,7 @@ import ray
 import ray.data as rd
 
 _RB = "_range_bucket"
+_SENT = "_scan_sentinel"
 
 
 def _num_buckets() -> int:
@@ -247,23 +248,53 @@ def _running_scan(
     carry_ref = ray.put(carry)
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        return t.append_column(_RB, pa.array(_buckets(t)))
+        t = t.append_column(_RB, pa.array(_buckets(t)))
+        return t.append_column(
+            _SENT, pa.array(np.zeros(len(t), dtype=np.bool_)))
+
+    # One all-null sentinel row per bucket id, unioned into pass B: every
+    # bucket — including one whose rows VANISH entirely under a
+    # nondeterministic upstream — is then guaranteed a pass-B group, so
+    # the pass-A/pass-B count cross-check below always runs. Without the
+    # sentinels a vanished bucket produces no group, skips the check, and
+    # leaks its phantom pass-A fold into later buckets' carry-ins. Cost:
+    # nb+1 rows and one bool column — nothing at any scale.
+    # Sentinel data columns copy the probe batch's types (Arrow-native
+    # pipelines — every parquet read — give the true schema, so the
+    # union is schema-identical). A column the 1-row probe inferred as
+    # null (a pandas block whose first value is NaN) stays NULL-typed:
+    # the groupby merge promotes null to the real type, so only the
+    # NAMES must be right.
+    def make_sent(t: pa.Table) -> pa.Table:
+        k = (nb + 1) if len(t) else 0
+        s = pa.table({n: pa.nulls(k, type=t.schema.field(n).type)
+                      for n in t.schema.names})
+        s = s.append_column(_RB, pa.array(np.arange(k, dtype=np.int64)))
+        return s.append_column(_SENT, pa.array(np.ones(k, dtype=np.bool_)))
+
+    sent_ds = ds.limit(1).map_batches(make_sent, batch_format="pyarrow")
 
     def scan_bucket(t: pa.Table) -> pa.Table:
         cmap = ray.get(carry_ref)
+        bkt = int(t[_RB][0].as_py())
+        cin_v, cin_n, own_n = cmap.get(bkt, (None, 0, 0))
+        t = t.filter(pc.invert(t[_SENT])).drop_columns([_SENT])
         t = t.take(pc.sort_indices(
             t, sort_keys=[(c, "ascending") for c in order_cols]))
         v = t[value_col]
-        cin_v, cin_n, own_n = cmap.get(int(t[_RB][0].as_py()), (None, 0, 0))
         valid = pc.is_valid(v).to_numpy(zero_copy_only=False)
         if int(valid.sum()) != own_n:
             raise RuntimeError(
-                f"running scan: bucket {int(t[_RB][0].as_py())} saw "
+                f"running scan: bucket {bkt} saw "
                 f"{int(valid.sum())} non-null values in pass B but "
                 f"{own_n} in pass A — the input lineage is not "
                 f"deterministic across passes; materialize() the input "
                 f"(pass materialize=True) before scanning")
         body = t.drop_columns([_RB])
+        if not len(t):
+            # sentinel-only group: an id with no data rows (sparse bucket
+            # range, or a trailing quantile bucket) — emit nothing
+            return body.append_column(out_col, pa.nulls(0, type=v.type))
         if cin_v is None and not valid.any():
             # leading all-null bucket: no value seen yet anywhere
             return body.append_column(out_col, pa.nulls(len(t), type=v.type))
@@ -284,6 +315,7 @@ def _running_scan(
         return body.append_column(out_col, arr.cast(v.type))
 
     return (ds.map_batches(add_bucket, batch_format="pyarrow")
+              .union(sent_ds)
               .groupby(_RB).map_groups(scan_bucket, batch_format="pyarrow"))
 
 

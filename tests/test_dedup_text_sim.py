@@ -170,6 +170,26 @@ def test_multimodal_resize_stage():
     assert decoded.shape == (8, 8, 3)
 
 
+def test_resize_stage_preserves_passthrough_dims():
+    # non-image rows (audio, video containers) pass through ResizeStage
+    # untouched INCLUDING their width/height metadata — mapping them to
+    # None destroyed the dimensions of AVI rows
+    stage = multimodal.ResizeStage(8, 8)
+    batch = pd.DataFrame({
+        "media_id": [1, 2],
+        "kind": ["image", "video"],
+        "payload": [multimodal.encode_ppm(
+            np.full((16, 16, 3), 5, dtype=np.uint8)), b"not-an-image"],
+        "mime": [multimodal.PPM_MIME, "video/x-msvideo"],
+        "width": pd.array([16, 32], dtype="Int32"),
+        "height": pd.array([16, 24], dtype="Int32"),
+    })
+    out = stage(batch)
+    assert out["width"].tolist() == [8, 32]
+    assert out["height"].tolist() == [8, 24]
+    assert bytes(out["payload"].iloc[1]) == b"not-an-image"
+
+
 def test_multimodal_codec_formats_stay_stubbed():
     # PNG is REAL since round 4, JPEG since round 5 (pure-stdlib codecs):
     # a malformed payload of either is now a decode error, not

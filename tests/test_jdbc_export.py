@@ -84,3 +84,51 @@ def test_export_layout_load_merge_lifecycle(tmp_path, ray_session):
     names = dict(sqlite3.connect(db).execute(
         "SELECT customer_id, name FROM customer"))
     assert dict(zip(got["customer_id"], got["name"])) == names
+
+
+def test_all_null_first_page_schema_is_stable(tmp_path):
+    """Per-page schema inference would pin the ParquetWriter to page 1's
+    types — an all-NULL first page used to infer ``null`` and crash on
+    page 2. The declared-type schema makes every page cast identically."""
+    import pyarrow.parquet as pq
+
+    db = tmp_path / "drift.db"
+    conn = sqlite3.connect(db)
+    with conn:
+        conn.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, name TEXT)")
+        conn.executemany("INSERT INTO t VALUES (?,?)",
+                         [(i, None) for i in range(1, 201)] +
+                         [(i, f"n{i}") for i in range(201, 401)])
+    conn.close()
+    out = tmp_path / "sfdir"
+    stats = _run(["--db", str(db), "--out", str(out),
+                  "--layout", "sfdir", "--page-size", "200"])
+    (tstat,) = stats["tables"]
+    assert tstat["rows"] == 400 and tstat["pages"] == 2
+    t = pq.read_table(out / "t.parquet")
+    assert t.schema.field("name").type == "string"
+    assert t["name"].null_count == 200
+
+
+def test_rowid_paging_axis_not_exported(tmp_path):
+    """Tables without a single INTEGER PRIMARY KEY page on sqlite's
+    implicit rowid; the paging axis must NOT leak into the export (the
+    lake would otherwise gain a _rowid column the source doesn't have)."""
+    import pyarrow.parquet as pq
+
+    db = tmp_path / "composite.db"
+    conn = sqlite3.connect(db)
+    with conn:
+        conn.execute("CREATE TABLE pair (a TEXT, b TEXT, v INTEGER, "
+                     "PRIMARY KEY (a, b))")
+        conn.executemany("INSERT INTO pair VALUES (?,?,?)",
+                         [(f"a{i}", f"b{i}", i) for i in range(300)])
+    conn.close()
+    out = tmp_path / "sfdir"
+    stats = _run(["--db", str(db), "--out", str(out),
+                  "--layout", "sfdir", "--page-size", "100"])
+    (tstat,) = stats["tables"]
+    assert tstat["rows"] == 300 and tstat["pages"] == 3
+    t = pq.read_table(out / "pair.parquet")
+    assert t.column_names == ["a", "b", "v"]
+    assert sorted(t["v"].to_pylist()) == list(range(300))

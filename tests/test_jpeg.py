@@ -144,3 +144,40 @@ def test_avi_mjpeg_roundtrip_and_stage(ray_session):
     assert list(sampled["media_id"]) == [3_000_000, 3_000_002]
     feats = DecodeStage(fake=False)(sampled)
     assert [f[2] for f in feats["feature"]] == [0.0, 255.0]
+
+
+def test_bitwriter_accumulator_bounded():
+    """The entropy writer's accumulator must not retain emitted bits — an
+    unbounded Python-int acc makes encode quadratic in stream length
+    (256x256 took 7 s before the mask; ~0.05 s after)."""
+    from openmrs_module_epts_etl_ray.stages.jpeg import _BitWriter
+
+    bw = _BitWriter()
+    for i in range(5000):
+        bw.put(i & 0x3FF, 10)
+    assert bw.acc.bit_length() <= 8
+    assert bw.nbits < 8
+
+
+def test_decode_skips_fill_bytes():
+    """T.81 B.1.1.2: markers may be preceded by any number of 0xFF fill
+    bytes; a conformant file with padding must decode identically."""
+    img = np.full((16, 16, 3), 200, dtype=np.uint8)
+    payload = encode_jpeg(img, quality=95)
+    want = decode_jpeg(payload)
+    i = payload.index(b"\xff\xdb")           # pad before the first DQT
+    padded = payload[:i] + b"\xff\xff" + payload[i:]
+    got = decode_jpeg(padded)
+    assert (got == want).all()
+
+
+def test_encode_large_image_fast():
+    import time
+
+    img = np.zeros((256, 256, 3), dtype=np.uint8)
+    img[::2, ::3] = 180                       # non-trivial entropy stream
+    t0 = time.time()
+    payload = encode_jpeg(img, quality=90)
+    assert time.time() - t0 < 3.0             # was ~7 s with quadratic acc
+    out = decode_jpeg(payload)
+    assert out.shape == (256, 256, 3)

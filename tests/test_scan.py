@@ -302,3 +302,56 @@ def test_running_max_quantile_balance_with_nulls(ray_session):
     gn = got["rm"].isna().to_numpy()
     assert (wn == gn).all()
     assert (got["rm"].to_numpy()[~gn] == want[~wn]).all()
+
+
+def test_running_scan_vanishing_bucket_raises(ray_session):
+    # A nondeterministic upstream whose pass-B execution drops an ENTIRE
+    # bucket produces no pass-B group for it; the per-bucket sentinel
+    # rows guarantee the group still exists, so the pass-A/pass-B count
+    # cross-check fires instead of later buckets silently carrying the
+    # phantom fold. Rows 252-314 cover exactly bucket 4 of 16 over
+    # 0..999 (width 63), so half the executions lose the whole bucket.
+    import pyarrow.compute as pc
+    import pytest
+    from openmrs_module_epts_etl_ray.stages.scan import running_sum
+
+    df = pd.DataFrame({"k": np.arange(1000, dtype="int64"),
+                       "v": np.arange(1000, dtype="float64")})
+
+    def flaky(t: pa.Table) -> pa.Table:
+        import os
+        import time as _t
+        if (os.getpid() + int(_t.time() * 1e6)) % 2:
+            return t.filter(pc.or_(pc.less(t["k"], 252),
+                                   pc.greater(t["k"], 314)))
+        return t
+
+    ds = rd.from_pandas(df).repartition(4).map_batches(
+        flaky, batch_format="pyarrow")
+    caught = False
+    for _ in range(10):
+        try:
+            running_sum(ds, ["k"], "v", num_buckets=16).to_pandas()
+        except Exception as e:
+            assert "not a deterministic" in str(e) or \
+                "not deterministic" in str(e)
+            caught = True
+            break
+    assert caught, "vanishing-bucket nondeterminism was never detected"
+
+
+def test_running_scan_passthrough_columns_survive(ray_session):
+    # extra columns (incl. strings) ride through the sentinel union and
+    # the bucket groupby untouched
+    from openmrs_module_epts_etl_ray.stages.scan import running_sum
+
+    df = pd.DataFrame({"k": np.arange(200, dtype="int64"),
+                       "v": [None if i % 7 == 0 else float(i)
+                             for i in range(200)],
+                       "name": [f"n{i}" for i in range(200)]})
+    out = running_sum(rd.from_pandas(df).repartition(4), ["k"], "v",
+                      num_buckets=8).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert out["name"].equals(df["name"])
+    exp = df["v"].fillna(0).cumsum().where(df["v"].notna().cumsum() > 0)
+    assert np.allclose(out["running_sum"].fillna(-1), exp.fillna(-1))
