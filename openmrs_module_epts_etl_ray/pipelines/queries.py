@@ -1518,6 +1518,19 @@ def q_repetition_stats(sf_dir: str):
     return text_stages.repetition_stats(docs)
 
 
+def q_bpe_pair_counts(sf_dir: str):
+    """Round-0 BPE tokenizer-training statistics: the 50 most frequent
+    adjacent character pairs across the corpus, weighted by word
+    frequency (the relation whose argmax is the first merge rule). The
+    corpus-sized exchange moves only (word, partial_count); pair
+    counting runs over the vocabulary-sized relation
+    (stages/bpe.py::top_pairs; Sennrich, Haddow & Birch 2016)."""
+    from ..stages import bpe
+    docs = read_table(sf_dir, "documents", columns=["text"],
+                      override_num_blocks=32)
+    return bpe.top_pairs(docs, k=50)
+
+
 def q_leakage_safe_split(sf_dir: str):
     """Dedup-aware train/val/test split: the portable sha-prefix rule keyed
     on CONTENT, not id — identical documents land in the same split, so
@@ -1784,6 +1797,7 @@ QUERIES = {
     "near_dup_clusters": q_near_dup_clusters,
     "ann_ivf_topk": q_ann_ivf_topk,
     "repetition_stats": q_repetition_stats,
+    "bpe_pair_counts": q_bpe_pair_counts,
     "incremental_ingest": q_incremental_ingest,
     "redact_terms": q_redact_terms,
     "leakage_safe_split": q_leakage_safe_split,
@@ -2518,6 +2532,25 @@ SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_distinct,
        CAST(max(c) AS BIGINT) AS top_count
 FROM g GROUP BY doc_id
+"""
+
+ORACLE_SQL["bpe_pair_counts"] = """
+WITH words AS (
+  SELECT unnest(string_split(coalesce(text, ''), ' ')) AS w FROM documents
+),
+wf AS (SELECT w, count(*) AS f FROM words WHERE w <> '' GROUP BY w),
+chars AS (
+  SELECT w, f,
+         unnest(string_split(w, '')) AS c,
+         unnest(range(1, len(string_split(w, '')) + 1)) AS ord
+  FROM wf
+),
+p AS (
+  SELECT a.c AS l, b.c AS r, a.f AS f
+  FROM chars a JOIN chars b ON a.w = b.w AND b.ord = a.ord + 1
+),
+g AS (SELECT l, r, CAST(sum(f) AS BIGINT) AS cnt FROM p GROUP BY l, r)
+SELECT l, r, cnt FROM g ORDER BY cnt DESC, l, r LIMIT 50
 """
 
 ORACLE_SQL["incremental_ingest"] = """
