@@ -1,21 +1,29 @@
-"""Pure-stdlib baseline JPEG codec (ITU T.81 sequential DCT, Huffman).
+"""Pure-stdlib JPEG codec (ITU T.81): baseline sequential AND progressive.
 
 The last stubbed media surface (VERDICT r4 #2): ``stages/multimodal.py``
 decoded PPM/WAV/PNG for real but raised for JPEG. This module implements
-the baseline profile with numpy + stdlib only — no PIL/libjpeg:
+both Huffman DCT modes with numpy + stdlib only — no PIL/libjpeg:
 
-- **decode_jpeg**: marker parse (SOI/APP*/COM/DQT/DRI/SOF0/DHT/SOS/EOI),
-  canonical Huffman tables built FROM THE FILE's DHT segments, entropy
-  decode with byte unstuffing and RSTn restart handling, dequantize,
-  de-zigzag, exact float 8x8 IDCT (orthonormal matrix product, vectorized
-  over every block of a component), sampling-factor MCU reassembly with
-  chroma replication upsample, JFIF YCbCr->RGB. Baseline only: SOF2
-  (progressive) and arithmetic coding raise.
-- **encode_jpeg**: the matching encoder (4:4:4 or 4:2:0, quality-scaled
-  Annex-K-style quantization tables, standard Huffman tables, optional
-  restart interval) — it exists so the decoder can be fuzz-tested and so
-  the catalog queries can synthesize deterministic payloads, exactly the
-  PNG-codec approach.
+- **decode_jpeg**: marker parse (SOI/APP*/COM/DQT/DRI/SOF0/1/2/DHT/SOS/
+  EOI), canonical Huffman tables built FROM THE FILE's DHT segments,
+  entropy decode with byte unstuffing and RSTn restart handling,
+  dequantize, de-zigzag, exact float 8x8 IDCT (orthonormal matrix
+  product, vectorized over every block of a component), sampling-factor
+  MCU reassembly with chroma replication upsample, JFIF YCbCr->RGB.
+  **Progressive (SOF2)** accumulates coefficients across scans: DC scans
+  (interleaved or single-component) with successive approximation, AC
+  spectral-selection scans with EOB runs, and AC/DC refinement scans
+  with correction bits (T.81 G.2; algorithm structure as published in
+  the libjpeg reference implementation). Lossless (SOF3+) and
+  arithmetic coding raise.
+- **encode_jpeg / encode_jpeg_progressive**: the matching encoders
+  (4:4:4 or 4:2:0, quality-scaled Annex-K-style quantization tables;
+  the progressive one emits a libjpeg-style multi-scan script over a
+  universal Huffman table) — they exist so the decoder can be
+  fuzz-tested and so the catalog queries can synthesize deterministic
+  payloads, exactly the PNG-codec approach. Both share one forward
+  path, so decode(progressive) == decode(baseline) pixel-exactly — the
+  cross-codec test that pins every SOF2 decode path.
 
 Self-consistency note: the decoder reads Huffman/quant tables from the
 payload, so roundtrip correctness never depends on the table constants
@@ -284,7 +292,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 i += 17 + cnt
         elif marker == 0xDD:                     # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]
-        elif marker == 0xC0 or marker == 0xC1:   # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):       # SOF0/1 (seq), SOF2 (prog)
             precision = body[0]
             if precision != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -295,11 +303,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
                               "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+            if frame["progressive"]:
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                prog_planes = [
+                    np.zeros((mcuy * c["v"] * mcux * c["h"], 64),
+                             dtype=np.int64) for c in comps]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential JPEG (SOF0/SOF1) is supported")
+                "only sequential (SOF0/SOF1) and progressive (SOF2) "
+                "Huffman JPEG are supported")
         elif marker == 0xDA:                     # SOS — entropy data follows
             if frame is None:
                 raise ValueError("SOS before SOF")
@@ -309,15 +327,27 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cs, tt = body[1 + 2 * c], body[2 + 2 * c]
                 scan.append({"cs": cs, "td": tt >> 4, "ta": tt & 0xF})
             data_start = pos + seglen
-            return _decode_scan(payload, data_start, frame, scan, qt, huff,
-                                restart_interval)
+            if not frame["progressive"]:
+                return _decode_scan(payload, data_start, frame, scan, qt,
+                                    huff, restart_interval)
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            aa = body[3 + 2 * ns]
+            pos = _decode_prog_scan(
+                payload, data_start, frame, scan, huff, restart_interval,
+                prog_planes, mcux, mcuy, hmax, vmax,
+                ss, se, aa >> 4, aa & 0xF)
+            continue
         pos += seglen
+    if frame is not None and frame.get("progressive"):
+        return _finish(prog_planes, frame, qt, mcux, mcuy, hmax, vmax)
     raise ValueError("no SOS segment found")
 
 
-def _unstuff(payload: bytes, start: int) -> tuple[bytes, list[int]]:
+def _unstuff(payload: bytes, start: int) -> tuple[bytes, list[int], int]:
     """Strip 0xFF00 stuffing; record restart-marker positions (in the
-    UNSTUFFED stream) so the bit reader can re-align."""
+    UNSTUFFED stream) so the bit reader can re-align. Also returns the
+    payload index of the terminating marker's 0xFF so a progressive
+    decode can continue the segment walk after this scan."""
     out = bytearray()
     restarts = []
     i = start
@@ -337,11 +367,11 @@ def _unstuff(payload: bytes, start: int) -> tuple[bytes, list[int]]:
             i += 2
         else:                                    # EOI or next segment
             break
-    return bytes(out), restarts
+    return bytes(out), restarts, i
 
 
 def _decode_scan(payload, start, frame, scan, qt, huff, restart_interval):
-    data, restarts = _unstuff(payload, start)
+    data, restarts, _end = _unstuff(payload, start)
     rdr = _BitReader(data)
     comps = frame["comps"]
     hmax = max(c["h"] for c in comps)
@@ -407,7 +437,15 @@ def _decode_scan(payload, start, frame, scan, qt, huff, restart_interval):
                         col = mx * c["h"] + hh
                         planes[ci][row * bw + col] = blk
             ri += 1
-    # dequantize + de-zigzag + IDCT, vectorized per component
+    return _finish(planes, frame, qt, mcux, mcuy, hmax, vmax)
+
+
+def _finish(planes, frame, qt, mcux, mcuy, hmax, vmax):
+    """Coefficient planes (zigzag order, per block) -> RGB pixels:
+    dequantize + de-zigzag + IDCT (vectorized per component), replicate
+    upsample, JFIF color convert. Shared by the baseline one-scan path
+    and the progressive multi-scan accumulator."""
+    comps = frame["comps"]
     pixels = []
     for ci, c in enumerate(comps):
         bw, bh = mcux * c["h"], mcuy * c["v"]
@@ -433,6 +471,182 @@ def _decode_scan(payload, start, frame, scan, qt, huff, restart_interval):
     b = y + 1.772 * cb
     return np.clip(np.round(np.stack([r, g, b], axis=-1)),
                    0, 255).astype(np.uint8)
+
+
+# -- progressive decode (T.81 G.2; algorithm structure as published in
+# -- the libjpeg reference implementation, jdphuff.c) -------------------------
+
+def _hdecode(rdr: _BitReader, tbl: _HuffDecoder) -> int:
+    w16 = rdr.peek16()
+    sym = int(tbl.lut_sym[w16])
+    if sym < 0:
+        raise ValueError("invalid Huffman code")
+    rdr.skip(int(tbl.lut_len[w16]))
+    return sym
+
+
+def _ac_first_block(coef, rdr, ac_t, ss, se, al, eobrun) -> int:
+    """One block of an AC initial scan (Ah=0): EOB runs, ZRL, new
+    coefficients at magnitude << Al. Returns the updated EOB run."""
+    if eobrun:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _hdecode(rdr, ac_t)
+        r, s = sym >> 4, sym & 0xF
+        if s == 0:
+            if r != 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += rdr.read(r)
+                break
+            k += 16                              # ZRL
+        else:
+            k += r
+            if k > se:
+                raise ValueError("AC index overflow in progressive scan")
+            coef[k] = _extend(rdr.read(s), s) << al
+            k += 1
+    return eobrun
+
+
+def _ac_refine_block(coef, rdr, ac_t, ss, se, al, eobrun) -> int:
+    """One block of an AC refinement scan (Ah=Al+1): correction bits for
+    already-nonzero coefficients, ±1<<Al for newly-nonzero ones. Python
+    ints are infinite two's complement, so the C bit tests carry over."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _hdecode(rdr, ac_t)
+            r, s = sym >> 4, sym & 0xF
+            sval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rdr.read(r)
+                    break                        # EOBn: rest of block below
+                # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad refinement symbol size")
+                sval = p1 if rdr.read(1) else m1
+            while k <= se:
+                c = int(coef[k])
+                if c:
+                    if rdr.read(1) and (c & p1) == 0:
+                        coef[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                coef[k] = sval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = int(coef[k])
+            if c and rdr.read(1) and (c & p1) == 0:
+                coef[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _comp_blocks(frame, c, hmax, vmax) -> tuple[int, int]:
+    """ACTUAL block grid of a component: ceil(ceil(dim * f / fmax) / 8)
+    per axis — what non-interleaved scans cover (T.81 A.2.2), smaller
+    than the MCU-padded allocation when the image isn't MCU-aligned."""
+    cwpx = -(-(frame["w"] * c["h"]) // hmax)     # ceil(w * h_i / hmax)
+    chpx = -(-(frame["h"] * c["v"]) // vmax)
+    return -(-cwpx // 8), -(-chpx // 8)
+
+
+def _decode_prog_scan(payload, start, frame, scan, huff, restart_interval,
+                      planes, mcux, mcuy, hmax, vmax, ss, se, ah, al) -> int:
+    """Decode ONE progressive scan into the persistent coefficient
+    planes; returns the payload index where the segment walk resumes.
+
+    Interleaving rules (T.81 G.1.1): a DC scan (Ss=0) may interleave
+    several components in MCU order; an AC scan covers exactly one
+    component in raster order over its ACTUAL block grid — ceil dims of
+    the component, NOT the MCU-padded grid the planes are allocated on.
+    """
+    data, restarts, end = _unstuff(payload, start)
+    rdr = _BitReader(data)
+    comps = frame["comps"]
+    by_id = {c["id"]: (ci, c) for ci, c in enumerate(comps)}
+    pred = [0] * len(comps)
+    eobrun = 0
+    next_restart = iter(restarts)
+    ri = 0
+
+    def maybe_restart():
+        nonlocal rdr, pred, eobrun, ri
+        if restart_interval and ri == restart_interval:
+            rpos = next(next_restart)
+            rdr = _BitReader(data[rpos:])
+            pred = [0] * len(comps)
+            eobrun = 0
+            ri = 0
+        ri += 1
+
+    if ss == 0:                                  # DC scan
+        if se != 0:
+            raise ValueError("DC progressive scan must have Se=0")
+        members = [(by_id[s["cs"]][0], by_id[s["cs"]][1], s) for s in scan]
+        if len(members) > 1:                     # interleaved, MCU order
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    maybe_restart()
+                    for ci, c, s in members:
+                        bwp = mcux * c["h"]
+                        for v in range(c["v"]):
+                            for hh in range(c["h"]):
+                                blk = planes[ci][
+                                    (my * c["v"] + v) * bwp
+                                    + mx * c["h"] + hh]
+                                if ah == 0:
+                                    size = _hdecode(rdr, huff[(0, s["td"])])
+                                    diff = _extend(rdr.read(size), size) \
+                                        if size else 0
+                                    pred[ci] += diff
+                                    blk[0] = pred[ci] << al
+                                elif rdr.read(1):
+                                    blk[0] = int(blk[0]) | (1 << al)
+        else:                                    # single comp, raster
+            ci, c, s = members[0]
+            cw, ch = _comp_blocks(frame, c, hmax, vmax)
+            bwp = mcux * c["h"]
+            for row in range(ch):
+                for col in range(cw):
+                    maybe_restart()
+                    blk = planes[ci][row * bwp + col]
+                    if ah == 0:
+                        size = _hdecode(rdr, huff[(0, s["td"])])
+                        diff = _extend(rdr.read(size), size) if size else 0
+                        pred[ci] += diff
+                        blk[0] = pred[ci] << al
+                    elif rdr.read(1):
+                        blk[0] = int(blk[0]) | (1 << al)
+    else:                                        # AC scan: one component
+        if len(scan) != 1:
+            raise ValueError("AC progressive scan must be non-interleaved")
+        s = scan[0]
+        ci, c = by_id[s["cs"]]
+        cw, ch = _comp_blocks(frame, c, hmax, vmax)
+        bwp = mcux * c["h"]
+        ac_t = huff[(1, s["ta"])]
+        block_fn = _ac_first_block if ah == 0 else _ac_refine_block
+        for row in range(ch):
+            for col in range(cw):
+                maybe_restart()
+                eobrun = block_fn(planes[ci][row * bwp + col], rdr, ac_t,
+                                  ss, se, al, eobrun)
+    return end
 
 
 # -- encoder -----------------------------------------------------------------
@@ -511,11 +725,11 @@ def _pad_edge(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
     return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
 
 
-def encode_jpeg(img: np.ndarray, *, quality: int = 100,
-                subsample: bool = False,
-                restart_interval: int = 0) -> bytes:
-    """(h, w, 3) uint8 RGB -> baseline JFIF JPEG. ``subsample=True`` emits
-    4:2:0 chroma (box-averaged); default 4:4:4."""
+def _rgb_planes(img: np.ndarray, quality: int, subsample: bool):
+    """Shared forward path: RGB -> quantized zigzag coefficient planes
+    (MCU-padded) + frame geometry. Used by both the baseline and the
+    progressive encoder so their coefficients are IDENTICAL — the basis
+    of the cross-codec bit-equality test."""
     h, w, c = img.shape
     assert c == 3 and img.dtype == np.uint8
     f = img.astype(np.float64)
@@ -543,6 +757,21 @@ def encode_jpeg(img: np.ndarray, *, quality: int = 100,
         p = _pad_edge(plane, mcuy * sv * 8, mcux * sh * 8)[
             : mcuy * sv * 8, : mcux * sh * 8]
         planes.append(_plane_blocks(p - 128.0, q))
+    return planes, sampling, qy, qc, mcux, mcuy, hmax, vmax
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg(img: np.ndarray, *, quality: int = 100,
+                subsample: bool = False,
+                restart_interval: int = 0) -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline JFIF JPEG. ``subsample=True`` emits
+    4:2:0 chroma (box-averaged); default 4:4:4."""
+    h, w, _c = img.shape
+    planes, sampling, qy, qc, mcux, mcuy, hmax, vmax = \
+        _rgb_planes(img, quality, subsample)
 
     dc_codes = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS),
                 _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)]
@@ -578,10 +807,7 @@ def encode_jpeg(img: np.ndarray, *, quality: int = 100,
     bw.pad()
     entropy_parts.append(bytes(bw.out))
     entropy = b"".join(entropy_parts)
-
-    def seg(marker: int, body: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
-
+    seg = _seg
     out = [b"\xff\xd8",
            seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")]
     for tid, q in ((0, qy), (1, qc)):
@@ -607,4 +833,210 @@ def encode_jpeg(img: np.ndarray, *, quality: int = 100,
     out.append(seg(0xDA, sos))
     out.append(entropy)
     out.append(b"\xff\xd9")
+    return b"".join(out)
+
+
+# -- progressive encoder (test-vector generator for the SOF2 decoder) --------
+
+# Universal Huffman table: 255 symbols at 9 bits + one at 10 (a DHT BITS
+# entry is one byte, so 256-at-one-length is not encodable) — a legal
+# canonical (incomplete) table. Wasteful on the wire, trivially correct;
+# progressive scans need EOBn/ZRL symbols the Annex-K tables don't carry,
+# and these payloads exist to exercise the decoder, not to be small.
+PROG_BITS = [0] * 8 + [255, 1] + [0] * 6
+PROG_VALS = list(range(256))
+
+
+def _emit_mag(bw: _BitWriter, v: int, size: int) -> None:
+    bw.put(v if v > 0 else v + (1 << size) - 1, size)
+
+
+class _AcScanState:
+    """EOB-run + buffered-correction-bit bookkeeping shared by the AC
+    first and AC refinement scan encoders (structure as published in the
+    libjpeg reference encoder, jcphuff.c)."""
+
+    def __init__(self, bw: _BitWriter, codes):
+        self.bw = bw
+        self.codes = codes
+        self.eobrun = 0
+        self.be: list[int] = []      # correction bits pending behind eobrun
+
+    def sym(self, s: int) -> None:
+        c, ln = self.codes[s]
+        self.bw.put(c, ln)
+
+    def flush(self) -> None:
+        if self.eobrun:
+            n = self.eobrun.bit_length() - 1
+            self.sym(n << 4)
+            if n:
+                self.bw.put(self.eobrun & ((1 << n) - 1), n)
+            self.eobrun = 0
+        for b in self.be:
+            self.bw.put(b, 1)
+        self.be = []
+
+
+def _enc_ac_first(st: _AcScanState, blk, ss, se, al) -> None:
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        av = abs(v) >> al                        # point transform: toward 0
+        if av == 0:
+            r += 1
+            continue
+        st.flush()
+        while r > 15:
+            st.sym(0xF0)
+            r -= 16
+        size = av.bit_length()
+        st.sym((r << 4) | size)
+        _emit_mag(st.bw, av if v > 0 else -av, size)
+        r = 0
+    if r:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush()
+
+
+def _enc_ac_refine(st: _AcScanState, blk, ss, se, al) -> None:
+    av = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+    # last newly-nonzero position: ZRLs beyond it fold into the EOB run
+    eob = 0
+    for i, a in enumerate(av):
+        if a == 1:
+            eob = ss + i
+    r = 0
+    br: list[int] = []                           # bits since last symbol
+    for k in range(ss, se + 1):
+        a = av[k - ss]
+        if a == 0:
+            r += 1
+            continue
+        # fold ZRLs at EVERY nonzero coefficient (correction bits must
+        # stay positionally interleaved with the zeros a ZRL covers)
+        while r > 15 and k <= eob:
+            st.flush()
+            st.sym(0xF0)
+            r -= 16
+            for b in br:
+                st.bw.put(b, 1)
+            br = []
+        if a > 1:                                # already nonzero: one bit
+            br.append(a & 1)
+            continue
+        st.flush()
+        st.sym((r << 4) | 1)
+        st.bw.put(1 if int(blk[k]) > 0 else 0, 1)
+        for b in br:
+            st.bw.put(b, 1)
+        br = []
+        r = 0
+    if r or br:
+        st.eobrun += 1
+        st.be.extend(br)
+        if st.eobrun == 0x7FFF:
+            st.flush()
+
+
+def encode_jpeg_progressive(img: np.ndarray, *, quality: int = 100,
+                            subsample: bool = False) -> bytes:
+    """(h, w, 3) uint8 RGB -> progressive (SOF2) JFIF JPEG using a
+    libjpeg-style 10-scan script: interleaved DC with successive
+    approximation, spectral-selection AC first scans, then DC and AC
+    refinement scans. Quantized coefficients are IDENTICAL to
+    ``encode_jpeg`` on the same input (shared forward path), so both
+    files must decode to the same pixels."""
+    h, w, _c = img.shape
+    planes, sampling, qy, qc, mcux, mcuy, hmax, vmax = \
+        _rgb_planes(img, quality, subsample)
+    codes = _canonical_codes(PROG_BITS, PROG_VALS)
+    frame = {"h": h, "w": w,
+             "comps": [{"h": sh, "v": sv} for sh, sv in sampling]}
+    grid = [_comp_blocks(frame, c, hmax, vmax) for c in frame["comps"]]
+
+    def dc_scan(ah: int, al: int, only_ci: int | None = None) -> bytes:
+        bw = _BitWriter()
+        pred = [0, 0, 0]
+
+        def one(ci: int, blk) -> None:
+            if ah == 0:
+                val = int(blk[0]) >> al          # arithmetic shift (DC)
+                diff = val - pred[ci]
+                pred[ci] = val
+                size = int(diff != 0 and int(abs(diff)).bit_length())
+                c_, ln = codes[size]
+                bw.put(c_, ln)
+                if size:
+                    _emit_mag(bw, diff, size)
+            else:
+                bw.put((int(blk[0]) >> al) & 1, 1)
+
+        if only_ci is not None:                  # non-interleaved: raster
+            cw, ch = grid[only_ci]               # over ACTUAL comp blocks
+            bwp = mcux * sampling[only_ci][0]
+            for row in range(ch):
+                for col in range(cw):
+                    one(only_ci, planes[only_ci][row * bwp + col])
+        else:                                    # interleaved MCU order
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci, (sh, sv) in enumerate(sampling):
+                        bwp = mcux * sh
+                        for v in range(sv):
+                            for hh in range(sh):
+                                one(ci, planes[ci][(my * sv + v) * bwp
+                                                   + mx * sh + hh])
+        bw.pad()
+        return bytes(bw.out)
+
+    def ac_scan(ci: int, ss: int, se: int, ah: int, al: int) -> bytes:
+        bw = _BitWriter()
+        st = _AcScanState(bw, codes)
+        cw, ch = grid[ci]
+        bwp = mcux * sampling[ci][0]
+        enc = _enc_ac_first if ah == 0 else _enc_ac_refine
+        for row in range(ch):
+            for col in range(cw):
+                enc(st, planes[ci][row * bwp + col], ss, se, al)
+        st.flush()
+        bw.pad()
+        return bytes(bw.out)
+
+    out = [b"\xff\xd8",
+           _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")]
+    for tid, q in ((0, qy), (1, qc)):
+        out.append(_seg(0xDB, bytes([tid]) + bytes(q[ZZ].astype(np.uint8))))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+    for ci, (sh, sv) in enumerate(sampling):
+        sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
+    out.append(_seg(0xC2, sof))
+    for cls in (0, 1):
+        out.append(_seg(0xC4, bytes([(cls << 4) | 0]) + bytes(PROG_BITS) +
+                        bytes(PROG_VALS)))
+
+    def sos(comp_ids, ss, se, ah, al) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])           # td=0, ta=0 (universal)
+        return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    # the script: every decoder path — interleaved + single-comp DC with
+    # SA, split spectral AC first scans, DC refine, chained AC refines
+    out += [sos([1, 2, 3], 0, 0, 0, 1), dc_scan(0, 1),
+            sos([1], 1, 5, 0, 2), ac_scan(0, 1, 5, 0, 2),
+            sos([2], 1, 63, 0, 1), ac_scan(1, 1, 63, 0, 1),
+            sos([3], 1, 63, 0, 1), ac_scan(2, 1, 63, 0, 1),
+            sos([1], 6, 63, 0, 2), ac_scan(0, 6, 63, 0, 2),
+            # DC refinement as three NON-interleaved scans: exercises the
+            # single-component DC raster path of the decoder
+            sos([1], 0, 0, 1, 0), dc_scan(1, 0, only_ci=0),
+            sos([2], 0, 0, 1, 0), dc_scan(1, 0, only_ci=1),
+            sos([3], 0, 0, 1, 0), dc_scan(1, 0, only_ci=2),
+            sos([1], 1, 63, 2, 1), ac_scan(0, 1, 63, 2, 1),
+            sos([2], 1, 63, 1, 0), ac_scan(1, 1, 63, 1, 0),
+            sos([1], 1, 63, 1, 0), ac_scan(0, 1, 63, 1, 0),
+            sos([3], 1, 63, 1, 0), ac_scan(2, 1, 63, 1, 0),
+            b"\xff\xd9"]
     return b"".join(out)

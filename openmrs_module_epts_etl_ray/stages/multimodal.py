@@ -7,9 +7,10 @@ Two decode tiers:
   and PNG (pure stdlib: zlib inflate + the five scanline filters —
   :func:`decode_png`). Decode, nearest-neighbor resize, frame-sampling and
   feature extraction over these are genuinely executed and tested.
-- **Real decode** for JPEG too (round 5): baseline sequential JPEG via
-  the pure-stdlib codec in :mod:`.jpeg` (Huffman + dequant + exact matrix
-  IDCT + YCbCr, 4:4:4 and 4:2:0, restart intervals).
+- **Real decode** for JPEG too (round 5): baseline sequential AND
+  progressive (SOF2) JPEG via the pure-stdlib codec in :mod:`.jpeg`
+  (Huffman + dequant + exact matrix IDCT + YCbCr, 4:4:4 and 4:2:0,
+  restart intervals, successive approximation + spectral selection).
 - **Stub** only for video-container formats that require codec libraries
   absent in this container (libav/mp4 etc.): ``DecodeStage(fake=False)``
   raises ``NotImplementedError`` for them; ``fake=True`` derives a

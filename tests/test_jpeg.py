@@ -53,12 +53,16 @@ def test_smooth_image_lossy_quality():
     assert np.abs(out.astype(int) - img.astype(int)).mean() < 3.0
 
 
-def test_decoder_rejects_progressive_and_garbage():
+def test_decoder_rejects_lossless_and_garbage():
     img = np.full((8, 8, 3), 9, dtype=np.uint8)
     payload = bytearray(encode_jpeg(img))
-    # flip SOF0 (0xC0) to SOF2 (0xC2 progressive)
     i = payload.index(b"\xff\xc0")
+    # SOF2 is SUPPORTED since round 5, but a baseline stream relabeled
+    # progressive is structurally invalid (full-range interleaved scan)
     payload[i + 1] = 0xC2
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(payload))
+    payload[i + 1] = 0xC3                 # lossless: still unsupported
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(payload))
     with pytest.raises(ValueError):
@@ -181,3 +185,72 @@ def test_encode_large_image_fast():
     assert time.time() - t0 < 3.0             # was ~7 s with quadratic acc
     out = decode_jpeg(payload)
     assert out.shape == (256, 256, 3)
+
+
+def test_progressive_matches_baseline_bitexact():
+    """The progressive encoder shares the baseline's forward path, so
+    decode(progressive) must equal decode(baseline) PIXEL-EXACTLY — a
+    cross-codec check of every SOF2 decode path (interleaved +
+    single-component DC with successive approximation, spectral
+    selection, AC refinement with EOB runs and correction bits)."""
+    from openmrs_module_epts_etl_ray.stages.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(42)
+    for (h, w) in [(8, 8), (16, 24), (24, 24), (17, 19), (33, 47)]:
+        for q in (100, 90, 50):
+            for sub in (False, True):
+                img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                img[: h // 2] = 128           # flat region: EOB runs
+                base = decode_jpeg(
+                    encode_jpeg(img, quality=q, subsample=sub))
+                prog = decode_jpeg(
+                    encode_jpeg_progressive(img, quality=q, subsample=sub))
+                assert (base == prog).all(), (h, w, q, sub)
+
+
+def test_progressive_sparse_and_flat_eob_runs():
+    """Sparse detail on a flat field drives long EOB runs with buffered
+    correction bits through the refinement scans."""
+    from openmrs_module_epts_etl_ray.stages.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    img = np.full((80, 80, 3), 90, dtype=np.uint8)
+    img[40, 40] = 255
+    img[10, 70] = 0
+    for q in (100, 75, 30):
+        base = decode_jpeg(encode_jpeg(img, quality=q))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=q))
+        assert (base == prog).all()
+
+
+def test_progressive_constant_gray_exact():
+    """quality=100 constant gray roundtrips bit-exactly through the
+    progressive codec too (the media oracle property)."""
+    from openmrs_module_epts_etl_ray.stages.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    g = np.full((24, 32, 3), 137, dtype=np.uint8)
+    assert (decode_jpeg(encode_jpeg_progressive(g, quality=100)) == g).all()
+
+
+def test_progressive_decodes_through_decode_stage():
+    """DecodeStage needs no special-casing: a progressive payload is
+    just image/jpeg."""
+    from openmrs_module_epts_etl_ray.stages.jpeg import (
+        JPEG_MIME, encode_jpeg_progressive,
+    )
+    from openmrs_module_epts_etl_ray.stages.multimodal import DecodeStage
+
+    img = np.full((16, 16, 3), 200, dtype=np.uint8)
+    batch = pd.DataFrame({
+        "media_id": [1], "kind": ["image"],
+        "payload": [encode_jpeg_progressive(img, quality=100)],
+        "mime": [JPEG_MIME],
+    })
+    out = DecodeStage()(batch)
+    f = out["feature"].iloc[0]
+    assert f[0] == 16 and f[1] == 16 and abs(f[2] - 200.0) < 1e-9
