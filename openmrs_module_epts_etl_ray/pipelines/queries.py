@@ -4500,8 +4500,21 @@ def q_media_jpeg_resize(sf_dir: str):
     return _png_stat_frame(multimodal.decode_features(resized))
 
 
+def q_media_jpeg_progressive(sf_dir: str):
+    """PROGRESSIVE (SOF2) JPEG decode under the gate: the same constant-
+    gray quality-100 test vectors as media_jpeg_features but encoded
+    with the multi-scan progressive script (successive-approximation DC,
+    spectral-selection AC, refinement scans with EOB runs), so every
+    SOF2 decoder path runs against the exact SQL oracle."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id"],
+                      override_num_blocks=16)
+    media = multimodal.jpeg_media_from_ids(docs, progressive=True)
+    return _png_stat_frame(multimodal.decode_features(media))
+
+
 QUERIES["media_jpeg_features"] = q_media_jpeg_features
 QUERIES["media_jpeg_resize"] = q_media_jpeg_resize
+QUERIES["media_jpeg_progressive"] = q_media_jpeg_progressive
 
 ORACLE_SQL["media_jpeg_features"] = """
 SELECT doc_id AS media_id,
@@ -4515,6 +4528,14 @@ ORACLE_SQL["media_jpeg_resize"] = """
 SELECT doc_id AS media_id,
        CAST(8 AS BIGINT) AS width,
        CAST(8 AS BIGINT) AS height,
+       CAST(doc_id % 256 AS BIGINT) AS mean_r
+FROM documents
+"""
+
+ORACLE_SQL["media_jpeg_progressive"] = """
+SELECT doc_id AS media_id,
+       CAST(16 + (doc_id % 4) * 8 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
        CAST(doc_id % 256 AS BIGINT) AS mean_r
 FROM documents
 """

@@ -732,8 +732,19 @@ def _jpeg_payload_for(val: int, w: int, sub: bool, ri: int) -> bytes:
                        restart_interval=ri)
 
 
+@lru_cache(maxsize=4096)
+def _jpeg_prog_payload_for(val: int, w: int, sub: bool) -> bytes:
+    """Memoized PROGRESSIVE generator encode (see _jpeg_payload_for):
+    exercises the SOF2 multi-scan decoder — successive-approximation DC,
+    spectral-selection AC, refinement scans — under the oracle gate."""
+    from .jpeg import encode_jpeg_progressive
+    img = np.full((16, w, 3), val, dtype=np.uint8)
+    return encode_jpeg_progressive(img, quality=100, subsample=sub)
+
+
 def jpeg_media_from_ids(ds: rd.Dataset, id_col: str = "doc_id",
-                        *, batch_size: int = 1024) -> rd.Dataset:
+                        *, batch_size: int = 1024,
+                        progressive: bool = False) -> rd.Dataset:
     """REAL baseline-JPEG payloads derived deterministically from an id
     column: every id becomes a constant GRAY image (R=G=B = id % 256),
     w = 16 + (id % 4) * 8, h = 16, encoded at quality=100 — the exact-
@@ -753,8 +764,11 @@ def jpeg_media_from_ids(ds: rd.Dataset, id_col: str = "doc_id",
             w = 16 + (i % 4) * 8
             rows["media_id"].append(i)
             rows["kind"].append("image")
-            rows["payload"].append(_jpeg_payload_for(
-                i % 256, w, bool(i % 2), 2 if i % 3 == 0 else 0))
+            rows["payload"].append(
+                _jpeg_prog_payload_for(i % 256, w, bool(i % 2))
+                if progressive else
+                _jpeg_payload_for(
+                    i % 256, w, bool(i % 2), 2 if i % 3 == 0 else 0))
             rows["mime"].append(JPEG_MIME)
             rows["width"].append(w)
             rows["height"].append(16)
