@@ -119,6 +119,8 @@ BENCH_QUERIES = [
     "media_jpeg_features",
     "media_jpeg_resize",
     "media_avi_frames",
+    "bpe_pair_counts",
+    "media_jpeg_progressive",
 ]
 
 
