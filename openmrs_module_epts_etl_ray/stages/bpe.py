@@ -39,8 +39,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-_SEP = "\x1f"  # symbol separator inside the training relation (unit sep:
-               # cannot appear in whitespace-split tokens of normal text)
+# The training relation carries symbol sequences as an Arrow
+# list<string> column — NOT a joined string: any join separator would
+# collide with documents that contain that byte inside a token (U+001F
+# and friends do occur in scraped corpora), silently corrupting pair
+# counts relative to the SQL oracle.
+_SYMS = pa.list_(pa.string())
 
 
 def word_frequencies(
@@ -58,7 +62,11 @@ def word_frequencies(
             [w for w in toks if len(w)] or [np.array([], dtype=object)]))
         flat = flat[flat != ""]
         out = flat.value_counts(sort=False)
-        return pa.table({"word": out.index.to_numpy(),
+        # explicit string type: an all-empty block would otherwise infer
+        # a null-typed 'word' column and diverge from the other blocks'
+        # schema in the groupby exchange
+        return pa.table({"word": pa.array(out.index.to_numpy(),
+                                          type=pa.string()),
                          "f": out.to_numpy().astype("int64")})
 
     return ds.map_batches(partial, batch_format="pyarrow") \
@@ -66,9 +74,12 @@ def word_frequencies(
 
 
 def _pair_partial(t: pa.Table, sym_col: str) -> pa.Table:
-    """Adjacent-symbol pairs of each row's symbol sequence, weighted by
-    the row's frequency — vectorized from Arrow list offsets."""
-    syms = pc.split_pattern(t[sym_col], _SEP)
+    """Adjacent-symbol pairs of each row's symbol sequence (a
+    list<string> column), weighted by the row's frequency — vectorized
+    from Arrow list offsets."""
+    syms = t[sym_col]
+    if isinstance(syms, pa.ChunkedArray):
+        syms = syms.combine_chunks()
     flat = pc.list_flatten(syms)
     if isinstance(flat, pa.ChunkedArray):
         flat = flat.combine_chunks()
@@ -92,6 +103,14 @@ def _pair_partial(t: pa.Table, sym_col: str) -> pa.Table:
                      "cnt": g.to_numpy().astype(np.int64)})
 
 
+def _to_chars(t: pa.Table) -> pa.Table:
+    """(word, f) -> (sym list<string>, f): a word's initial symbol
+    sequence is its characters."""
+    w = t["word"].to_pandas()
+    return pa.table({"sym": pa.array([list(x) for x in w], type=_SYMS),
+                     "f": t["f"]})
+
+
 def pair_counts(
     ds: rd.Dataset,
     text_col: str = "text",
@@ -104,14 +123,7 @@ def pair_counts(
 
     wf = word_frequencies(ds, text_col)
 
-    def to_chars(t: pa.Table) -> pa.Table:
-        w = t["word"].to_pandas()
-        return pa.table({
-            "sym": pa.array([_SEP.join(x) for x in w], pa.string()),
-            "f": t["f"],
-        })
-
-    return wf.map_batches(to_chars, batch_format="pyarrow") \
+    return wf.map_batches(_to_chars, batch_format="pyarrow") \
         .map_batches(lambda t: _pair_partial(t, "sym"),
                      batch_format="pyarrow") \
         .groupby(["l", "r"]).aggregate(Sum("cnt", alias_name="cnt"))
@@ -135,15 +147,7 @@ def train_bpe(
     takes the deterministic argmax (count desc, then (l, r) asc), and
     applies the merge vectorized. Stops early when no pair remains."""
     wf = word_frequencies(ds, text_col)
-
-    def to_chars(t: pa.Table) -> pa.Table:
-        w = t["word"].to_pandas()
-        return pa.table({
-            "sym": pa.array([_SEP.join(x) for x in w], pa.string()),
-            "f": t["f"],
-        })
-
-    state = wf.map_batches(to_chars, batch_format="pyarrow").materialize()
+    state = wf.map_batches(_to_chars, batch_format="pyarrow").materialize()
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
         from ray.data.aggregate import Sum
@@ -156,35 +160,27 @@ def train_bpe(
             break
         l, r = best[0]["l"], best[0]["r"]
         merges.append((l, r))
-        probe = l + _SEP + r
 
-        def apply(t: pa.Table, l=l, r=r, probe=probe) -> pa.Table:
+        def apply(t: pa.Table, l=l, r=r) -> pa.Table:
             # exact published semantics: ONE greedy left-to-right,
-            # non-overlapping merge pass per word (a string-level
-            # replace-all diverges on runs of the same symbol — e.g.
-            # "a a a a" must become ["aa","aa"], with any leftover
-            # singleton LAST). The python loop runs per UNIQUE word of
-            # the vocab-sized relation, the same cost class as the
-            # encode memoization; the `probe in s` prefilter skips the
-            # untouched majority (mid-symbol false positives only cost
-            # the loop).
-            syms = t["sym"].to_pandas()
+            # non-overlapping merge pass per word ("a a a a" must become
+            # ["aa","aa"], with any leftover singleton LAST). The python
+            # loop runs per UNIQUE word of the vocab-sized relation, the
+            # same cost class as the encode memoization.
             out = []
-            for s in syms:
-                if probe not in s:
-                    out.append(s)
-                    continue
-                p = s.split(_SEP)
-                res, j = [], 0
-                while j < len(p):
-                    if j < len(p) - 1 and p[j] == l and p[j + 1] == r:
-                        res.append(p[j] + p[j + 1])
-                        j += 2
-                    else:
-                        res.append(p[j])
-                        j += 1
-                out.append(_SEP.join(res))
-            return pa.table({"sym": pa.array(out, pa.string()),
+            for p in t["sym"].to_pylist():
+                if len(p) > 1:
+                    res, j = [], 0
+                    while j < len(p):
+                        if j < len(p) - 1 and p[j] == l and p[j + 1] == r:
+                            res.append(p[j] + p[j + 1])
+                            j += 2
+                        else:
+                            res.append(p[j])
+                            j += 1
+                    p = res
+                out.append(p)
+            return pa.table({"sym": pa.array(out, type=_SYMS),
                              "f": t["f"]})
 
         state = state.map_batches(apply, batch_format="pyarrow") \

@@ -245,13 +245,16 @@ def _extend(v: int, size: int) -> int:
 # -- decoder -----------------------------------------------------------------
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG -> (h, w, 3) uint8 RGB (grayscale replicated)."""
+    """Huffman JPEG (baseline SOF0/1 or progressive SOF2) -> (h, w, 3)
+    uint8 RGB (grayscale replicated)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], _HuffDecoder] = {}   # (class, id)
     restart_interval = 0
     frame = None
+    n_scans = 0            # a header-only progressive stream must raise,
+                           # not decode to a plausible all-gray image
     pos = 2
     n = len(payload)
     while pos + 4 <= n:
@@ -336,9 +339,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 payload, data_start, frame, scan, huff, restart_interval,
                 prog_planes, mcux, mcuy, hmax, vmax,
                 ss, se, aa >> 4, aa & 0xF)
+            n_scans += 1
             continue
         pos += seglen
-    if frame is not None and frame.get("progressive"):
+    if frame is not None and frame.get("progressive") and n_scans:
         return _finish(prog_planes, frame, qt, mcux, mcuy, hmax, vmax)
     raise ValueError("no SOS segment found")
 
@@ -404,22 +408,14 @@ def _decode_scan(payload, start, frame, scan, qt, huff, restart_interval):
                     for hh in range(c["h"]):
                         blk = np.zeros(64, dtype=np.int64)
                         # DC
-                        w16 = rdr.peek16()
-                        size = int(dc_t.lut_sym[w16])
-                        if size < 0:
-                            raise ValueError("invalid DC Huffman code")
-                        rdr.skip(int(dc_t.lut_len[w16]))
+                        size = _hdecode(rdr, dc_t)
                         diff = _extend(rdr.read(size), size) if size else 0
                         pred[ci] += diff
                         blk[0] = pred[ci]
                         # AC
                         k = 1
                         while k < 64:
-                            w16 = rdr.peek16()
-                            sym = int(ac_t.lut_sym[w16])
-                            if sym < 0:
-                                raise ValueError("invalid AC Huffman code")
-                            rdr.skip(int(ac_t.lut_len[w16]))
+                            sym = _hdecode(rdr, ac_t)
                             if sym == 0x00:      # EOB
                                 break
                             run, size = sym >> 4, sym & 0xF
@@ -940,14 +936,56 @@ def _enc_ac_refine(st: _AcScanState, blk, ss, se, al) -> None:
             st.flush()
 
 
+class _ScanWriter:
+    """Per-scan entropy segments with optional RSTn restart boundaries:
+    call ``boundary()`` before each unit (MCU for interleaved DC, block
+    otherwise); at every ``restart_interval`` units it byte-aligns,
+    emits the restart marker and resets the per-interval state (DC
+    predictors via the callback, EOB run + buffered bits via a fresh
+    ``_AcScanState``)."""
+
+    def __init__(self, codes, restart_interval: int, on_reset=None):
+        self.codes = codes
+        self.ri = restart_interval
+        self.on_reset = on_reset
+        self.parts: list[bytes] = []
+        self.rst = 0
+        self.n = 0
+        self.bw = _BitWriter()
+        self.st = _AcScanState(self.bw, codes)
+
+    def boundary(self) -> None:
+        if self.ri and self.n == self.ri:
+            self.st.flush()
+            self.bw.pad()
+            self.parts.append(bytes(self.bw.out))
+            self.parts.append(bytes([0xFF, 0xD0 + (self.rst % 8)]))
+            self.rst += 1
+            self.n = 0
+            self.bw = _BitWriter()
+            self.st = _AcScanState(self.bw, self.codes)
+            if self.on_reset:
+                self.on_reset()
+        self.n += 1
+
+    def finish(self) -> bytes:
+        self.st.flush()
+        self.bw.pad()
+        self.parts.append(bytes(self.bw.out))
+        return b"".join(self.parts)
+
+
 def encode_jpeg_progressive(img: np.ndarray, *, quality: int = 100,
-                            subsample: bool = False) -> bytes:
+                            subsample: bool = False,
+                            restart_interval: int = 0) -> bytes:
     """(h, w, 3) uint8 RGB -> progressive (SOF2) JFIF JPEG using a
-    libjpeg-style 10-scan script: interleaved DC with successive
+    libjpeg-style multi-scan script: interleaved DC with successive
     approximation, spectral-selection AC first scans, then DC and AC
-    refinement scans. Quantized coefficients are IDENTICAL to
-    ``encode_jpeg`` on the same input (shared forward path), so both
-    files must decode to the same pixels."""
+    refinement scans (DC refinement as single-component scans).
+    Quantized coefficients are IDENTICAL to ``encode_jpeg`` on the same
+    input (shared forward path), so both files must decode to the same
+    pixels. ``restart_interval`` emits DRI + RSTn boundaries in every
+    scan (units: MCUs for the interleaved DC scan, blocks elsewhere)."""
     h, w, _c = img.shape
     planes, sampling, qy, qc, mcux, mcuy, hmax, vmax = \
         _rgb_planes(img, quality, subsample)
@@ -957,8 +995,10 @@ def encode_jpeg_progressive(img: np.ndarray, *, quality: int = 100,
     grid = [_comp_blocks(frame, c, hmax, vmax) for c in frame["comps"]]
 
     def dc_scan(ah: int, al: int, only_ci: int | None = None) -> bytes:
-        bw = _BitWriter()
         pred = [0, 0, 0]
+        sw = _ScanWriter(codes, restart_interval,
+                         on_reset=lambda: pred.__setitem__(
+                             slice(None), [0, 0, 0]))
 
         def one(ci: int, blk) -> None:
             if ah == 0:
@@ -967,42 +1007,41 @@ def encode_jpeg_progressive(img: np.ndarray, *, quality: int = 100,
                 pred[ci] = val
                 size = int(diff != 0 and int(abs(diff)).bit_length())
                 c_, ln = codes[size]
-                bw.put(c_, ln)
+                sw.bw.put(c_, ln)
                 if size:
-                    _emit_mag(bw, diff, size)
+                    _emit_mag(sw.bw, diff, size)
             else:
-                bw.put((int(blk[0]) >> al) & 1, 1)
+                sw.bw.put((int(blk[0]) >> al) & 1, 1)
 
         if only_ci is not None:                  # non-interleaved: raster
             cw, ch = grid[only_ci]               # over ACTUAL comp blocks
             bwp = mcux * sampling[only_ci][0]
             for row in range(ch):
                 for col in range(cw):
+                    sw.boundary()
                     one(only_ci, planes[only_ci][row * bwp + col])
         else:                                    # interleaved MCU order
             for my in range(mcuy):
                 for mx in range(mcux):
+                    sw.boundary()
                     for ci, (sh, sv) in enumerate(sampling):
                         bwp = mcux * sh
                         for v in range(sv):
                             for hh in range(sh):
                                 one(ci, planes[ci][(my * sv + v) * bwp
                                                    + mx * sh + hh])
-        bw.pad()
-        return bytes(bw.out)
+        return sw.finish()
 
     def ac_scan(ci: int, ss: int, se: int, ah: int, al: int) -> bytes:
-        bw = _BitWriter()
-        st = _AcScanState(bw, codes)
+        sw = _ScanWriter(codes, restart_interval)
         cw, ch = grid[ci]
         bwp = mcux * sampling[ci][0]
         enc = _enc_ac_first if ah == 0 else _enc_ac_refine
         for row in range(ch):
             for col in range(cw):
-                enc(st, planes[ci][row * bwp + col], ss, se, al)
-        st.flush()
-        bw.pad()
-        return bytes(bw.out)
+                sw.boundary()
+                enc(sw.st, planes[ci][row * bwp + col], ss, se, al)
+        return sw.finish()
 
     out = [b"\xff\xd8",
            _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")]
@@ -1012,6 +1051,8 @@ def encode_jpeg_progressive(img: np.ndarray, *, quality: int = 100,
     for ci, (sh, sv) in enumerate(sampling):
         sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
     out.append(_seg(0xC2, sof))
+    if restart_interval:
+        out.append(_seg(0xDD, struct.pack(">H", restart_interval)))
     for cls in (0, 1):
         out.append(_seg(0xC4, bytes([(cls << 4) | 0]) + bytes(PROG_BITS) +
                         bytes(PROG_VALS)))

@@ -733,13 +733,15 @@ def _jpeg_payload_for(val: int, w: int, sub: bool, ri: int) -> bytes:
 
 
 @lru_cache(maxsize=4096)
-def _jpeg_prog_payload_for(val: int, w: int, sub: bool) -> bytes:
+def _jpeg_prog_payload_for(val: int, w: int, sub: bool, ri: int) -> bytes:
     """Memoized PROGRESSIVE generator encode (see _jpeg_payload_for):
     exercises the SOF2 multi-scan decoder — successive-approximation DC,
-    spectral-selection AC, refinement scans — under the oracle gate."""
+    spectral-selection AC, refinement scans, and (ids % 3 == 0) per-scan
+    RSTn restarts — under the oracle gate."""
     from .jpeg import encode_jpeg_progressive
     img = np.full((16, w, 3), val, dtype=np.uint8)
-    return encode_jpeg_progressive(img, quality=100, subsample=sub)
+    return encode_jpeg_progressive(img, quality=100, subsample=sub,
+                                   restart_interval=ri)
 
 
 def jpeg_media_from_ids(ds: rd.Dataset, id_col: str = "doc_id",
@@ -754,7 +756,10 @@ def jpeg_media_from_ids(ds: rd.Dataset, id_col: str = "doc_id",
     and ids % 3 == 0 add a restart interval, so the MCU-interleave,
     upsample and RSTn decoder paths all run under the oracle gate.
     Payload LENGTH is entropy-coding-dependent and NOT part of the
-    contract."""
+    contract. ``progressive=True`` emits the same test-vector space as
+    SOF2 multi-scan payloads (successive approximation + spectral
+    selection + per-scan restarts), driving the progressive decoder
+    under the same closed-form oracle."""
 
     def build(batch: pd.DataFrame) -> pd.DataFrame:
         rows = {k: [] for k in ("media_id", "kind", "payload", "mime",
@@ -765,9 +770,8 @@ def jpeg_media_from_ids(ds: rd.Dataset, id_col: str = "doc_id",
             rows["media_id"].append(i)
             rows["kind"].append("image")
             rows["payload"].append(
-                _jpeg_prog_payload_for(i % 256, w, bool(i % 2))
-                if progressive else
-                _jpeg_payload_for(
+                (_jpeg_prog_payload_for if progressive
+                 else _jpeg_payload_for)(
                     i % 256, w, bool(i % 2), 2 if i % 3 == 0 else 0))
             rows["mime"].append(JPEG_MIME)
             rows["width"].append(w)

@@ -16,11 +16,14 @@ TEXTS = [
     "the batch batch batch stream",
     "",                            # empty doc
     "x",                           # single-char word: no pairs
+    "a\x1fb a\x1fb cc",            # control char INSIDE a token: symbols
+                                   # are a list column, never a joined
+                                   # string, so no separator can collide
 ]
 
 
 def _ref_train(texts, k):
-    wf = collections.Counter(w for t in texts for w in t.split() if w)
+    wf = collections.Counter(w for t in texts for w in t.split(" ") if w)
     vocab = {tuple(w): f for w, f in wf.items()}
     merges = []
     for _ in range(k):
@@ -60,7 +63,7 @@ def test_train_matches_reference(ray_session):
 
 def test_pair_counts_exact(ray_session):
     ref = collections.Counter()
-    wf = collections.Counter(w for t in TEXTS for w in t.split() if w)
+    wf = collections.Counter(w for t in TEXTS for w in t.split(" ") if w)
     for w, f in wf.items():
         for i in range(len(w) - 1):
             ref[(w[i], w[i + 1])] += f
@@ -75,8 +78,8 @@ def test_token_counts_match_greedy_encode(ray_session):
     out = bpe.bpe_token_counts(_ds(), merges).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     exp_tokens = [sum(len(bpe.encode_word(w, ranks))
-                      for w in t.split() if w) for t in TEXTS]
-    exp_words = [sum(1 for w in t.split() if w) for t in TEXTS]
+                      for w in t.split(" ") if w) for t in TEXTS]
+    exp_words = [sum(1 for w in t.split(" ") if w) for t in TEXTS]
     assert out["n_tokens"].tolist() == exp_tokens
     assert out["n_words"].tolist() == exp_words
     # fully-merged small words collapse to one token

@@ -254,3 +254,32 @@ def test_progressive_decodes_through_decode_stage():
     out = DecodeStage()(batch)
     f = out["feature"].iloc[0]
     assert f[0] == 16 and f[1] == 16 and abs(f[2] - 200.0) < 1e-9
+
+
+def test_progressive_restart_intervals():
+    """DRI + RSTn inside SOF2 scans: per-interval resets of DC
+    predictors, EOB runs and the bit reader must reproduce the
+    no-restart pixels exactly."""
+    from openmrs_module_epts_etl_ray.stages.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    img[:12] = 77                              # flat half: EOB runs
+    want = decode_jpeg(encode_jpeg(img, quality=90))
+    for ri in (1, 2, 5):
+        got = decode_jpeg(encode_jpeg_progressive(
+            img, quality=90, restart_interval=ri))
+        assert (got == want).all(), ri
+
+
+def test_progressive_header_only_raises():
+    from openmrs_module_epts_etl_ray.stages.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    p = encode_jpeg_progressive(np.full((16, 16, 3), 5, np.uint8))
+    i = p.index(b"\xff\xda")
+    with pytest.raises(ValueError):
+        decode_jpeg(p[:i] + b"\xff\xd9")
