@@ -1660,6 +1660,23 @@ def q_lm_bigram_score(sf_dir: str):
     return out.select_columns(["doc_id", "n_bigrams", "sum_count", "n_oov"])
 
 
+def q_perplexity_buckets(sf_dir: str):
+    """CCNet head/middle/tail corpus split (stages/lm.py::
+    perplexity_buckets, Wenzek et al. 2020): train the bigram LM on the
+    even-doc_id half, score everything with the integer OOV-per-mille
+    surrogate, cut exact terciles from the <=1001-row score histogram —
+    one counts-sized exchange, no corpus sort. The SQL oracle restates
+    the order-statistic thresholds with a window rank."""
+    from ..stages.lm import perplexity_buckets, train_bigram_model
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      override_num_blocks=16).materialize()
+    train = filter_expr(docs,
+                        lambda t: pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0))
+    model = train_bigram_model(train)
+    return perplexity_buckets(docs, model)
+
+
 def q_asof_next_purchase(sf_dir: str):
     """Forward as-of join with tolerance (stages/asof.py): for each
     signup, the user's FIRST purchase within 7 days after it ("time to
@@ -1817,6 +1834,7 @@ QUERIES = {
     "quota_sample": q_quota_sample,
     "user_event_pivot": q_user_event_pivot,
     "lm_bigram_score": q_lm_bigram_score,
+    "perplexity_buckets": q_perplexity_buckets,
     "asof_next_purchase": q_asof_next_purchase,
     "price_histogram": q_price_histogram,
     "event_gaps": q_event_gaps,
@@ -2696,6 +2714,42 @@ SELECT d.doc_id,
        CAST(coalesce(sc.sum_count, 0) AS BIGINT) AS sum_count,
        CAST(coalesce(sc.n_oov, 0) AS BIGINT) AS n_oov
 FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+"""
+
+ORACLE_SQL["perplexity_buckets"] = """
+WITH w AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws
+           FROM documents),
+bg AS (
+  SELECT doc_id, array_to_string(list_slice(ws, i, i + 1), ' ') AS g
+  FROM (SELECT doc_id, ws,
+               unnest(range(1, greatest(len(ws) - 1, 0) + 1)) AS i
+        FROM w)),
+model AS (SELECT g FROM bg WHERE doc_id % 2 = 0 GROUP BY g),
+sc AS (
+  SELECT bg.doc_id,
+         count(*) AS n_bigrams,
+         sum(CASE WHEN model.g IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM bg LEFT JOIN model ON bg.g = model.g
+  GROUP BY bg.doc_id),
+s AS (
+  SELECT d.doc_id,
+         CAST((1000 * coalesce(sc.n_oov, 0))
+              // greatest(coalesce(sc.n_bigrams, 0), 1) AS BIGINT) AS score
+  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+ranked AS (SELECT score, row_number() OVER (ORDER BY score) AS rn,
+                  count(*) OVER () AS n
+           FROM s),
+th AS (SELECT
+         max(CASE WHEN rn = CAST(ceil(n / 3.0) AS BIGINT)
+                  THEN score END) AS t1,
+         max(CASE WHEN rn = CAST(ceil(2 * n / 3.0) AS BIGINT)
+                  THEN score END) AS t2
+       FROM ranked)
+SELECT s.doc_id, s.score,
+       CASE WHEN s.score <= th.t1 THEN 'head'
+            WHEN s.score <= th.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM s, th
 """
 
 ORACLE_SQL["asof_next_purchase"] = """

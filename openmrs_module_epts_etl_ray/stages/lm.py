@@ -139,3 +139,84 @@ def score_bigram_lm(
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def perplexity_buckets(
+    ds: rd.Dataset,
+    model_ref,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    labels: tuple[str, str, str] = ("head", "middle", "tail"),
+) -> rd.Dataset:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    document against the reference LM, split the corpus into head / middle
+    / tail terciles by score, tag each document with its bucket (CCNet
+    keeps head+middle for training corpora; the filter downstream is a
+    one-line predicate on ``bucket``).
+
+    Portability: the per-document score is the INTEGER OOV rate per mille
+    ``(1000 * n_oov) // max(n_bigrams, 1)`` — a pure-integer surrogate for
+    perplexity (higher = worse) that a SQL oracle restates exactly, unlike
+    the libm-``ln`` ``avg_logprob``. Tercile thresholds are exact order
+    statistics: ``t_k`` = the ``ceil(k*n/3)``-th smallest score, so
+    ``bucket = head if s <= t1 else middle if s <= t2 else tail``.
+
+    Scale shape (100 TB corpus): scoring is the shuffle-free broadcast
+    probe of :func:`score_bigram_lm`; the tercile cut never sorts the
+    corpus — scores live in the tiny domain [0, 1000], so each block folds
+    a partial ``value_counts`` and only the <=1001-row (score, n)
+    histogram reaches the driver, where a cumulative sum reads off both
+    order statistics. One counts-sized exchange, O(1) driver memory. The
+    narrow (id, score) relation is pinned (keys-only — the policy the
+    prefix scan and dedup stages follow) so the tag pass never re-probes
+    the corpus text.
+    """
+    from ray.data.aggregate import Sum
+
+    scored = score_bigram_lm(ds, model_ref, id_col=id_col, text_col=text_col)
+
+    def to_score(t: pa.Table) -> pa.Table:
+        nb = t["n_bigrams"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ov = t["n_oov"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = (1000 * ov) // np.maximum(nb, 1)
+        return pa.table({id_col: t[id_col], "score": s})
+
+    sc = scored.map_batches(to_score, batch_format="pyarrow").materialize()
+
+    def hist(t: pa.Table) -> pa.Table:
+        col = t["score"].combine_chunks() \
+            if isinstance(t["score"], pa.ChunkedArray) else t["score"]
+        vc = col.value_counts()
+        return pa.table({
+            "score": vc.field("values"),
+            "n": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    rows = sc.map_batches(hist, batch_format="pyarrow") \
+             .groupby("score").aggregate(Sum("n", alias_name="n")).take_all()
+    rows.sort(key=lambda r: r["score"])
+    total = sum(r["n"] for r in rows)
+    if total == 0:
+        raise ValueError("perplexity_buckets: empty corpus")
+    k1 = -(-total // 3)          # ceil(n/3)
+    k2 = -(-2 * total // 3)      # ceil(2n/3)
+    cum, t1, t2 = 0, None, None
+    for r in rows:
+        cum += r["n"]
+        if t1 is None and cum >= k1:
+            t1 = int(r["score"])
+        if t2 is None and cum >= k2:
+            t2 = int(r["score"])
+    head, middle, tail = labels
+
+    def tag(t: pa.Table) -> pa.Table:
+        s = t["score"].to_numpy(zero_copy_only=False)
+        b = np.where(s <= t1, head, np.where(s <= t2, middle, tail))
+        return pa.table({
+            id_col: t[id_col],
+            "score": t["score"],
+            "bucket": pa.array(b, pa.string()),
+        })
+
+    return sc.map_batches(tag, batch_format="pyarrow")
