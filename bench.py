@@ -121,6 +121,10 @@ BENCH_QUERIES = [
     "media_avi_frames",
     "bpe_pair_counts",
     "media_jpeg_progressive",
+    "perplexity_buckets",
+    "media_gif_features",
+    "media_gif_resize",
+    "media_gif_frames",
 ]
 
 

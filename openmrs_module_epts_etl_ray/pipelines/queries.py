@@ -4951,3 +4951,71 @@ SELECT doc_id * 1000000 + i AS media_id,
        CAST((doc_id + i) % 256 AS DOUBLE) AS stat
 FROM f
 """
+
+
+def q_media_gif_features(sf_dir: str):
+    """REAL GIF decode (stages/gif.py — pure-stdlib LZW + palettes,
+    DecodeStage(fake=False)): constant-color GIF stills derived from
+    doc_id with interlace, local-color-table and superset-palette
+    (non-zero index) paths rotating by id, so LZW, de-interlace, LCT and
+    index mapping all run under the exact SQL oracle."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id"],
+                      override_num_blocks=16)
+    media = multimodal.gif_media_from_ids(docs)
+    return _png_stat_frame(multimodal.decode_features(media))
+
+
+def q_media_gif_resize(sf_dir: str):
+    """GIF decode -> nearest resize -> GIF re-encode -> decode again
+    (ResizeStage on the stdlib LZW codec): dims become 8x8, the constant
+    mean survives exactly."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id"],
+                      override_num_blocks=16)
+    media = multimodal.gif_media_from_ids(docs)
+    resized = multimodal.resize_images(media, 8, 8)
+    return _png_stat_frame(multimodal.decode_features(resized))
+
+
+def q_media_gif_frames(sf_dir: str):
+    """Animated-GIF frame sampling (stages/gif.py animation decode: GCE
+    delay/disposal parsing + draw-over composition): every-2nd-frame
+    sampling re-encodes kept frames as PPM images whose decode stats are
+    closed forms of (id, frame index) — the GIF counterpart of
+    media_avi_frames."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id"],
+                      override_num_blocks=16)
+    videos = multimodal.gif_videos_from_ids(docs)
+    frames = multimodal.sample_frames(videos, every=2)
+    return _media_stat_frame(multimodal.decode_features(frames))
+
+
+QUERIES["media_gif_features"] = q_media_gif_features
+QUERIES["media_gif_resize"] = q_media_gif_resize
+QUERIES["media_gif_frames"] = q_media_gif_frames
+
+ORACLE_SQL["media_gif_features"] = """
+SELECT doc_id AS media_id,
+       CAST(16 + (doc_id % 4) * 8 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       CAST(doc_id % 256 AS BIGINT) AS mean_r
+FROM documents
+"""
+
+ORACLE_SQL["media_gif_resize"] = """
+SELECT doc_id AS media_id,
+       CAST(8 AS BIGINT) AS width,
+       CAST(8 AS BIGINT) AS height,
+       CAST(doc_id % 256 AS BIGINT) AS mean_r
+FROM documents
+"""
+
+ORACLE_SQL["media_gif_frames"] = """
+WITH v AS (SELECT doc_id, doc_id % 4 + 2 AS nf FROM documents
+           WHERE doc_id % 10 = 0),
+f AS (SELECT doc_id, unnest(range(0, nf, 2)) AS i FROM v)
+SELECT doc_id * 1000000 + i AS media_id,
+       'image' AS kind,
+       CAST(13 + 16 * 16 * 3 AS BIGINT) AS payload_bytes,
+       CAST((doc_id + i) % 256 AS DOUBLE) AS stat
+FROM f
+"""

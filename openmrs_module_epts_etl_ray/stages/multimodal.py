@@ -11,6 +11,10 @@ Two decode tiers:
   progressive (SOF2) JPEG via the pure-stdlib codec in :mod:`.jpeg`
   (Huffman + dequant + exact matrix IDCT + YCbCr, 4:4:4 and 4:2:0,
   restart intervals, successive approximation + spectral selection).
+- **Real decode** for GIF (round 5, :mod:`.gif`): LZW with variable code
+  width, interlace, local color tables, animation (GCE delay / disposal /
+  transparency) — stills feed the image path, animations the
+  frame-sampling path.
 - **Stub** only for video-container formats that require codec libraries
   absent in this container (libav/mp4 etc.): ``DecodeStage(fake=False)``
   raises ``NotImplementedError`` for them; ``fake=True`` derives a
@@ -31,6 +35,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from .gif import GIF_MIME, decode_gif, encode_gif
 from .jpeg import JPEG_MIME, decode_jpeg, encode_jpeg
 
 MEDIA_SCHEMA = pa.schema(
@@ -224,10 +229,11 @@ class DecodeStage:
 
     def _real_feature(self, payload: bytes, mime: str) -> np.ndarray:
         out = np.zeros(self.feature_dim, dtype=np.float64)
-        if mime in (PPM_MIME, PNG_MIME, JPEG_MIME):
+        if mime in (PPM_MIME, PNG_MIME, JPEG_MIME, GIF_MIME):
             img = (decode_ppm(bytes(payload)) if mime == PPM_MIME
                    else decode_png(bytes(payload)) if mime == PNG_MIME
-                   else decode_jpeg(bytes(payload)))
+                   else decode_jpeg(bytes(payload)) if mime == JPEG_MIME
+                   else decode_gif(bytes(payload))[0])
             h, w = img.shape[:2]
             f = [w, h, img[..., 0].mean(), img[..., 1].mean(),
                  img[..., 2].mean(), img.std()]
@@ -240,8 +246,8 @@ class DecodeStage:
             raise NotImplementedError(
                 f"mime {mime!r} needs codec libraries (libav) not "
                 f"present in this environment; REAL decode covers "
-                f"{PPM_MIME}, image/png, image/jpeg (pure-stdlib "
-                f"codecs), {WAV_MIME} — or use fake=True")
+                f"{PPM_MIME}, image/png, image/jpeg, image/gif "
+                f"(pure-stdlib codecs), {WAV_MIME} — or use fake=True")
         out[: min(len(f), self.feature_dim)] = f[: self.feature_dim]
         return out
 
@@ -270,7 +276,7 @@ class ResizeStage:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = []
-        image_mimes = (PPM_MIME, PNG_MIME, JPEG_MIME)
+        image_mimes = (PPM_MIME, PNG_MIME, JPEG_MIME, GIF_MIME)
         for payload, mime in zip(batch["payload"], batch["mime"]):
             if mime == PPM_MIME:
                 out.append(encode_ppm(
@@ -284,6 +290,12 @@ class ResizeStage:
                 out.append(encode_jpeg(
                     resize_nearest(decode_jpeg(bytes(payload)),
                                    self.width, self.height)))
+            elif mime == GIF_MIME:
+                # stills only on the image path; animations resize
+                # frame-by-frame so the composed timeline survives
+                out.append(encode_gif([
+                    resize_nearest(f, self.width, self.height)
+                    for f in decode_gif(bytes(payload))]))
             else:
                 out.append(payload)
         batch = batch.copy()
@@ -508,7 +520,8 @@ class FrameSampleStage:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for r in batch.itertuples():
-            if r.mime not in (VIDEO_MIME, AVI_MIME):
+            animated_gif = r.mime == GIF_MIME and r.kind == "video"
+            if r.mime not in (VIDEO_MIME, AVI_MIME) and not animated_gif:
                 rows.append({
                     "media_id": r.media_id, "kind": r.kind,
                     "payload": r.payload, "mime": r.mime,
@@ -516,6 +529,7 @@ class FrameSampleStage:
                     "duration_ms": r.duration_ms})
                 continue
             dec = (decode_ppm_video if r.mime == VIDEO_MIME
+                   else decode_gif if animated_gif
                    else decode_avi_mjpeg)
             for i, frame in enumerate(dec(bytes(r.payload))):
                 if i % self.every:
@@ -707,6 +721,86 @@ def png_media_from_ids(ds: rd.Dataset, id_col: str = "doc_id",
             rows["width"].append(w)
             rows["height"].append(16)
             rows["duration_ms"].append(None)
+        out = pd.DataFrame(rows)
+        out["width"] = out["width"].astype("Int32")
+        out["height"] = out["height"].astype("Int32")
+        out["duration_ms"] = out["duration_ms"].astype("Int64")
+        return out
+
+    return ds.map_batches(build, batch_format="pandas",
+                          batch_size=batch_size)
+
+
+def gif_media_from_ids(ds: rd.Dataset, id_col: str = "doc_id",
+                       *, batch_size: int = 1024) -> rd.Dataset:
+    """REAL GIF stills derived deterministically from an id column
+    (the GIF counterpart of :func:`png_media_from_ids`): constant-color
+    images of value ``id % 256``, w = 16 + (id%4)*8, h = 16, with the
+    decoder paths rotating by id — interlace on odd ids, the color table
+    moving from global to per-image (local) on ids % 3 == 0, and a
+    4-entry superset palette (used color at a NON-ZERO index) on ids
+    % 2 == 0 — so LZW, de-interlace, LCT and index-mapping all run under
+    the closed-form SQL oracle. Payload length is LZW-dependent and NOT
+    part of the contract."""
+
+    def build(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = {k: [] for k in ("media_id", "kind", "payload", "mime",
+                                "width", "height", "duration_ms")}
+        for i in batch[id_col]:
+            i = int(i)
+            w = 16 + (i % 4) * 8
+            v = i % 256
+            img = np.full((16, w, 3), v, dtype=np.uint8)
+            pal = None
+            if i % 2 == 0:
+                pal = np.array([[(v + 1) % 256] * 3, [v] * 3,
+                                [(v + 7) % 256] * 3, [(v + 3) % 256] * 3],
+                               dtype=np.uint8)
+            rows["media_id"].append(i)
+            rows["kind"].append("image")
+            rows["payload"].append(encode_gif(
+                [img], palette=pal, interlace=bool(i % 2),
+                local_palettes=i % 3 == 0))
+            rows["mime"].append(GIF_MIME)
+            rows["width"].append(w)
+            rows["height"].append(16)
+            rows["duration_ms"].append(None)
+        out = pd.DataFrame(rows)
+        out["width"] = out["width"].astype("Int32")
+        out["height"] = out["height"].astype("Int32")
+        out["duration_ms"] = out["duration_ms"].astype("Int64")
+        return out
+
+    return ds.map_batches(build, batch_format="pandas",
+                          batch_size=batch_size)
+
+
+def gif_videos_from_ids(ds: rd.Dataset, id_col: str = "doc_id",
+                        *, batch_size: int = 256) -> rd.Dataset:
+    """Animated GIFs derived deterministically from an id column (the GIF
+    counterpart of :func:`avi_videos_from_ids`): each ``id % 10 == 0`` row
+    becomes an animation of ``id % 4 + 2`` frames, frame ``f`` a 16x16
+    constant image of value ``(id + f) % 256`` at 4 cs/frame — so
+    frame-sampled decode stats are closed forms a SQL oracle can state.
+    The multi-frame palette, GCE parsing and draw-over composition paths
+    all run under the gate."""
+
+    def build(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = {k: [] for k in ("media_id", "kind", "payload", "mime",
+                                "width", "height", "duration_ms")}
+        for i in batch[id_col]:
+            i = int(i)
+            if i % 10:
+                continue
+            frames = [np.full((16, 16, 3), (i + f) % 256, dtype=np.uint8)
+                      for f in range(i % 4 + 2)]
+            rows["media_id"].append(i)
+            rows["kind"].append("video")
+            rows["payload"].append(encode_gif(frames, delay_cs=4))
+            rows["mime"].append(GIF_MIME)
+            rows["width"].append(16)
+            rows["height"].append(16)
+            rows["duration_ms"].append(len(frames) * 40)
         out = pd.DataFrame(rows)
         out["width"] = out["width"].astype("Int32")
         out["height"] = out["height"].astype("Int32")

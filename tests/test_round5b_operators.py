@@ -58,3 +58,104 @@ def test_perplexity_buckets_matches_pure_python(ray_session):
     # head+middle "kept" slice is at least 2/3 of the corpus
     kept = (got.bucket != "tail").sum()
     assert kept >= -(-2 * n // 3)
+
+
+# ---------------------------------------------------------------------------
+# GIF codec (stages/gif.py)
+# ---------------------------------------------------------------------------
+
+
+def test_gif_roundtrip_fuzz():
+    from openmrs_module_epts_etl_ray.stages.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(11)
+    for trial in range(60):
+        h = int(rng.integers(1, 40))
+        w = int(rng.integers(1, 40))
+        ncol = int(rng.integers(1, 17))
+        colors = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+        img = colors[rng.integers(0, ncol, (h, w))]
+        payload = encode_gif([img], interlace=bool(trial % 2),
+                             local_palettes=trial % 3 == 0)
+        out = decode_gif(payload)
+        assert len(out) == 1 and (out[0] == img).all()
+
+
+def test_gif_full_table_and_max_width():
+    # 256-color noise forces 12-bit codes and the table-full CLEAR path
+    from openmrs_module_epts_etl_ray.stages.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(3)
+    g = rng.integers(0, 256, (200, 200), dtype=np.uint8)
+    img = np.stack([g, g, g], axis=-1)
+    for interlace in (False, True):
+        assert (decode_gif(encode_gif([img], interlace=interlace))[0]
+                == img).all()
+
+
+def test_gif_animation_and_transparency():
+    from openmrs_module_epts_etl_ray.stages.gif import decode_gif, encode_gif
+
+    frames = [np.full((16, 16, 3), v, np.uint8) for v in (3, 7, 250)]
+    out = decode_gif(encode_gif(frames, delay_cs=4))
+    assert len(out) == 3
+    assert all((a == b).all() for a, b in zip(out, frames))
+
+    # transparent pixels in frame 2 leave frame 1's canvas visible
+    f1 = np.full((8, 8, 3), 10, np.uint8)
+    f2 = np.full((8, 8, 3), 20, np.uint8)
+    f2[:4] = 30
+    out = decode_gif(encode_gif([f1, f2],
+                                transparent_color=(30, 30, 30)))
+    exp2 = f2.copy()
+    exp2[:4] = 10
+    assert (out[0] == f1).all() and (out[1] == exp2).all()
+
+
+def test_gif_superset_palette_and_errors():
+    from openmrs_module_epts_etl_ray.stages.gif import (
+        build_palette, decode_gif, encode_gif)
+
+    pal = np.array([[1, 1, 1], [5, 5, 5], [9, 9, 9], [13, 13, 13]],
+                   np.uint8)
+    img = np.full((6, 6, 3), 9, np.uint8)
+    assert (decode_gif(encode_gif([img], palette=pal))[0] == img).all()
+
+    with pytest.raises(ValueError, match="missing from supplied palette"):
+        encode_gif([np.full((2, 2, 3), 77, np.uint8)], palette=pal)
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"NOPE")
+    # >256 colors must refuse, not quantize silently
+    rng = np.random.default_rng(0)
+    big = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    assert len(build_palette([np.zeros((1, 1, 3), np.uint8)])) == 1
+    with pytest.raises(ValueError, match="exceed the 256-entry"):
+        encode_gif([big])
+
+
+def test_gif_through_decode_and_resize_stages(ray_session):
+    from openmrs_module_epts_etl_ray.stages import multimodal
+
+    docs = rd.from_pandas(pd.DataFrame({"doc_id": np.arange(30,
+                                                            dtype=np.int64)}))
+    media = multimodal.gif_media_from_ids(docs)
+    feats = multimodal.decode_features(media).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    for r in feats.itertuples():
+        f = np.asarray(r.feature)
+        assert f[0] == 16 + (r.media_id % 4) * 8 and f[1] == 16
+        assert f[2] == r.media_id % 256
+
+    resized = multimodal.resize_images(media, 8, 8)
+    rf = multimodal.decode_features(resized).to_pandas()
+    rfe = np.stack(rf["feature"].to_numpy())
+    assert (rfe[:, 0] == 8).all() and (rfe[:, 1] == 8).all()
+
+    videos = multimodal.gif_videos_from_ids(docs)
+    frames = multimodal.sample_frames(videos, every=2).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    # ids 0,10,20 -> 2, 4, 2 frames -> sampled 0th (+2nd for id 10)
+    want = {(0, 0), (10, 0), (10, 2), (20, 0)}
+    got = {(r.media_id // 1_000_000, r.media_id % 1_000_000)
+           for r in frames.itertuples()}
+    assert got == want
