@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "bpe_pair_counts",
     "media_jpeg_progressive",
     "perplexity_buckets",
+    "export_roundtrip_gz",
     "media_gif_features",
     "media_gif_resize",
     "media_gif_frames",

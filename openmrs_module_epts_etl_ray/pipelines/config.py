@@ -39,7 +39,7 @@ Supported config shape::
                 {"srcValue": "epts", "dstField": "origin_app"},
                 {"mapToNullValue": true, "dstField": "legacy", "type": "string"}
               ],
-              "dstType": "parquet",                  # parquet | csv | json
+              "dstType": "parquet",           # parquet | csv | json | json.gz
               "outDir": "/tmp/out/customer_dim"
             }
           ]

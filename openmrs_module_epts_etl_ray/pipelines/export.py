@@ -24,6 +24,22 @@ import os
 
 import pyarrow as pa
 import ray.data as rd
+from ray.data.datasource import FilenameProvider
+
+
+class _GzJsonFilenames(FilenameProvider):
+    """FilenameProvider stamping ``.json.gz`` so ``read_export`` can
+    extension-filter compressed shards (Ray's default would name them
+    ``.json`` and the reader would inflate-fail)."""
+
+    def get_filename_for_block(self, block, write_uuid, task_index,
+                               block_index):
+        return f"{write_uuid}_{task_index:06d}_{block_index:06d}.json.gz"
+
+    def get_filename_for_row(self, row, write_uuid, task_index, block_index,
+                             row_index):
+        return (f"{write_uuid}_{task_index:06d}_{block_index:06d}"
+                f"_{row_index:06d}.json.gz")
 
 
 def _marker_path(out_dir: str) -> str:
@@ -59,6 +75,13 @@ def export_files(ds: rd.Dataset, out_dir: str, fmt: str = "json",
     os.makedirs(out_dir, exist_ok=True)
     if fmt == "json":
         ds.write_json(out_dir)
+    elif fmt == "json.gz":
+        # gzip JSON-lines: the wire format of real CDC export sites —
+        # arrow's gzip output stream compresses per file, the filename
+        # provider stamps the .json.gz extension the reader filters on
+        ds.write_json(out_dir,
+                      arrow_open_stream_args={"compression": "gzip"},
+                      filename_provider=_GzJsonFilenames())
     elif fmt == "csv":
         ds.write_csv(out_dir)
     elif fmt == "parquet":
@@ -319,6 +342,9 @@ def read_export(out_dir: str, fmt: str = "json") -> rd.Dataset:
     # never be parsed as data
     if fmt == "json":
         return rd.read_json(out_dir, file_extensions=["json"])
+    if fmt == "json.gz":
+        return rd.read_json(out_dir, file_extensions=["gz"],
+                            arrow_open_stream_args={"compression": "gzip"})
     if fmt == "csv":
         return rd.read_csv(out_dir, file_extensions=["csv"])
     if fmt == "parquet":

@@ -677,6 +677,21 @@ def q_export_roundtrip(sf_dir: str):
     return read_export(out, fmt="csv")
 
 
+def q_export_roundtrip_gz(sf_dir: str):
+    """Gzip JSON-lines sink + load (S5/S2, pipelines/export.py fmt
+    "json.gz"): documents → compressed .json.gz shards (arrow gzip output
+    stream, extension-stamping filename provider) → read back through the
+    extension-filtered gzip reader. The wire format of real CDC export
+    sites; text payloads make the inflate path non-trivial."""
+    from .export import export_files, read_export
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    out = _scratch("export_json_gz")
+    export_files(docs, out, fmt="json.gz")
+    return read_export(out, fmt="json.gz") \
+        .select_columns(["doc_id", "lang", "text"])
+
+
 def q_surrogate_ids(sf_dir: str):
     """Id-generator (ST2): block-allocated surrogate ids; uniqueness/density
     asserted in tests (assignment is nondeterministic → rows-only check)."""
@@ -1781,6 +1796,7 @@ QUERIES = {
     "session_windows": q_session_windows,
     "quick_merge_customers": q_quick_merge_customers,
     "export_roundtrip": q_export_roundtrip,
+    "export_roundtrip_gz": q_export_roundtrip_gz,
     "surrogate_ids": q_surrogate_ids,
     "changed_records": q_changed_records,
     "gap_detect": q_gap_detect,
@@ -1945,6 +1961,9 @@ JOIN customer c ON c.c_custkey = o.o_custkey AND c.c_custkey % 3 <> 0
 """,
     "export_roundtrip": """
 SELECT c_custkey, c_name, c_mktsegment FROM customer
+""",
+    "export_roundtrip_gz": """
+SELECT doc_id, lang, text FROM documents
 """,
     "table_profile": """
 SELECT 'o_orderkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,

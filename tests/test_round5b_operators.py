@@ -133,6 +133,54 @@ def test_gif_superset_palette_and_errors():
         encode_gif([big])
 
 
+# ---------------------------------------------------------------------------
+# gzip JSON-lines export format (pipelines/export.py fmt="json.gz")
+# ---------------------------------------------------------------------------
+
+
+def test_export_roundtrip_json_gz(ray_session, tmp_path):
+    import gzip
+    import os
+
+    from openmrs_module_epts_etl_ray.pipelines.export import (
+        export_files, read_export)
+
+    df = pd.DataFrame({"k": np.arange(200, dtype=np.int64),
+                       "name": [f"n{i}" for i in range(200)]})
+    ds = rd.from_pandas(df).repartition(4)
+    out = str(tmp_path / "gz")
+    manifest = export_files(ds, out, fmt="json.gz")
+    assert len(manifest) >= 1
+    files = [f for f in os.listdir(out) if os.path.isfile(f"{out}/{f}")]
+    assert files and all(f.endswith(".json.gz") for f in files)
+    # shards really are gzip-compressed JSON lines
+    first = sorted(files)[0]
+    line = gzip.open(f"{out}/{first}").readline()
+    assert line.startswith(b"{") and b'"k"' in line
+
+    back = read_export(out, fmt="json.gz").to_pandas().sort_values("k")
+    assert list(back["k"]) == list(range(200))
+    assert list(back["name"]) == [f"n{i}" for i in range(200)]
+
+    # config-level: EXPORT with dstType json.gz then read back as a LOAD
+    # source would
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from openmrs_module_epts_etl_ray.pipelines.config import run_config
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "mytab.parquet"))
+    exp = str(tmp_path / "site_export")
+    run_config({"processType": "DB_QUICK_EXPORT", "etlConfiguration": [{
+        "srcConf": {"sfDir": str(tmp_path), "tableName": "mytab"},
+        "dstConf": [{"tableName": "mytab_gz", "dstType": "json.gz",
+                     "outDir": exp,
+                     "mapping": [{"srcField": "k", "dstField": "k"},
+                                 {"srcField": "name", "dstField": "name"}]}],
+    }]})
+    loaded = read_export(exp, fmt="json.gz").to_pandas().sort_values("k")
+    assert list(loaded["k"]) == list(range(200))
+
+
 def test_gif_through_decode_and_resize_stages(ray_session):
     from openmrs_module_epts_etl_ray.stages import multimodal
 
