@@ -126,6 +126,8 @@ BENCH_QUERIES = [
     "media_gif_features",
     "media_gif_resize",
     "media_gif_frames",
+    "audio_windows",
+    "strip_html",
 ]
 
 

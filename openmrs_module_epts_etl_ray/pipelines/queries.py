@@ -5038,3 +5038,107 @@ SELECT doc_id * 1000000 + i AS media_id,
        CAST((doc_id + i) % 256 AS DOUBLE) AS stat
 FROM f
 """
+
+
+# ---------------------------------------------------------------------------
+# Audio windowing + HTML boilerplate removal (round 5 additions)
+# ---------------------------------------------------------------------------
+
+def q_audio_windows(sf_dir: str):
+    """Actor-pool audio windowing (stages/multimodal.py::AudioWindowStage):
+    decode the deterministic constant-valued WAV clips from media_from_ids
+    (id % 3 == 0 -> n = 400 + (id%100)*8 samples all equal to (id%100)*10)
+    and cut each into 256-sample windows with per-window count / integer
+    peak / RMS. Constant clips make the RMS IEEE-exact (v^2 is a perfect
+    square, sqrt correctly rounded), so the whole decode->window->stat
+    path carries an exact SQL oracle."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id"],
+                      override_num_blocks=16)
+    media = multimodal.media_from_ids(docs)
+    return multimodal.audio_windows(media, window_samples=256)
+
+
+QUERIES["audio_windows"] = q_audio_windows
+
+ORACLE_SQL["audio_windows"] = """
+WITH a AS (
+  SELECT doc_id,
+         400 + (doc_id % 100) * 8 AS n,
+         (doc_id % 100) * 10 AS v
+  FROM documents WHERE doc_id % 3 = 0),
+w AS (
+  SELECT doc_id, n, v,
+         unnest(range(0, CAST(ceil(n / 256.0) AS BIGINT))) AS j
+  FROM a)
+SELECT doc_id * 1000000 + j AS window_id,
+       CAST(least(256, n - j * 256) AS BIGINT) AS n_samples,
+       CAST(v AS BIGINT) AS peak,
+       CAST(v AS DOUBLE) AS rms,
+       CAST(8000 AS BIGINT) AS rate
+FROM w
+"""
+
+
+_HTML_PREFIX = ('<html><head><script type="text/javascript">var doc = ')
+_HTML_MID = (';</script><style>p { color: red }</style></head><body><h1>Doc ')
+_HTML_BODY = ('</h1><!-- hidden\nnote --><p class="main">\n')
+_HTML_SUFFIX = ('\n</p><div>A &amp;&amp; B &lt;ok&gt; &quot;q&#39;s&quot;'
+                '&nbsp;end&amp;lt;</div></body></html>')
+
+
+def q_strip_html(sf_dir: str):
+    """Boilerplate removal (stages/text.py::strip_html — the
+    trafilatura/jusText-shaped extraction step of a web-crawl corpus
+    pipeline): wrap each document's text in a deterministic HTML shell
+    (script + style + comment + attributes + the five XML entities,
+    including the &amp;lt; double-escape trap), then strip markup. Both
+    sides run RE2 (Arrow and DuckDB), so the regex chain is restated
+    byte-for-byte in SQL."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                    override_num_blocks=16)
+
+    def wrap(t: pa.Table) -> pa.Table:
+        i = pc.cast(t["doc_id"], pa.string())
+        html = pc.binary_join_element_wise(
+            _HTML_PREFIX, i, _HTML_MID, i, _HTML_BODY,
+            pc.fill_null(t["text"], ""), _HTML_SUFFIX, "")
+        return pa.table({"doc_id": t["doc_id"], "html": html})
+
+    wrapped = ds.map_batches(wrap, batch_format="pyarrow")
+    return text_stages.strip_html(wrapped, "html", out_col="clean_text")
+
+
+QUERIES["strip_html"] = q_strip_html
+
+ORACLE_SQL["strip_html"] = """
+WITH h AS (
+  SELECT doc_id,
+         '<html><head><script type="text/javascript">var doc = '
+         || doc_id
+         || ';</script><style>p { color: red }</style></head><body><h1>Doc '
+         || doc_id || '</h1><!-- hidden' || chr(10)
+         || 'note --><p class="main">' || chr(10)
+         || coalesce(text, '') || chr(10)
+         || '</p><div>A &amp;&amp; B &lt;ok&gt; &quot;q&#39;s&quot;'
+         || '&nbsp;end&amp;lt;</div></body></html>' AS html
+  FROM documents),
+s AS (
+  SELECT doc_id,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(html, '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+          '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+        '(?s)<!--.*?-->', ' ', 'g'),
+      '<[^>]*>', ' ', 'g') AS t
+  FROM h),
+e AS (
+  SELECT doc_id,
+         replace(replace(replace(replace(replace(replace(
+           t, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t
+  FROM s)
+SELECT doc_id,
+       trim(regexp_replace(t, '\\s+', ' ', 'g'), ' ') AS clean_text
+FROM e
+"""

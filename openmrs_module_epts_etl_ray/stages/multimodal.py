@@ -879,3 +879,60 @@ def jpeg_media_from_ids(ds: rd.Dataset, id_col: str = "doc_id",
 
     return ds.map_batches(build, batch_format="pandas",
                           batch_size=batch_size)
+
+
+class AudioWindowStage:
+    """Actor-pool audio transform: decode PCM-16 WAV, cut the sample
+    stream into fixed windows of ``window_samples``, emit ONE ROW PER
+    WINDOW (window_id = media_id * 10^6 + window index — the audio
+    counterpart of :class:`FrameSampleStage`): sample count, integer peak
+    (max |sample|) and RMS. The last window is partial. RMS of a
+    constant-valued clip is IEEE-exact (n*v^2 <= 2^53, v^2 a perfect
+    square, sqrt correctly rounded), which is what lets the test-vector
+    clips carry an exact SQL oracle. Non-audio rows are dropped.
+
+    Per-clip work is vectorized (``add.reduceat`` for the window sums of
+    squares, ``maximum.reduceat`` for peaks) — the python loop is per
+    CLIP, bounded by batch size, not per sample."""
+
+    def __init__(self, window_samples: int = 256):
+        if window_samples <= 0:
+            raise ValueError("window_samples must be positive")
+        self.window = window_samples
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids, counts, peaks, rmss, rates = [], [], [], [], []
+        for r in batch.itertuples():
+            if r.mime != WAV_MIME:
+                continue
+            samples, rate = decode_wav_pcm16(bytes(r.payload))
+            n = len(samples)
+            if n == 0:
+                continue
+            x = samples.astype(np.float64)
+            edges = np.arange(0, n, self.window)
+            sumsq = np.add.reduceat(x * x, edges)
+            peak = np.maximum.reduceat(np.abs(samples.astype(np.int64)),
+                                       edges)
+            sizes = np.minimum(self.window, n - edges)
+            ids.extend(int(r.media_id) * 1_000_000 + np.arange(len(edges)))
+            counts.extend(sizes)
+            peaks.extend(peak)
+            rmss.extend(np.sqrt(sumsq / sizes))
+            rates.extend([rate] * len(edges))
+        return pd.DataFrame({
+            "window_id": pd.array(ids, dtype="int64"),
+            "n_samples": pd.array(counts, dtype="int64"),
+            "peak": pd.array(peaks, dtype="int64"),
+            "rms": pd.array(rmss, dtype="float64"),
+            "rate": pd.array(rates, dtype="int64"),
+        })
+
+
+def audio_windows(ds: rd.Dataset, window_samples: int = 256, *,
+                  batch_size: int = 256, concurrency=(1, 4)) -> rd.Dataset:
+    return ds.map_batches(AudioWindowStage,
+                          fn_constructor_kwargs=dict(
+                              window_samples=window_samples),
+                          batch_format="pandas",
+                          batch_size=batch_size, concurrency=concurrency)

@@ -812,3 +812,54 @@ def span_corrupt(
         })
 
     return ds.map_batches(corrupt, batch_format="pandas")
+
+
+def strip_html(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    *,
+    out_col: str = "clean_text",
+) -> rd.Dataset:
+    """Boilerplate removal for crawled corpora: strip markup from an HTML
+    column and keep the visible text (the trafilatura/jusText-shaped
+    extraction step every web-scale LLM corpus runs before quality
+    filtering and dedup).
+
+    The rule, applied in this exact order so a SQL oracle can restate it
+    byte-for-byte (Arrow and DuckDB both run RE2 — identical regex
+    semantics):
+
+    1. drop ``<script>``/``<style>`` elements INCLUDING their content
+       (``(?is)<script\\b[^>]*>.*?</script>``; RE2 has no backreferences,
+       so script and style are two passes);
+    2. drop HTML comments ``(?s)<!--.*?-->``;
+    3. replace every remaining tag ``<[^>]*>`` with one space;
+    4. decode the five XML entities — ``&lt; &gt; &quot; &#39; &nbsp;``
+       first, ``&amp;`` LAST (so ``&amp;lt;`` yields the literal ``&lt;``,
+       not ``<``);
+    5. collapse ``\\s+`` runs to one space and trim spaces.
+
+    Stateless vectorized ``map_batches`` (RE2 kernels compile once per
+    call), no shuffle — scales linearly with corpus bytes.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def clean(t: pa.Table) -> pa.Table:
+        s = pc.fill_null(t[text_col], "")
+        s = pc.replace_substring_regex(
+            s, r"(?is)<script\b[^>]*>.*?</script>", " ")
+        s = pc.replace_substring_regex(
+            s, r"(?is)<style\b[^>]*>.*?</style>", " ")
+        s = pc.replace_substring_regex(s, r"(?s)<!--.*?-->", " ")
+        s = pc.replace_substring_regex(s, r"<[^>]*>", " ")
+        for ent, rep in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                         ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")):
+            s = pc.replace_substring(s, ent, rep)
+        s = pc.replace_substring_regex(s, r"\s+", " ")
+        s = pc.utf8_trim(s, " ")
+        cols = {c: t[c] for c in t.column_names if c != text_col}
+        cols[out_col] = s
+        return pa.table(cols)
+
+    return ds.map_batches(clean, batch_format="pyarrow")
