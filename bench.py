@@ -128,6 +128,8 @@ BENCH_QUERIES = [
     "media_gif_frames",
     "audio_windows",
     "strip_html",
+    "pii_scrub",
+    "url_normalize",
 ]
 
 

@@ -5142,3 +5142,148 @@ SELECT doc_id,
        trim(regexp_replace(t, '\\s+', ' ', 'g'), ' ') AS clean_text
 FROM e
 """
+
+
+def q_pii_scrub(sf_dir: str):
+    """Pattern-class PII scrubbing (stages/text.py::pii_scrub): append a
+    deterministic contact line (email + separator phone + IPv4, all
+    closed forms of doc_id) to each document's text, then mask the three
+    classes in PII_PATTERNS order with per-class counts. The oracle
+    restates the same synthesis and the same sequential
+    regexp_replace/regexp_extract_all chain — RE2 on both sides."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                    override_num_blocks=16)
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["doc_id"].astype("int64")
+        txt = (df["text"].fillna("")
+               + " Contact user" + i.astype(str)
+               + "@mail" + (i % 5).astype(str)
+               + ".org or 555-01" + (i % 10).astype(str)
+               + "-" + (i % 10000).astype(str).str.zfill(4)
+               + " from 10." + (i % 256).astype(str)
+               + ".0." + ((i * 7) % 256).astype(str) + " now.")
+        return pd.DataFrame({"doc_id": i, "text": txt})
+
+    synthed = ds.map_batches(synth, batch_format="pandas")
+    out = text_stages.pii_scrub(synthed, "text", out_col="clean_text")
+    return out.select_columns(["doc_id", "clean_text", "n_email",
+                               "n_phone", "n_ipv4"])
+
+
+QUERIES["pii_scrub"] = q_pii_scrub
+
+ORACLE_SQL["pii_scrub"] = """
+WITH raw AS (
+  SELECT doc_id,
+         coalesce(text, '') || ' Contact user' || doc_id || '@mail'
+         || (doc_id % 5) || '.org or 555-01' || (doc_id % 10) || '-'
+         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         || ' from 10.' || (doc_id % 256) || '.0.'
+         || ((doc_id * 7) % 256) || ' now.' AS t0
+  FROM documents),
+s1 AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(
+      t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+      AS n_email,
+    regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '[EMAIL]', 'g') AS t1
+  FROM raw),
+s2 AS (
+  SELECT doc_id, n_email,
+    CAST(len(regexp_extract_all(
+      t1, '\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b')) AS BIGINT) AS n_phone,
+    regexp_replace(t1, '\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b',
+                   '[PHONE]', 'g') AS t2
+  FROM s1)
+SELECT doc_id,
+       regexp_replace(t2, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                      '[IP]', 'g') AS clean_text,
+       n_email, n_phone,
+       CAST(len(regexp_extract_all(
+         t2, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT)
+         AS n_ipv4
+FROM s2
+"""
+
+
+def q_url_normalize(sf_dir: str):
+    """URL canonicalization (stages/text.py::normalize_urls): messy URLs
+    synthesized as closed forms of doc_id — mixed-case scheme/host,
+    explicit default ports rotating by id, utm_* params in leading /
+    middle / trailing positions, fragments — normalized to the crawl
+    dedup key plus host and registrable-domain columns. Every rule (RE2
+    both sides) is restated in SQL."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id"],
+                    override_num_blocks=16)
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["doc_id"].astype("int64")
+        m3 = (i % 3).astype(str)
+        scheme = pd.Series(
+            np.where(i % 2 == 0, "HTTPS://", "hTtp://"), index=i.index)
+        port = pd.Series(
+            np.select([i % 3 == 0, i % 3 == 1], [":443", ":80"], ""),
+            index=i.index)
+        query = pd.Series(np.select(
+            [i % 4 == 0, i % 4 == 1, i % 4 == 2],
+            ["?utm_source=feed&x=" + m3,
+             "?x=" + m3 + "&utm_campaign=a&y=2",
+             "?x=" + m3 + "&utm_id=9"], ""), index=i.index)
+        frag = pd.Series(
+            np.where(i % 5 == 0, "#Sec1", ""), index=i.index)
+        url = (scheme + "WWW" + (i % 50).astype(str)
+               + ".ExAmple" + (i % 7).astype(str) + ".CoM" + port
+               + "/Path/" + i.astype(str) + query + frag)
+        return pd.DataFrame({"doc_id": i, "url": url})
+
+    synthed = ds.map_batches(synth, batch_format="pandas")
+    out = text_stages.normalize_urls(synthed, "url")
+    return out.select_columns(["doc_id", "url_norm", "host", "domain"])
+
+
+QUERIES["url_normalize"] = q_url_normalize
+
+ORACLE_SQL["url_normalize"] = """
+WITH raw AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'hTtp://' END)
+         || 'WWW' || (doc_id % 50) || '.ExAmple' || (doc_id % 7) || '.CoM'
+         || (CASE doc_id % 3 WHEN 0 THEN ':443' WHEN 1 THEN ':80'
+             ELSE '' END)
+         || '/Path/' || doc_id
+         || (CASE doc_id % 4
+             WHEN 0 THEN '?utm_source=feed&x=' || (doc_id % 3)
+             WHEN 1 THEN '?x=' || (doc_id % 3) || '&utm_campaign=a&y=2'
+             WHEN 2 THEN '?x=' || (doc_id % 3) || '&utm_id=9'
+             ELSE '' END)
+         || (CASE WHEN doc_id % 5 = 0 THEN '#Sec1' ELSE '' END) AS u
+  FROM documents),
+nofrag AS (SELECT doc_id, regexp_replace(u, '#.*$', '') AS u FROM raw),
+lowauth AS (
+  SELECT doc_id,
+    regexp_replace(
+      regexp_replace(
+        lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)),
+        '^(http://.*):80$', '\\1'),
+      '^(https://.*):443$', '\\1') AS auth,
+    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest
+  FROM nofrag),
+norm AS (
+  SELECT doc_id, auth,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(auth || rest, 'utm_[A-Za-z_]+=[^&#]*&', '', 'g'),
+        '[?&]utm_[A-Za-z_]+=[^&#]*$', ''),
+      '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)/$', '\\1') AS url_norm
+  FROM lowauth),
+hosts AS (
+  SELECT doc_id, url_norm,
+    regexp_replace(auth, '^[a-z][a-z0-9+.-]*://(?:[^@/]*@)?([^:/?#]*).*$',
+                   '\\1') AS host
+  FROM norm)
+SELECT doc_id, url_norm, host,
+       regexp_replace(host, '^.*?([^.]+\\.[^.]+)$', '\\1') AS domain
+FROM hosts
+"""

@@ -863,3 +863,107 @@ def strip_html(
         return pa.table(cols)
 
     return ds.map_batches(clean, batch_format="pyarrow")
+
+
+# Applied in THIS order (each class scrubs the already-scrubbed text of the
+# previous one) so the rule is deterministic and restatable in SQL.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"\b\d{3}[- ]\d{3}[- ]\d{4}\b", "[PHONE]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+]
+
+
+def pii_scrub(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    *,
+    out_col: str | None = None,
+) -> rd.Dataset:
+    """Pattern-class PII scrubbing (the pre-training privacy pass —
+    complements :func:`redact_terms`, which masks a fixed WORD list):
+    mask emails, separator-style phone numbers and IPv4 literals, one
+    vectorized RE2 kernel per class, and append per-row counts
+    ``n_email`` / ``n_phone`` / ``n_ipv4`` so a downstream filter can
+    drop PII-dense rows.
+
+    Classes apply in :data:`PII_PATTERNS` order, each over the output of
+    the previous (emails are scrubbed before the phone pass can see
+    their digits), which is exactly how a SQL oracle restates it —
+    nested ``regexp_replace(..., 'g')`` with
+    ``len(regexp_extract_all(...))`` counts on the same intermediate.
+    Stateless ``map_batches``, no shuffle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    dst = out_col or text_col
+
+    def scrub(t: pa.Table) -> pa.Table:
+        s = pc.fill_null(t[text_col], "")
+        cols = {c: t[c] for c in t.column_names}
+        for name, pat, rep in PII_PATTERNS:
+            cols[f"n_{name}"] = pc.cast(
+                pc.count_substring_regex(s, pat), pa.int64())
+            s = pc.replace_substring_regex(s, pat, rep)
+        cols[dst] = s
+        return pa.table(cols)
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+def normalize_urls(
+    ds: rd.Dataset,
+    url_col: str = "url",
+    *,
+    out_col: str = "url_norm",
+) -> rd.Dataset:
+    """URL canonicalization — the crawl-dedup key derivation step (two
+    fetches of the same page must collapse to one key before exact
+    dedup). The rule, RE2-portable so DuckDB restates it byte-for-byte:
+
+    1. drop the fragment (``#.*$``);
+    2. lowercase the scheme and authority (``scheme://host[:port]``),
+       leaving path/query case intact;
+    3. drop an explicit default port (``:80`` for http, ``:443`` for
+       https) at the end of the authority;
+    4. drop ``utm_*`` tracking params: first ``utm_x=v&`` pairs followed
+       by another param, then a trailing ``[?&]utm_x=v`` (the second
+       pass consumes its own ``?``/``&`` separator, so nothing dangles);
+    5. drop ONE trailing slash from a bare-authority URL
+       (``http://a.com/`` → ``http://a.com``, but ``/a/`` keeps its
+       path slash).
+
+    Emits ``out_col`` plus ``host`` (authority minus port/userinfo) and
+    ``domain`` (last two dot-labels of the host — the registrable-domain
+    approximation used for per-site quotas). Stateless vectorized
+    ``map_batches``, no shuffle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    AUTH = r"^(?P<auth>[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = pc.fill_null(t[url_col], "")
+        s = pc.replace_substring_regex(s, r"#.*$", "")
+        auth = pc.struct_field(pc.extract_regex(s, AUTH), "auth")
+        rest = pc.struct_field(
+            pc.extract_regex(s, AUTH + r"(?P<rest>.*)$"), "rest")
+        auth = pc.utf8_lower(pc.fill_null(auth, ""))
+        auth = pc.replace_substring_regex(auth, r"^(http://.*):80$", r"\1")
+        auth = pc.replace_substring_regex(auth, r"^(https://.*):443$", r"\1")
+        s = pc.binary_join_element_wise(auth, pc.fill_null(rest, ""), "")
+        s = pc.replace_substring_regex(s, r"utm_[A-Za-z_]+=[^&#]*&", "")
+        s = pc.replace_substring_regex(s, r"[?&]utm_[A-Za-z_]+=[^&#]*$", "")
+        s = pc.replace_substring_regex(
+            s, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)/$", r"\1")
+        host = pc.replace_substring_regex(
+            auth, r"^[a-z][a-z0-9+.-]*://(?:[^@/]*@)?([^:/?#]*).*$", r"\1")
+        domain = pc.replace_substring_regex(
+            host, r"^.*?([^.]+\.[^.]+)$", r"\1")
+        cols = {c: t[c] for c in t.column_names}
+        cols[out_col] = s
+        cols["host"] = host
+        cols["domain"] = domain
+        return pa.table(cols)
+
+    return ds.map_batches(canon, batch_format="pyarrow")

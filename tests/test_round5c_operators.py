@@ -98,3 +98,64 @@ def test_strip_html_rules(ray_session):
     out = strip_html(ds, "text").to_pandas().sort_values("doc_id")
     assert list(out.columns) == ["doc_id", "clean_text"]
     assert list(out["clean_text"]) == [c[1] for c in cases]
+
+
+def test_pii_scrub_classes_and_order(ray_session):
+    from openmrs_module_epts_etl_ray.stages.text import pii_scrub
+
+    cases = [
+        # one of each class
+        ("mail a.b+c@x-y.io or 555-010-1234 from 10.0.0.1",
+         "mail [EMAIL] or [PHONE] from [IP]", 1, 1, 1),
+        # email digits are scrubbed BEFORE the phone pass can see them
+        ("555123@4567.com", "[EMAIL]", 1, 0, 0),
+        # space-separated phone variant; dotted quad inside a word boundary
+        ("call 123 456 7890 now 1.2.3.4!", "call [PHONE] now [IP]!",
+         0, 1, 1),
+        # no PII
+        ("plain text", "plain text", 0, 0, 0),
+        # null text
+        (None, "", 0, 0, 0),
+    ]
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(len(cases), dtype=np.int64),
+        "text": [c[0] for c in cases],
+    }))
+    out = (pii_scrub(ds, "text", out_col="clean")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(out["clean"]) == [c[1] for c in cases]
+    assert list(out["n_email"]) == [c[2] for c in cases]
+    assert list(out["n_phone"]) == [c[3] for c in cases]
+    assert list(out["n_ipv4"]) == [c[4] for c in cases]
+
+
+def test_normalize_urls_rules(ray_session):
+    from openmrs_module_epts_etl_ray.stages.text import normalize_urls
+
+    cases = [
+        # fragment drop, authority lowercase, default https port, utm pair
+        ("HTTPS://Example.COM:443/Path?utm_source=x&a=B#frag",
+         "https://example.com/Path?a=B", "example.com", "example.com"),
+        # default http port + bare-authority trailing slash
+        ("http://A.b.C.com:80/", "http://a.b.c.com", "a.b.c.com", "c.com"),
+        # userinfo kept in the key but stripped from host; trailing utm
+        ("http://User@Site.org/x/?utm_a=1",
+         "http://user@site.org/x/", "site.org", "site.org"),
+        # middle utm param keeps surrounding params intact
+        ("ftp://Host.Net/Q?b=2&utm_c=3&z=4",
+         "ftp://host.net/Q?b=2&z=4", "host.net", "host.net"),
+        # non-default port survives; path case preserved
+        ("https://One.Two.com:8443/PaTh", "https://one.two.com:8443/PaTh",
+         "one.two.com", "two.com"),
+        # :443 on http is NOT a default port
+        ("http://a.com:443/x", "http://a.com:443/x", "a.com", "a.com"),
+    ]
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(len(cases), dtype=np.int64),
+        "url": [c[0] for c in cases],
+    }))
+    out = (normalize_urls(ds, "url")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(out["url_norm"]) == [c[1] for c in cases]
+    assert list(out["host"]) == [c[2] for c in cases]
+    assert list(out["domain"]) == [c[3] for c in cases]
