@@ -5127,8 +5127,13 @@ s AS (
     regexp_replace(
       regexp_replace(
         regexp_replace(
-          regexp_replace(html, '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
-          '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(html,
+                '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+              '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+            '(?is)<script\\b[^>]*>.*$', ' ', 'g'),
+          '(?is)<style\\b[^>]*>.*$', ' ', 'g'),
         '(?s)<!--.*?-->', ' ', 'g'),
       '<[^>]*>', ' ', 'g') AS t
   FROM h),
@@ -5262,7 +5267,8 @@ WITH raw AS (
   FROM documents),
 nofrag AS (SELECT doc_id, regexp_replace(u, '#.*$', '') AS u FROM raw),
 lowauth AS (
-  SELECT doc_id,
+  SELECT doc_id, u,
+    regexp_matches(u, '^[A-Za-z][A-Za-z0-9+.-]*://') AS has_auth,
     regexp_replace(
       regexp_replace(
         lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)),
@@ -5272,11 +5278,15 @@ lowauth AS (
   FROM nofrag),
 norm AS (
   SELECT doc_id, auth,
-    regexp_replace(
+    CASE WHEN has_auth THEN
       regexp_replace(
-        regexp_replace(auth || rest, 'utm_[A-Za-z_]+=[^&#]*&', '', 'g'),
-        '[?&]utm_[A-Za-z_]+=[^&#]*$', ''),
-      '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)/$', '\\1') AS url_norm
+        regexp_replace(
+          regexp_replace(auth || rest,
+            '([?&])utm_[A-Za-z_]+=[^&#]*(?:&utm_[A-Za-z_]+=[^&#]*)*&',
+            '\\1', 'g'),
+          '[?&]utm_[A-Za-z_]+=[^&#]*(?:&utm_[A-Za-z_]+=[^&#]*)*$', ''),
+        '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)/$', '\\1')
+    ELSE u END AS url_norm
   FROM lowauth),
 hosts AS (
   SELECT doc_id, url_norm,

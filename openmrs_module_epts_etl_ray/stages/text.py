@@ -831,7 +831,12 @@ def strip_html(
 
     1. drop ``<script>``/``<style>`` elements INCLUDING their content
        (``(?is)<script\\b[^>]*>.*?</script>``; RE2 has no backreferences,
-       so script and style are two passes);
+       so script and style are two passes), then drop any UNCLOSED
+       script/style open tag together with everything to the end of the
+       document (``(?is)<script\\b[^>]*>.*$``) — a truncated crawl page
+       must not leak raw JavaScript/CSS into the corpus. Known
+       limitation of regex-based stripping: a ``>`` inside a quoted
+       attribute value ends the open tag early;
     2. drop HTML comments ``(?s)<!--.*?-->``;
     3. replace every remaining tag ``<[^>]*>`` with one space;
     4. decode the five XML entities — ``&lt; &gt; &quot; &#39; &nbsp;``
@@ -851,6 +856,8 @@ def strip_html(
             s, r"(?is)<script\b[^>]*>.*?</script>", " ")
         s = pc.replace_substring_regex(
             s, r"(?is)<style\b[^>]*>.*?</style>", " ")
+        s = pc.replace_substring_regex(s, r"(?is)<script\b[^>]*>.*$", " ")
+        s = pc.replace_substring_regex(s, r"(?is)<style\b[^>]*>.*$", " ")
         s = pc.replace_substring_regex(s, r"(?s)<!--.*?-->", " ")
         s = pc.replace_substring_regex(s, r"<[^>]*>", " ")
         for ent, rep in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
@@ -926,12 +933,21 @@ def normalize_urls(
        leaving path/query case intact;
     3. drop an explicit default port (``:80`` for http, ``:443`` for
        https) at the end of the authority;
-    4. drop ``utm_*`` tracking params: first ``utm_x=v&`` pairs followed
-       by another param, then a trailing ``[?&]utm_x=v`` (the second
-       pass consumes its own ``?``/``&`` separator, so nothing dangles);
+    4. drop ``utm_*`` tracking params — each must sit directly after a
+       ``?``/``&`` separator (a param NAMED ``xutm_source`` is not a
+       tracking param and survives): first RUNS of utm params followed
+       by another param (``([?&])utm_x=v(&utm_y=w)*&`` keeps the
+       leading separator), then a trailing run
+       (``[?&]utm_x=v(&utm_y=w)*$`` consumes its own separator, so
+       nothing dangles);
     5. drop ONE trailing slash from a bare-authority URL
        (``http://a.com/`` → ``http://a.com``, but ``/a/`` keeps its
        path slash).
+
+    A row that does not start with ``scheme://`` (relative link,
+    protocol-relative ``//host``, junk) is passed through with only the
+    fragment dropped — never collapsed to an empty key — and gets empty
+    ``host``/``domain`` so a downstream filter can route it.
 
     Emits ``out_col`` plus ``host`` (authority minus port/userinfo) and
     ``domain`` (last two dot-labels of the host — the registrable-domain
@@ -940,20 +956,22 @@ def normalize_urls(
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    AUTH = r"^(?P<auth>[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
+    AUTH = r"^(?P<auth>[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)(?P<rest>.*)$"
+    UTM_RUN = r"utm_[A-Za-z_]+=[^&#]*(?:&utm_[A-Za-z_]+=[^&#]*)*"
 
     def canon(t: pa.Table) -> pa.Table:
-        s = pc.fill_null(t[url_col], "")
-        s = pc.replace_substring_regex(s, r"#.*$", "")
-        auth = pc.struct_field(pc.extract_regex(s, AUTH), "auth")
-        rest = pc.struct_field(
-            pc.extract_regex(s, AUTH + r"(?P<rest>.*)$"), "rest")
+        s0 = pc.fill_null(t[url_col], "")
+        s0 = pc.replace_substring_regex(s0, r"#.*$", "")
+        parts = pc.extract_regex(s0, AUTH)
+        auth = pc.struct_field(parts, "auth")
+        valid = pc.is_valid(auth)
+        rest = pc.fill_null(pc.struct_field(parts, "rest"), "")
         auth = pc.utf8_lower(pc.fill_null(auth, ""))
         auth = pc.replace_substring_regex(auth, r"^(http://.*):80$", r"\1")
         auth = pc.replace_substring_regex(auth, r"^(https://.*):443$", r"\1")
-        s = pc.binary_join_element_wise(auth, pc.fill_null(rest, ""), "")
-        s = pc.replace_substring_regex(s, r"utm_[A-Za-z_]+=[^&#]*&", "")
-        s = pc.replace_substring_regex(s, r"[?&]utm_[A-Za-z_]+=[^&#]*$", "")
+        s = pc.binary_join_element_wise(auth, rest, "")
+        s = pc.replace_substring_regex(s, r"([?&])" + UTM_RUN + "&", r"\1")
+        s = pc.replace_substring_regex(s, r"[?&]" + UTM_RUN + "$", "")
         s = pc.replace_substring_regex(
             s, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)/$", r"\1")
         host = pc.replace_substring_regex(
@@ -961,7 +979,7 @@ def normalize_urls(
         domain = pc.replace_substring_regex(
             host, r"^.*?([^.]+\.[^.]+)$", r"\1")
         cols = {c: t[c] for c in t.column_names}
-        cols[out_col] = s
+        cols[out_col] = pc.if_else(valid, s, s0)
         cols["host"] = host
         cols["domain"] = domain
         return pa.table(cols)

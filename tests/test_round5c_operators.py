@@ -90,6 +90,10 @@ def test_strip_html_rules(ray_session):
         ("a < b and c > d", "a d"),
         # a '<' with NO later '>' cannot match '<[^>]*>' and survives
         ("a < b and c", "a < b and c"),
+        # UNCLOSED script (truncated crawl page): JS must not leak
+        ("keep<script>var a=1;var b=2;", "keep"),
+        # unclosed style likewise
+        ("x<style>p{color:red}", "x"),
     ]
     ds = rd.from_pandas(pd.DataFrame({
         "doc_id": np.arange(len(cases), dtype=np.int64),
@@ -149,6 +153,22 @@ def test_normalize_urls_rules(ray_session):
          "one.two.com", "two.com"),
         # :443 on http is NOT a default port
         ("http://a.com:443/x", "http://a.com:443/x", "a.com", "a.com"),
+        # a param NAMED xutm_source is not a tracking param: untouched
+        ("http://a.com/p?xutm_source=1&b=2",
+         "http://a.com/p?xutm_source=1&b=2", "a.com", "a.com"),
+        # consecutive utm params collapse as one run
+        ("http://a.com/p?utm_a=1&utm_b=2&c=3",
+         "http://a.com/p?c=3", "a.com", "a.com"),
+        # all-utm query disappears entirely
+        ("http://a.com/p?utm_a=1&utm_b=2", "http://a.com/p",
+         "a.com", "a.com"),
+        # utm run in the middle, non-utm on both sides
+        ("http://a.com/p?a=1&utm_b=2&utm_c=3&z=4",
+         "http://a.com/p?a=1&z=4", "a.com", "a.com"),
+        # schemeless rows pass through (minus fragment), empty host/domain
+        ("example.com/page#f", "example.com/page", "", ""),
+        ("//proto.relative/x", "//proto.relative/x", "", ""),
+        ("/relative/path?utm_a=1", "/relative/path?utm_a=1", "", ""),
     ]
     ds = rd.from_pandas(pd.DataFrame({
         "doc_id": np.arange(len(cases), dtype=np.int64),
