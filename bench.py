@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "strip_html",
     "pii_scrub",
     "url_normalize",
+    "crawl_prep",
 ]
 
 

@@ -5297,3 +5297,79 @@ SELECT doc_id, url_norm, host,
        regexp_replace(host, '^.*?([^.]+\\.[^.]+)$', '\\1') AS domain
 FROM hosts
 """
+
+
+def q_crawl_prep(sf_dir: str):
+    """Composite crawl-corpus preparation — the pipeline the web-corpus
+    quartet exists for: messy URLs (case / default-port / utm / fragment
+    noise, synthesized as closed forms of doc_id so ~12 raw URLs collapse
+    onto each canonical key) -> normalize_urls -> exact URL dedup (min
+    doc_id wins per url_norm) -> per-domain quota (first 5 docs per
+    registrable domain). Both reductions ride grouped_topk's per-block
+    partial combiner, so each exchange moves O(keys) rows, not the
+    corpus."""
+    from ..stages.windows import grouped_topk
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"],
+                    override_num_blocks=16)
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["doc_id"].astype("int64")
+        scheme = pd.Series(
+            np.where(i % 2 == 0, "HTTPS://", "https://"), index=i.index)
+        port = pd.Series(
+            np.select([i % 3 == 0], [":443"], ""), index=i.index)
+        query = pd.Series(np.select(
+            [i % 4 == 0, i % 4 == 1, i % 4 == 3],
+            ["?utm_source=f&x=1", "?x=1&utm_c=2",
+             "?x=1&utm_a=1&utm_b=2"], "?x=1"), index=i.index)
+        frag = pd.Series(
+            np.where(i % 5 == 0, "#top", ""), index=i.index)
+        url = (scheme + "WwW" + (i % 10).astype(str)
+               + ".SiTe" + (i % 5).astype(str) + ".CoM" + port
+               + "/p/" + (i % 40).astype(str) + query + frag)
+        return pd.DataFrame({"doc_id": i, "url": url})
+
+    urls = ds.map_batches(synth, batch_format="pandas")
+    normed = text_stages.normalize_urls(urls, "url")
+    normed = normed.select_columns(["doc_id", "url_norm", "domain"])
+    per_url = grouped_topk(normed, ["url_norm"], "doc_id", 1,
+                           descending=False)
+    capped = grouped_topk(per_url, ["domain"], "doc_id", 5,
+                          descending=False)
+    return capped.map_batches(
+        lambda df: df[["doc_id", "url_norm", "domain"]],
+        batch_format="pandas")
+
+
+QUERIES["crawl_prep"] = q_crawl_prep
+
+ORACLE_SQL["crawl_prep"] = """
+WITH raw AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+         || 'WwW' || (doc_id % 10) || '.SiTe' || (doc_id % 5) || '.CoM'
+         || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
+         || '/p/' || (doc_id % 40)
+         || (CASE doc_id % 4
+             WHEN 0 THEN '?utm_source=f&x=1'
+             WHEN 1 THEN '?x=1&utm_c=2'
+             WHEN 3 THEN '?x=1&utm_a=1&utm_b=2'
+             ELSE '?x=1' END)
+         || (CASE WHEN doc_id % 5 = 0 THEN '#top' ELSE '' END) AS u
+  FROM documents),
+normed AS (
+  SELECT doc_id,
+         'https://www' || (doc_id % 10) || '.site' || (doc_id % 5)
+         || '.com/p/' || (doc_id % 40) || '?x=1' AS url_norm,
+         'site' || (doc_id % 5) || '.com' AS domain
+  FROM raw),
+per_url AS (
+  SELECT doc_id, url_norm, domain,
+         row_number() OVER (PARTITION BY url_norm ORDER BY doc_id) AS rn
+  FROM normed)
+SELECT doc_id, url_norm, domain
+FROM per_url
+WHERE rn = 1
+QUALIFY row_number() OVER (PARTITION BY domain ORDER BY doc_id) <= 5
+"""
