@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "pii_scrub",
     "url_normalize",
     "crawl_prep",
+    "readability",
 ]
 
 

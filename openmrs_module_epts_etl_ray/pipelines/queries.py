@@ -5373,3 +5373,36 @@ FROM per_url
 WHERE rn = 1
 QUALIFY row_number() OVER (PARTITION BY domain ORDER BY doc_id) <= 5
 """
+
+
+def q_readability(sf_dir: str):
+    """Flesch reading-ease (stages/text.py::readability): three RE2
+    counts (non-space word runs, [.!?]+ sentence terminators, vowel-group
+    syllable approximation) and the classic affine score, computed in an
+    expression tree DuckDB reproduces bitwise from the same int64
+    counts."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                    override_num_blocks=16)
+    return text_stages.readability(ds, "text")
+
+
+QUERIES["readability"] = q_readability
+
+ORACLE_SQL["readability"] = """
+WITH c AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(coalesce(text, ''), '\\S+')) AS BIGINT)
+      AS n_words,
+    CAST(len(regexp_extract_all(coalesce(text, ''), '[.!?]+')) AS BIGINT)
+      AS n_sentences,
+    CAST(len(regexp_extract_all(coalesce(text, ''), '(?i)[aeiouy]+'))
+      AS BIGINT) AS n_syllables
+  FROM documents)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       206.835
+       - 1.015 * (CAST(greatest(n_words, 1) AS DOUBLE)
+                  / CAST(greatest(n_sentences, 1) AS DOUBLE))
+       - 84.6 * (CAST(n_syllables AS DOUBLE)
+                 / CAST(greatest(n_words, 1) AS DOUBLE)) AS flesch
+FROM c
+"""

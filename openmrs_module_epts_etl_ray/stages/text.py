@@ -985,3 +985,46 @@ def normalize_urls(
         return pa.table(cols)
 
     return ds.map_batches(canon, batch_format="pyarrow")
+
+
+def readability(
+    ds: rd.Dataset,
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Flesch reading-ease quality signal (a standard corpus-filter
+    feature alongside the stopword/punctuation ratios in
+    ``functions.text.quality_metrics``), from three RE2 counts:
+
+    - ``n_words``     = non-space runs ``\\S+``;
+    - ``n_sentences`` = terminator runs ``[.!?]+``;
+    - ``n_syllables`` = the vowel-group approximation ``(?i)[aeiouy]+``.
+
+    ``flesch = 206.835 - 1.015*(w/s) - 84.6*(y/w)`` with ``s``/``w``
+    floored at 1 — evaluated in this exact left-associative expression
+    tree so DuckDB's float64 arithmetic reproduces it BITWISE (each IEEE
+    op is correctly rounded; identical inputs + identical tree =
+    identical doubles). Stateless vectorized ``map_batches``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def score(t: pa.Table) -> pa.Table:
+        s = pc.fill_null(t[text_col], "")
+        w = pc.cast(pc.count_substring_regex(s, r"\S+"), pa.int64())
+        sent = pc.cast(pc.count_substring_regex(s, r"[.!?]+"), pa.int64())
+        syl = pc.cast(pc.count_substring_regex(s, r"(?i)[aeiouy]+"),
+                      pa.int64())
+        wf = pc.cast(pc.max_element_wise(w, 1), pa.float64())
+        sf = pc.cast(pc.max_element_wise(sent, 1), pa.float64())
+        yf = pc.cast(syl, pa.float64())
+        flesch = pc.subtract(
+            pc.subtract(pa.scalar(206.835),
+                        pc.multiply(pa.scalar(1.015), pc.divide(wf, sf))),
+            pc.multiply(pa.scalar(84.6), pc.divide(yf, wf)))
+        cols = {c: t[c] for c in t.column_names if c != text_col}
+        cols["n_words"] = w
+        cols["n_sentences"] = sent
+        cols["n_syllables"] = syl
+        cols["flesch"] = flesch
+        return pa.table(cols)
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -179,3 +179,37 @@ def test_normalize_urls_rules(ray_session):
     assert list(out["url_norm"]) == [c[1] for c in cases]
     assert list(out["host"]) == [c[2] for c in cases]
     assert list(out["domain"]) == [c[3] for c in cases]
+
+
+def test_readability_counts_and_score(ray_session):
+    from openmrs_module_epts_etl_ray.stages.text import readability
+
+    cases = [
+        # words=5, sentences=2 ('.' and '!'), syllable groups counted
+        "Hello world. Two more sents!",
+        # no terminators / empty / null floor at 1
+        "no terminator here",
+        "",
+        None,
+        # y counts as a vowel group; '...' is ONE terminator run
+        "Rhythm myth... why?",
+    ]
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(len(cases), dtype=np.int64),
+        "text": cases,
+    }))
+    out = (readability(ds, "text")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    import re
+    for j, txt in enumerate(cases):
+        t = txt or ""
+        w = len(re.findall(r"\S+", t))
+        s = len(re.findall(r"[.!?]+", t))
+        y = len(re.findall(r"[aeiouy]+", t, re.I))
+        assert out.loc[j, "n_words"] == w
+        assert out.loc[j, "n_sentences"] == s
+        assert out.loc[j, "n_syllables"] == y
+        expect = 206.835 - 1.015 * (max(w, 1) / max(s, 1)) \
+            - 84.6 * (y / max(w, 1))
+        assert out.loc[j, "flesch"] == expect
