@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "url_normalize",
     "crawl_prep",
     "readability",
+    "audio_resample_windows",
 ]
 
 

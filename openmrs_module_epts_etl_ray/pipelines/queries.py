@@ -5406,3 +5406,39 @@ SELECT doc_id, n_words, n_sentences, n_syllables,
                  / CAST(greatest(n_words, 1) AS DOUBLE)) AS flesch
 FROM c
 """
+
+
+def q_audio_resample_windows(sf_dir: str):
+    """Composition: WAV decimation (stages/multimodal.py::ResampleStage,
+    factor 2 — bit-exact every-2nd-sample keep, rate halved) feeding the
+    windowing stage. media_from_ids clips have n = 400 + (id%100)*8
+    samples (even), so the resampled clip has exactly n/2 samples of the
+    same constant value at 4 kHz — the whole
+    decode->decimate->re-encode->window->stat chain stays a closed form
+    of doc_id."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id"],
+                      override_num_blocks=16)
+    media = multimodal.media_from_ids(docs)
+    halved = multimodal.resample_audio(media, 2)
+    return multimodal.audio_windows(halved, window_samples=256)
+
+
+QUERIES["audio_resample_windows"] = q_audio_resample_windows
+
+ORACLE_SQL["audio_resample_windows"] = """
+WITH a AS (
+  SELECT doc_id,
+         (400 + (doc_id % 100) * 8) / 2 AS n,
+         (doc_id % 100) * 10 AS v
+  FROM documents WHERE doc_id % 3 = 0),
+w AS (
+  SELECT doc_id, n, v,
+         unnest(range(0, CAST(ceil(n / 256.0) AS BIGINT))) AS j
+  FROM a)
+SELECT doc_id * 1000000 + j AS window_id,
+       CAST(least(256, n - j * 256) AS BIGINT) AS n_samples,
+       CAST(v AS BIGINT) AS peak,
+       CAST(v AS DOUBLE) AS rms,
+       CAST(4000 AS BIGINT) AS rate
+FROM w
+"""

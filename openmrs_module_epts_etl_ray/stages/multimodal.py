@@ -936,3 +936,44 @@ def audio_windows(ds: rd.Dataset, window_samples: int = 256, *,
                               window_samples=window_samples),
                           batch_format="pandas",
                           batch_size=batch_size, concurrency=concurrency)
+
+
+class ResampleStage:
+    """Actor-pool audio resampler: integer-factor DECIMATION (keep every
+    ``factor``-th sample, divide the rate) — the cheap exact half of a
+    resampler (fractional ratios need an interpolation kernel and stop
+    being integer-exact; decimation of PCM-16 is bit-exact, which is what
+    lets a SQL oracle follow it through :class:`AudioWindowStage`).
+    Non-audio rows pass through untouched (the mirror of
+    :class:`ResizeStage`, which passes audio through)."""
+
+    def __init__(self, factor: int = 2):
+        if factor < 1:
+            raise ValueError("factor must be >= 1")
+        self.factor = factor
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        payloads, durations = [], []
+        for r in batch.itertuples():
+            if r.mime != WAV_MIME or self.factor == 1:
+                payloads.append(r.payload)
+                durations.append(getattr(r, "duration_ms", None))
+                continue
+            samples, rate = decode_wav_pcm16(bytes(r.payload))
+            kept = samples[::self.factor]
+            new_rate = max(1, rate // self.factor)
+            payloads.append(encode_wav_pcm16(kept, new_rate))
+            durations.append(int(len(kept) * 1000 / new_rate))
+        out["payload"] = payloads
+        if "duration_ms" in out.columns:
+            out["duration_ms"] = pd.array(durations, dtype="Int64")
+        return out
+
+
+def resample_audio(ds: rd.Dataset, factor: int = 2, *,
+                   batch_size: int = 256, concurrency=(1, 4)) -> rd.Dataset:
+    return ds.map_batches(ResampleStage,
+                          fn_constructor_kwargs=dict(factor=factor),
+                          batch_format="pandas",
+                          batch_size=batch_size, concurrency=concurrency)

@@ -213,3 +213,29 @@ def test_readability_counts_and_score(ray_session):
         expect = 206.835 - 1.015 * (max(w, 1) / max(s, 1)) \
             - 84.6 * (y / max(w, 1))
         assert out.loc[j, "flesch"] == expect
+
+
+def test_resample_audio_decimates_and_passes_images(ray_session):
+    from openmrs_module_epts_etl_ray.stages import multimodal as mm
+
+    samp = np.arange(-5, 6, dtype=np.int16) * 100  # 11 samples
+    img = np.full((4, 4, 3), 7, dtype=np.uint8)
+    rows = pd.DataFrame({
+        "media_id": [1, 2],
+        "kind": ["audio", "image"],
+        "payload": [mm.encode_wav_pcm16(samp, 8000), mm.encode_ppm(img)],
+        "mime": [mm.WAV_MIME, mm.PPM_MIME],
+    })
+    out = (mm.resample_audio(rd.from_pandas(rows), 3, concurrency=1)
+           .to_pandas().sort_values("media_id").reset_index(drop=True))
+    dec, rate = mm.decode_wav_pcm16(bytes(out.loc[0, "payload"]))
+    assert rate == 8000 // 3
+    np.testing.assert_array_equal(dec, samp[::3])
+    # image payload untouched
+    assert bytes(out.loc[1, "payload"]) == mm.encode_ppm(img)
+    # factor 1 is the identity
+    same = (mm.resample_audio(rd.from_pandas(rows), 1, concurrency=1)
+            .to_pandas().sort_values("media_id").reset_index(drop=True))
+    assert bytes(same.loc[0, "payload"]) == mm.encode_wav_pcm16(samp, 8000)
+    with pytest.raises(ValueError):
+        mm.ResampleStage(factor=0)
