@@ -133,6 +133,10 @@ BENCH_QUERIES = [
     "crawl_prep",
     "readability",
     "audio_resample_windows",
+    "link_extract",
+    "link_domain_degrees",
+    "collocations",
+    "inverted_index",
 ]
 
 

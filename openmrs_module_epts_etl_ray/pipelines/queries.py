@@ -5442,3 +5442,148 @@ SELECT doc_id * 1000000 + j AS window_id,
        CAST(4000 AS BIGINT) AS rate
 FROM w
 """
+
+
+def _synth_link_html(df: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic HTML shell with 0-3 absolute links, an optional
+    relative link (even ids) and an href-less decoy anchor — closed
+    forms of doc_id so the oracle restates the expected extraction."""
+    i = df["doc_id"].astype("int64")
+    s = i.astype(str)
+    html = '<html><body><p>Doc ' + s + '</p><a name="top">skip me</a>'
+    for j in range(3):
+        piece = ('<a class="l" href="https://host'
+                 + ((i * 7 + j) % 10).astype(str) + '.example/p/' + s
+                 + '/' + str(j) + '">link ' + s + ' ' + str(j) + '</a>')
+        html = html + piece.where((i % 4) > j, "")
+    rel = ('<a href="/rel/' + s + '">rel ' + s + '</a>').where(i % 2 == 0, "")
+    html = html + rel + '</body></html>'
+    return pd.DataFrame({"doc_id": i, "html": html})
+
+
+def q_link_extract(sf_dir: str):
+    """Hyperlink extraction (stages/text.py::extract_links — the WAT/
+    link-graph construction step of a web-crawl pipeline): wrap each
+    document in a deterministic HTML shell carrying doc_id%4 absolute
+    links, a relative link on even ids and one href-less decoy, then
+    explode to one row per matched link with a 1-based per-document
+    position. The oracle restates the synthesis in closed form."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id"],
+                    override_num_blocks=16)
+    synthed = ds.map_batches(_synth_link_html, batch_format="pandas")
+    return text_stages.extract_links(synthed, "html").sort(
+        ["doc_id", "link_pos"])
+
+
+QUERIES["link_extract"] = q_link_extract
+
+ORACLE_SQL["link_extract"] = """
+WITH a AS (
+  SELECT doc_id, unnest(range(0, doc_id % 4)) AS j FROM documents),
+abs_links AS (
+  SELECT doc_id, CAST(j + 1 AS BIGINT) AS link_pos,
+         'https://host' || ((doc_id * 7 + j) % 10) || '.example/p/'
+           || doc_id || '/' || j AS href,
+         'link ' || doc_id || ' ' || j AS anchor
+  FROM a),
+rel_links AS (
+  SELECT doc_id, CAST(doc_id % 4 + 1 AS BIGINT) AS link_pos,
+         '/rel/' || doc_id AS href, 'rel ' || doc_id AS anchor
+  FROM documents WHERE doc_id % 2 = 0)
+SELECT * FROM abs_links
+UNION ALL
+SELECT * FROM rel_links
+ORDER BY doc_id, link_pos
+"""
+
+
+def q_link_domain_degrees(sf_dir: str):
+    """Link-graph in-degrees (stages/text.py::domain_degrees): extract
+    links from the same synthesized shells, keep absolute http(s) hrefs,
+    count links and distinct source documents per target host. Relative
+    links are synthesized and must be filtered; the per-block
+    (host, doc) dedup is globally exact because extract_links keeps one
+    document's links in one block."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id"],
+                    override_num_blocks=16)
+    synthed = ds.map_batches(_synth_link_html, batch_format="pandas")
+    links = text_stages.extract_links(synthed, "html")
+    return text_stages.domain_degrees(links)
+
+
+QUERIES["link_domain_degrees"] = q_link_domain_degrees
+
+ORACLE_SQL["link_domain_degrees"] = """
+WITH l AS (
+  SELECT doc_id, 'host' || ((doc_id * 7 + j) % 10) || '.example' AS host
+  FROM (SELECT doc_id, unnest(range(0, doc_id % 4)) AS j FROM documents))
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_links,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_src_docs
+FROM l GROUP BY host ORDER BY host
+"""
+
+
+def q_collocations(sf_dir: str):
+    """Adjacent-bigram collocations (stages/text.py::collocations): the
+    100 most frequent token pairs corpus-wide with both members' unigram
+    counts attached — the integer numerators of PMI scoring. Pair and
+    unigram counts are pre-reduced per block; the oracle restates the
+    same split-on-space tokenization with DuckDB list unnesting."""
+    ds = read_table(sf_dir, "documents", columns=["text"],
+                    override_num_blocks=16)
+    return text_stages.collocations(ds, 100)
+
+
+QUERIES["collocations"] = q_collocations
+
+ORACLE_SQL["collocations"] = """
+WITH toks AS (
+  SELECT string_split(coalesce(text, ''), ' ') AS w FROM documents),
+pr AS (
+  SELECT w[j] AS left_term, w[j + 1] AS right_term
+  FROM (SELECT w, unnest(range(1, len(w))) AS j FROM toks
+        WHERE len(w) > 1)),
+pair_counts AS (
+  SELECT left_term, right_term, CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM pr GROUP BY 1, 2),
+top AS (
+  SELECT * FROM pair_counts
+  ORDER BY n_pair DESC, left_term, right_term LIMIT 100),
+uni AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS n_term
+  FROM (SELECT unnest(w) AS term FROM toks WHERE len(w) > 0)
+  GROUP BY 1)
+SELECT t.left_term, t.right_term, t.n_pair,
+       lu.n_term AS n_left, ru.n_term AS n_right
+FROM top t
+JOIN uni lu ON lu.term = t.left_term
+JOIN uni ru ON ru.term = t.right_term
+ORDER BY n_pair DESC, left_term, right_term
+"""
+
+
+def q_inverted_index(sf_dir: str):
+    """Posting-list construction (stages/text.py::inverted_index):
+    term -> (document frequency, comma-joined ascending doc ids) for
+    terms in >= 3 distinct documents. One hash exchange on term; the
+    per-block (doc, term) DISTINCT is globally exact because each
+    document lives in one block."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                    override_num_blocks=16)
+    return text_stages.inverted_index(ds, min_df=3)
+
+
+QUERIES["inverted_index"] = q_inverted_index
+
+ORACLE_SQL["inverted_index"] = """
+WITH pairs AS (
+  SELECT DISTINCT doc_id,
+         unnest(string_split(coalesce(text, ''), ' ')) AS term
+  FROM documents),
+g AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+           AS postings
+  FROM pairs GROUP BY term)
+SELECT term, df, postings FROM g WHERE df >= 3 ORDER BY term
+"""

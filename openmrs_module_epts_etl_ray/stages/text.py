@@ -1028,3 +1028,253 @@ def readability(
         return pa.table(cols)
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+_A_TAG_RE = None  # compiled lazily at first use (module import stays cheap)
+
+
+def _a_tag_re():
+    global _A_TAG_RE
+    if _A_TAG_RE is None:
+        import re
+        # RE2-compatible (no backrefs/lookaround) so the DuckDB oracle can
+        # restate it verbatim: href value then anchor text, both in
+        # negated-char classes — unambiguous captures under both engines.
+        _A_TAG_RE = re.compile(r'<a [^>]*href="([^"]*)"[^>]*>([^<]*)</a>')
+    return _A_TAG_RE
+
+
+class LinkExtract:
+    """Hyperlink extraction from raw HTML — the link-graph construction
+    step of a web-crawl corpus pipeline (the WAT-extraction analogue;
+    reference has no media/web layer, this extends the same
+    field-extraction contract as ``etl/model/EtlDatabaseObject`` mapped
+    fields to multi-valued captures). One compiled pattern per worker;
+    ``Series.str.extractall`` drives the multi-match scan and the output
+    explodes to one row per link with a 1-based per-document position."""
+
+    def __init__(self, html_col: str = "html", id_col: str = "doc_id"):
+        self.html_col = html_col
+        self.id_col = id_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        m = df[self.html_col].fillna("").str.extractall(_a_tag_re())
+        if m.empty:
+            return pd.DataFrame({
+                self.id_col: pd.Series([], dtype="int64"),
+                "link_pos": pd.Series([], dtype="int64"),
+                "href": pd.Series([], dtype="string"),
+                "anchor": pd.Series([], dtype="string"),
+            })
+        rows = m.index.get_level_values(0).to_numpy()
+        # extractall reports an EMPTY participating capture as NaN; both
+        # groups always participate in a match, so NaN can only mean ''
+        return pd.DataFrame({
+            self.id_col: df[self.id_col].to_numpy()[rows],
+            "link_pos": (m.index.get_level_values(1).to_numpy() + 1
+                         ).astype("int64"),
+            "href": m[0].fillna("").to_numpy(),
+            "anchor": m[1].fillna("").to_numpy(),
+        })
+
+
+def extract_links(
+    ds: rd.Dataset,
+    html_col: str = "html",
+    *,
+    id_col: str = "doc_id",
+    **kw,
+) -> rd.Dataset:
+    return ds.map_batches(LinkExtract(html_col, id_col),
+                          batch_format="pandas", **kw)
+
+
+def domain_degrees(
+    links: rd.Dataset,
+    *,
+    href_col: str = "href",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """In-link degrees per target host over an extracted link relation:
+    absolute http(s) links only, host = authority up to the first ``/``.
+
+    Scale shape: per-block partials only — ``n_links`` is a plain count
+    and ``n_src_docs`` is EXACT with block-local (host, doc) dedup because
+    one document's links live in one block (``extract_links`` explodes
+    within the batch; callers must not repartition the link relation by
+    anything other than doc before this). The exchange moves
+    (host, partial, partial) triples — host-vocabulary-sized."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def partial(t: "pa.Table") -> "pa.Table":
+        # declared pyarrow — pandas partials hit aggregate's per-group loop
+        import pyarrow as pa
+        df = t.to_pandas()
+        href = df[href_col].fillna("")
+        sub = df[href.str.match(r"https?://").to_numpy(dtype=bool)]
+        if not len(sub):
+            return pa.table({"host": pa.array([], type=pa.string()),
+                             "n_links": pa.array([], type=pa.int64()),
+                             "n_src_docs": pa.array([], type=pa.int64())})
+        host = sub[href_col].str.extract(r"^https?://([^/]+)",
+                                         expand=False)
+        tmp = pd.DataFrame({"host": host.to_numpy(),
+                            id_col: sub[id_col].to_numpy()})
+        n_links = tmp.groupby("host", sort=False).size()
+        n_docs = (tmp.drop_duplicates().groupby("host", sort=False).size()
+                  .reindex(n_links.index))
+        return pa.table({
+            "host": n_links.index.to_numpy(),
+            "n_links": n_links.to_numpy().astype(np.int64),
+            "n_src_docs": n_docs.to_numpy().astype(np.int64),
+        })
+
+    agg = (links.map_batches(partial, batch_format="pyarrow")
+                .groupby("host")
+                .aggregate(Sum("n_links", alias_name="n_links"),
+                           Sum("n_src_docs", alias_name="n_src_docs")))
+    return agg.sort("host")
+
+
+def collocations(
+    ds: rd.Dataset,
+    k: int = 100,
+    *,
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Corpus-wide adjacent-bigram collocation counts: the ``k`` most
+    frequent token pairs with the unigram counts of both members —
+    the integer numerators of PMI / log-likelihood collocation scores
+    (callers derive floats; the relation itself stays oracle-exact).
+
+    Tokenization = split on a single space (the ``top_terms`` contract).
+    Scale shape: pair AND unigram counts are pre-reduced inside each
+    block, so both exchanges move vocabulary-sized (key, partial) rows;
+    the unigram relation is then attached to the k winning pairs via two
+    broadcast joins — no corpus-scale shuffle, nothing pinned."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    from .joins import broadcast_inner_join
+
+    def pair_partial(t: "pa.Table") -> "pa.Table":
+        # declared pyarrow — see top_terms.partial
+        import pyarrow as pa
+        df = t.to_pandas()
+        toks = df[text_col].fillna("").str.split(" ")
+        lefts = [np.asarray(w[:-1], dtype=object) for w in toks
+                 if len(w) > 1]
+        rights = [np.asarray(w[1:], dtype=object) for w in toks
+                  if len(w) > 1]
+        if not lefts:
+            return pa.table({"left_term": pa.array([], type=pa.string()),
+                             "right_term": pa.array([], type=pa.string()),
+                             "n_pair": pa.array([], type=pa.int64())})
+        out = (pd.DataFrame({"left_term": np.concatenate(lefts),
+                             "right_term": np.concatenate(rights)})
+               .groupby(["left_term", "right_term"], sort=False)
+               .size())
+        idx = out.index
+        return pa.table({
+            "left_term": idx.get_level_values(0).to_numpy(),
+            "right_term": idx.get_level_values(1).to_numpy(),
+            "n_pair": out.to_numpy().astype(np.int64),
+        })
+
+    pairs = (ds.map_batches(pair_partial, batch_format="pyarrow")
+               .groupby(["left_term", "right_term"])
+               .aggregate(Sum("n_pair", alias_name="n_pair"))
+               .sort(["n_pair", "left_term", "right_term"],
+                     descending=[True, False, False])
+               .limit(k))
+
+    def uni_partial(t: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+        df = t.to_pandas()
+        toks = df[text_col].fillna("").str.split(" ")
+        flat = pd.Series(np.concatenate(
+            [np.asarray(w, dtype=object) for w in toks if len(w)] or
+            [np.array([], dtype=object)]))
+        out = flat.value_counts(sort=False)
+        return pa.table({"term": out.index.to_numpy(),
+                         "n_term": out.to_numpy().astype(np.int64)})
+
+    uni = (ds.map_batches(uni_partial, batch_format="pyarrow")
+             .groupby("term").aggregate(Sum("n_term", alias_name="n_term")))
+
+    def rename(t: "pa.Table", frm: str, to: str) -> "pa.Table":
+        import pyarrow as pa
+        return t.rename_columns([to if c == frm else c
+                                 for c in t.column_names])
+
+    left_u = uni.map_batches(lambda t: rename(rename(t, "term", "left_term"),
+                                              "n_term", "n_left"),
+                             batch_format="pyarrow")
+    right_u = uni.map_batches(
+        lambda t: rename(rename(t, "term", "right_term"),
+                         "n_term", "n_right"),
+        batch_format="pyarrow")
+    out = broadcast_inner_join(pairs, left_u, ["left_term"])
+    out = broadcast_inner_join(out, right_u, ["right_term"])
+    return out.sort(["n_pair", "left_term", "right_term"],
+                    descending=[True, False, False])
+
+
+def inverted_index(
+    ds: rd.Dataset,
+    *,
+    min_df: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Posting-list construction: term -> (df, comma-joined doc ids in
+    ascending id order) for every term appearing in at least ``min_df``
+    distinct documents — the index-build step of a BM25/search pipeline
+    (postings as a string column so the relation is value-hash stable).
+
+    Scale shape: per-block DISTINCT (term, doc) — globally exact because
+    a document lives in one block — then ONE hash exchange on term into
+    ``num_buckets`` groups; inside a bucket the df count and the join are
+    vectorized pandas over that bucket's slice of the vocabulary."""
+    import numpy as np
+
+    from ..functions.hashing import BUCKET_COL, add_bucket
+
+    if num_buckets is None:
+        try:
+            import ray
+            num_buckets = max(16, int(ray.cluster_resources().get("CPU", 16)))
+        except Exception:
+            num_buckets = 16
+
+    def distinct_pairs(t: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+        df = t.to_pandas()
+        toks = df[text_col].fillna("").str.split(" ")
+        n = toks.str.len().fillna(0).astype(int).to_numpy()
+        pairs = pd.DataFrame({
+            id_col: np.repeat(df[id_col].to_numpy(), n),
+            "term": np.concatenate(
+                [np.asarray(w, dtype=object) for w in toks if len(w)] or
+                [np.array([], dtype=object)]),
+        }).drop_duplicates()
+        out = pa.table({id_col: pairs[id_col].to_numpy(),
+                        "term": pairs["term"].to_numpy()})
+        return add_bucket(out, ("term",), num_buckets)
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["term", id_col], kind="stable")
+        g["_s"] = g[id_col].astype("int64").astype(str)
+        out = g.groupby("term", as_index=False).agg(
+            df=(id_col, "size"), postings=("_s", ",".join))
+        out["df"] = out["df"].astype("int64")
+        return out[out["df"] >= min_df]
+
+    return (ds.map_batches(distinct_pairs, batch_format="pyarrow")
+              .repartition(num_buckets)
+              .groupby(BUCKET_COL)
+              .map_groups(build, batch_format="pandas")
+              .sort("term"))
