@@ -1273,8 +1273,9 @@ def inverted_index(
         out["df"] = out["df"].astype("int64")
         return out[out["df"] >= min_df]
 
+    # groupby is the ONLY exchange — no repartition first (it would be a
+    # second redundant all-to-all over the corpus-scale pair relation)
     return (ds.map_batches(distinct_pairs, batch_format="pyarrow")
-              .repartition(num_buckets)
               .groupby(BUCKET_COL)
               .map_groups(build, batch_format="pandas")
               .sort("term"))
