@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "link_domain_degrees",
     "collocations",
     "inverted_index",
+    "anchor_texts",
 ]
 
 

@@ -5587,3 +5587,49 @@ g AS (
   FROM pairs GROUP BY term)
 SELECT term, df, postings FROM g WHERE df >= 3 ORDER BY term
 """
+
+
+def q_anchor_texts(sf_dir: str):
+    """Per-host anchor-text aggregation (composition: extract_links ->
+    host projection -> stages/pivot.py::grouped_concat): the classic
+    link-graph feature build — every anchor text pointing at a host,
+    concatenated in (doc_id, link_pos) order. Relative links drop out
+    at the host projection; one hash exchange on host."""
+    from ..stages.pivot import grouped_concat
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"],
+                    override_num_blocks=16)
+    synthed = ds.map_batches(_synth_link_html, batch_format="pandas")
+    links = text_stages.extract_links(synthed, "html")
+
+    def with_host(df: pd.DataFrame) -> pd.DataFrame:
+        host = df["href"].fillna("").str.extract(
+            r"^https?://([^/]+)", expand=False)
+        keep = host.notna().to_numpy()
+        sub = df[keep]
+        return pd.DataFrame({
+            "host": host[keep].to_numpy(),
+            "doc_id": sub["doc_id"].to_numpy(),
+            "link_pos": sub["link_pos"].to_numpy(),
+            "anchor": sub["anchor"].to_numpy(),
+        })
+
+    hosted = links.map_batches(with_host, batch_format="pandas")
+    agg = grouped_concat(hosted, ["host"], "anchor",
+                         ["doc_id", "link_pos"], sep="|",
+                         out_col="anchors")
+    return agg.sort("host")
+
+
+QUERIES["anchor_texts"] = q_anchor_texts
+
+ORACLE_SQL["anchor_texts"] = """
+WITH l AS (
+  SELECT doc_id, CAST(j + 1 AS BIGINT) AS link_pos,
+         'host' || ((doc_id * 7 + j) % 10) || '.example' AS host,
+         'link ' || doc_id || ' ' || j AS anchor
+  FROM (SELECT doc_id, unnest(range(0, doc_id % 4)) AS j FROM documents))
+SELECT host,
+       string_agg(anchor, '|' ORDER BY doc_id, link_pos) AS anchors
+FROM l GROUP BY host ORDER BY host
+"""

@@ -157,6 +157,27 @@ def test_inverted_index_vs_bruteforce(ray_session):
     assert list(out["postings"]) == [e[2] for e in exp]
 
 
+def test_anchor_texts_composition_vs_bruteforce(ray_session):
+    """extract_links -> host projection -> grouped_concat, checked
+    against a direct regex + python groupby reference."""
+    from openmrs_module_epts_etl_ray.pipelines.queries import q_anchor_texts
+
+    out = (q_anchor_texts("/root/testdata/sf0.001").to_pandas()
+           .sort_values("host").reset_index(drop=True))
+
+    import pyarrow.parquet as pq
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id"]).to_pandas()
+    exp = {}
+    for did in sorted(docs["doc_id"]):
+        for j in range(did % 4):
+            host = f"host{(did * 7 + j) % 10}.example"
+            exp.setdefault(host, []).append(f"link {did} {j}")
+    hosts = sorted(exp)
+    assert list(out["host"]) == hosts
+    assert list(out["anchors"]) == ["|".join(exp[h]) for h in hosts]
+
+
 def test_inverted_index_doc_split_across_blocks_is_still_exact(ray_session):
     """The per-block DISTINCT contract: a document's row lives in exactly
     one block, so dedup is global. Verify with many blocks (more blocks
