@@ -5501,9 +5501,9 @@ def q_link_domain_degrees(sf_dir: str):
     """Link-graph in-degrees (stages/text.py::domain_degrees): extract
     links from the same synthesized shells, keep absolute http(s) hrefs,
     count links and distinct source documents per target host. Relative
-    links are synthesized and must be filtered; the per-block
-    (host, doc) dedup is globally exact because extract_links keeps one
-    document's links in one block."""
+    links are synthesized and must be filtered; distinct-source counts
+    are exact under any partitioning (one hash exchange on host over
+    block-reduced (host, doc) triples)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id"],
                     override_num_blocks=16)
     synthed = ds.map_batches(_synth_link_html, batch_format="pandas")
@@ -5603,8 +5603,7 @@ def q_anchor_texts(sf_dir: str):
     links = text_stages.extract_links(synthed, "html")
 
     def with_host(df: pd.DataFrame) -> pd.DataFrame:
-        host = df["href"].fillna("").str.extract(
-            r"^https?://([^/]+)", expand=False)
+        host = text_stages.host_of(df["href"])
         keep = host.notna().to_numpy()
         sub = df[keep]
         return pd.DataFrame({

@@ -247,6 +247,21 @@ def tfidf_top_terms(
     return ds.map_batches(rank, batch_format="pandas")
 
 
+def _unigram_counts_block(texts: pd.Series, keep=None):
+    """Block-local whitespace-token counts — THE tokenization contract
+    shared by ``top_terms`` and ``collocations`` (split on a single
+    space, empty/null text yields one '' token). Returns (terms, counts)
+    numpy arrays; ``keep`` restricts counting to a term set."""
+    import numpy as np
+    toks = texts.fillna("").str.split(" ")
+    flat = pd.Series(np.concatenate(
+        [t for t in toks if len(t)] or [np.array([], dtype=object)]))
+    out = flat.value_counts(sort=False)
+    if keep is not None:
+        out = out[out.index.isin(keep)]
+    return out.index.to_numpy(), out.to_numpy().astype("int64")
+
+
 def top_terms(
     ds: rd.Dataset,
     k: int = 100,
@@ -261,21 +276,14 @@ def top_terms(
     partial_count) pairs — vocabulary-sized, sublinear in corpus bytes;
     the final sort+limit runs over the aggregated term relation only.
     """
-    import numpy as np
-
     from ray.data.aggregate import Sum
 
     def partial(t: "pa.Table") -> "pa.Table":
         # declared pyarrow — see term_doc_freq.df_partial
         import pyarrow as pa
-        df = t.to_pandas()
-        toks = df[text_col].fillna("").str.split(" ")
-        flat = pd.Series(np.concatenate(
-            [t for t in toks if len(t)] or [np.array([], dtype=object)]))
-        out = flat.value_counts(sort=False)
+        terms, counts = _unigram_counts_block(t.to_pandas()[text_col])
         # Arrow partials — pandas blocks hit aggregate's per-group loop
-        return pa.table({"term": out.index.to_numpy(),
-                         "n": out.to_numpy().astype("int64")})
+        return pa.table({"term": terms, "n": counts})
 
     counts = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("term").aggregate(Sum("n", alias_name="n"))
@@ -1090,52 +1098,74 @@ def extract_links(
                           batch_format="pandas", **kw)
 
 
+HOST_RE = r"^https?://([^/]+)"
+
+
+def host_of(href: pd.Series) -> pd.Series:
+    """Authority (host) of absolute http(s) URLs, NaN otherwise — ONE
+    regex pass; the single definition shared by ``domain_degrees`` and
+    the anchor-text composition so the host contract lives in one place."""
+    return href.fillna("").str.extract(HOST_RE, expand=False)
+
+
 def domain_degrees(
     links: rd.Dataset,
     *,
     href_col: str = "href",
     id_col: str = "doc_id",
+    num_buckets: int | None = None,
 ) -> rd.Dataset:
     """In-link degrees per target host over an extracted link relation:
     absolute http(s) links only, host = authority up to the first ``/``.
 
-    Scale shape: per-block partials only — ``n_links`` is a plain count
-    and ``n_src_docs`` is EXACT with block-local (host, doc) dedup because
-    one document's links live in one block (``extract_links`` explodes
-    within the batch; callers must not repartition the link relation by
-    anything other than doc before this). The exchange moves
-    (host, partial, partial) triples — host-vocabulary-sized."""
+    Exact under ANY partitioning of the link relation (a document's
+    links may straddle blocks): the block partial reduces to
+    (host, doc, n_links) triples, ONE hash exchange on host co-locates
+    each host's triples, and the per-bucket fold sums link counts and
+    counts distinct source docs. The exchange moves block-reduced
+    (host, doc) triples — bounded by the distinct (host, source-doc)
+    relation, not corpus bytes."""
     import numpy as np
-    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import BUCKET_COL, add_bucket
+
+    if num_buckets is None:
+        try:
+            import ray
+            num_buckets = max(16, int(ray.cluster_resources().get("CPU", 16)))
+        except Exception:
+            num_buckets = 16
 
     def partial(t: "pa.Table") -> "pa.Table":
         # declared pyarrow — pandas partials hit aggregate's per-group loop
         import pyarrow as pa
         df = t.to_pandas()
-        href = df[href_col].fillna("")
-        sub = df[href.str.match(r"https?://").to_numpy(dtype=bool)]
-        if not len(sub):
-            return pa.table({"host": pa.array([], type=pa.string()),
-                             "n_links": pa.array([], type=pa.int64()),
-                             "n_src_docs": pa.array([], type=pa.int64())})
-        host = sub[href_col].str.extract(r"^https?://([^/]+)",
-                                         expand=False)
-        tmp = pd.DataFrame({"host": host.to_numpy(),
-                            id_col: sub[id_col].to_numpy()})
-        n_links = tmp.groupby("host", sort=False).size()
-        n_docs = (tmp.drop_duplicates().groupby("host", sort=False).size()
-                  .reindex(n_links.index))
-        return pa.table({
-            "host": n_links.index.to_numpy(),
-            "n_links": n_links.to_numpy().astype(np.int64),
-            "n_src_docs": n_docs.to_numpy().astype(np.int64),
+        host = host_of(df[href_col])
+        keep = host.notna().to_numpy()
+        if not keep.any():
+            out = pa.table({"host": pa.array([], type=pa.string()),
+                            id_col: pa.array([], type=pa.int64()),
+                            "n_links": pa.array([], type=pa.int64())})
+            return add_bucket(out, ("host",), num_buckets)
+        g = (pd.DataFrame({"host": host[keep].to_numpy(),
+                           id_col: df[id_col].to_numpy()[keep]})
+             .groupby(["host", id_col], sort=False).size())
+        out = pa.table({
+            "host": g.index.get_level_values(0).to_numpy(),
+            id_col: g.index.get_level_values(1).to_numpy().astype("int64"),
+            "n_links": g.to_numpy().astype(np.int64),
         })
+        return add_bucket(out, ("host",), num_buckets)
 
-    agg = (links.map_batches(partial, batch_format="pyarrow")
-                .groupby("host")
-                .aggregate(Sum("n_links", alias_name="n_links"),
-                           Sum("n_src_docs", alias_name="n_src_docs")))
-    return agg.sort("host")
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("host", as_index=False).agg(
+            n_links=("n_links", "sum"), n_src_docs=(id_col, "nunique"))
+        return out.astype({"n_links": "int64", "n_src_docs": "int64"})
+
+    return (links.map_batches(partial, batch_format="pyarrow")
+                 .groupby(BUCKET_COL)
+                 .map_groups(fold, batch_format="pandas")
+                 .sort("host"))
 
 
 def collocations(
@@ -1149,15 +1179,18 @@ def collocations(
     the integer numerators of PMI / log-likelihood collocation scores
     (callers derive floats; the relation itself stays oracle-exact).
 
-    Tokenization = split on a single space (the ``top_terms`` contract).
-    Scale shape: pair AND unigram counts are pre-reduced inside each
-    block, so both exchanges move vocabulary-sized (key, partial) rows;
-    the unigram relation is then attached to the k winning pairs via two
-    broadcast joins — no corpus-scale shuffle, nothing pinned."""
+    Tokenization = split on a single space (the ``top_terms`` contract,
+    via the shared ``_unigram_counts_block``). Scale shape: two corpus
+    passes. Pass 1 pre-reduces pair counts per block (the exchange moves
+    pair-vocabulary-sized rows) and keeps only the k winners — a
+    driver-bounded relation. Pass 2 counts unigrams FILTERED to the
+    winners' <=2k member terms (the term set broadcast once with
+    ``ray.put``), so its exchange moves at most 2k rows per block; the
+    final attach is a driver-side merge over k rows. No vocabulary-sized
+    relation is ever pinned, broadcast, or shuffled."""
     import numpy as np
+    import ray
     from ray.data.aggregate import Sum
-
-    from .joins import broadcast_inner_join
 
     def pair_partial(t: "pa.Table") -> "pa.Table":
         # declared pyarrow — see top_terms.partial
@@ -1183,43 +1216,40 @@ def collocations(
             "n_pair": out.to_numpy().astype(np.int64),
         })
 
-    pairs = (ds.map_batches(pair_partial, batch_format="pyarrow")
-               .groupby(["left_term", "right_term"])
-               .aggregate(Sum("n_pair", alias_name="n_pair"))
-               .sort(["n_pair", "left_term", "right_term"],
-                     descending=[True, False, False])
-               .limit(k))
+    winners = (ds.map_batches(pair_partial, batch_format="pyarrow")
+                 .groupby(["left_term", "right_term"])
+                 .aggregate(Sum("n_pair", alias_name="n_pair"))
+                 .sort(["n_pair", "left_term", "right_term"],
+                       descending=[True, False, False])
+                 .limit(k)
+                 .to_pandas())  # k rows — driver-bounded by construction
+    if winners.empty:
+        return rd.from_pandas(pd.DataFrame({
+            "left_term": pd.Series([], dtype="string"),
+            "right_term": pd.Series([], dtype="string"),
+            "n_pair": pd.Series([], dtype="int64"),
+            "n_left": pd.Series([], dtype="int64"),
+            "n_right": pd.Series([], dtype="int64"),
+        }))
+    member_ref = ray.put(frozenset(winners["left_term"])
+                         | frozenset(winners["right_term"]))
 
     def uni_partial(t: "pa.Table") -> "pa.Table":
         import pyarrow as pa
-        df = t.to_pandas()
-        toks = df[text_col].fillna("").str.split(" ")
-        flat = pd.Series(np.concatenate(
-            [np.asarray(w, dtype=object) for w in toks if len(w)] or
-            [np.array([], dtype=object)]))
-        out = flat.value_counts(sort=False)
-        return pa.table({"term": out.index.to_numpy(),
-                         "n_term": out.to_numpy().astype(np.int64)})
+        terms, counts = _unigram_counts_block(
+            t.to_pandas()[text_col], keep=ray.get(member_ref))
+        return pa.table({"term": terms, "n_term": counts})
 
     uni = (ds.map_batches(uni_partial, batch_format="pyarrow")
-             .groupby("term").aggregate(Sum("n_term", alias_name="n_term")))
-
-    def rename(t: "pa.Table", frm: str, to: str) -> "pa.Table":
-        import pyarrow as pa
-        return t.rename_columns([to if c == frm else c
-                                 for c in t.column_names])
-
-    left_u = uni.map_batches(lambda t: rename(rename(t, "term", "left_term"),
-                                              "n_term", "n_left"),
-                             batch_format="pyarrow")
-    right_u = uni.map_batches(
-        lambda t: rename(rename(t, "term", "right_term"),
-                         "n_term", "n_right"),
-        batch_format="pyarrow")
-    out = broadcast_inner_join(pairs, left_u, ["left_term"])
-    out = broadcast_inner_join(out, right_u, ["right_term"])
-    return out.sort(["n_pair", "left_term", "right_term"],
-                    descending=[True, False, False])
+             .groupby("term").aggregate(Sum("n_term", alias_name="n_term"))
+             .to_pandas())  # <= 2k rows (winner members only)
+    lut = dict(zip(uni["term"], uni["n_term"]))
+    winners["n_left"] = winners["left_term"].map(lut).astype("int64")
+    winners["n_right"] = winners["right_term"].map(lut).astype("int64")
+    winners = winners.sort_values(
+        ["n_pair", "left_term", "right_term"],
+        ascending=[False, True, True]).reset_index(drop=True)
+    return rd.from_pandas(winners)
 
 
 def inverted_index(

@@ -99,6 +99,13 @@ def test_domain_degrees_counts_vs_bruteforce(ray_session):
     assert list(out["n_links"]) == list(exp["n_links"])
     assert list(out["n_src_docs"]) == list(exp["n_src_docs"])
 
+    # exact under ANY partitioning: splitting a document's links across
+    # blocks must not inflate n_src_docs
+    resplit = (tx.domain_degrees(links.repartition(13), num_buckets=3)
+               .to_pandas().sort_values("host").reset_index(drop=True))
+    assert list(resplit["n_src_docs"]) == list(exp["n_src_docs"])
+    assert list(resplit["n_links"]) == list(exp["n_links"])
+
 
 def test_collocations_vs_bruteforce(ray_session):
     from openmrs_module_epts_etl_ray.stages import text as tx
