@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "collocations",
     "inverted_index",
     "anchor_texts",
+    "cooccurrence_topk",
 ]
 
 

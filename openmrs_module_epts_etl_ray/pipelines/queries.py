@@ -5632,3 +5632,31 @@ SELECT host,
        string_agg(anchor, '|' ORDER BY doc_id, link_pos) AS anchors
 FROM l GROUP BY host ORDER BY host
 """
+
+
+def q_cooccurrence_topk(sf_dir: str):
+    """Windowed skip-gram co-occurrence (stages/text.py::cooccurrence,
+    window=3): the word2vec/GloVe statistics pass — top-100 ordered
+    token pairs at distance 1-3 within a document. One pair-vocabulary
+    exchange; the oracle restates the window with a distance cross
+    join over DuckDB list indexing."""
+    ds = read_table(sf_dir, "documents", columns=["text"],
+                    override_num_blocks=16)
+    return text_stages.cooccurrence(ds, 100, window=3)
+
+
+QUERIES["cooccurrence_topk"] = q_cooccurrence_topk
+
+ORACLE_SQL["cooccurrence_topk"] = """
+WITH toks AS (
+  SELECT string_split(coalesce(text, ''), ' ') AS w FROM documents),
+idx AS (
+  SELECT w, unnest(range(1, len(w))) AS i FROM toks WHERE len(w) > 1),
+pr AS (
+  SELECT w[i] AS left_term, w[i + d.d] AS right_term
+  FROM idx, (SELECT unnest([1, 2, 3]) AS d) d
+  WHERE i + d.d <= len(w))
+SELECT left_term, right_term, CAST(COUNT(*) AS BIGINT) AS n_cooc
+FROM pr GROUP BY 1, 2
+ORDER BY n_cooc DESC, left_term, right_term LIMIT 100
+"""

@@ -1309,3 +1309,65 @@ def inverted_index(
               .groupby(BUCKET_COL)
               .map_groups(build, batch_format="pandas")
               .sort("term"))
+
+
+def cooccurrence(
+    ds: rd.Dataset,
+    k: int = 100,
+    *,
+    window: int = 3,
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Windowed skip-gram co-occurrence counts — the word2vec/GloVe
+    preprocessing step: count every ordered token pair at distance
+    1..``window`` within a document and keep the top ``k`` pairs
+    (ties broken by pair text ascending). ``window=1`` degenerates to
+    ``collocations``' bigram relation.
+
+    Tokenization = the ``top_terms`` contract (split on one space).
+    Scale shape: counts are pre-reduced per block over all ``window``
+    offsets (a ``window``-step loop over vectorized shifted-slice
+    pairings, not a token loop), so the single exchange moves
+    pair-vocabulary-sized partials; sort+limit runs on the aggregated
+    relation only."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+
+    def partial(t: "pa.Table") -> "pa.Table":
+        # declared pyarrow — see top_terms.partial
+        import pyarrow as pa
+        df = t.to_pandas()
+        toks = df[text_col].fillna("").str.split(" ")
+        lefts, rights = [], []
+        for w in toks:
+            n = len(w)
+            arr = None
+            for d in range(1, min(window, n - 1) + 1):
+                if arr is None:
+                    arr = np.asarray(w, dtype=object)
+                lefts.append(arr[:-d])
+                rights.append(arr[d:])
+        if not lefts:
+            return pa.table({"left_term": pa.array([], type=pa.string()),
+                             "right_term": pa.array([], type=pa.string()),
+                             "n_cooc": pa.array([], type=pa.int64())})
+        out = (pd.DataFrame({"left_term": np.concatenate(lefts),
+                             "right_term": np.concatenate(rights)})
+               .groupby(["left_term", "right_term"], sort=False)
+               .size())
+        idx = out.index
+        return pa.table({
+            "left_term": idx.get_level_values(0).to_numpy(),
+            "right_term": idx.get_level_values(1).to_numpy(),
+            "n_cooc": out.to_numpy().astype(np.int64),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["left_term", "right_term"])
+              .aggregate(Sum("n_cooc", alias_name="n_cooc"))
+              .sort(["n_cooc", "left_term", "right_term"],
+                    descending=[True, False, False])
+              .limit(k))

@@ -185,6 +185,35 @@ def test_anchor_texts_composition_vs_bruteforce(ray_session):
     assert list(out["anchors"]) == ["|".join(exp[h]) for h in hosts]
 
 
+def test_cooccurrence_vs_bruteforce(ray_session):
+    from openmrs_module_epts_etl_ray.stages import text as tx
+
+    rng = np.random.default_rng(9)
+    vocab = ["aa", "bb", "cc", "dd"]
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(1, 10))))
+             for _ in range(50)] + ["", "one two"]
+    ds = rd.from_pandas(pd.DataFrame({"text": texts}),
+                        override_num_blocks=4)
+    out = tx.cooccurrence(ds, 6, window=2).to_pandas().reset_index(drop=True)
+
+    counts = {}
+    for t in texts:
+        w = t.split(" ")
+        for i in range(len(w)):
+            for d in (1, 2):
+                if i + d < len(w):
+                    key = (w[i], w[i + d])
+                    counts[key] = counts.get(key, 0) + 1
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:6]
+    assert list(out["left_term"]) == [k[0] for k, _ in ranked]
+    assert list(out["right_term"]) == [k[1] for k, _ in ranked]
+    assert list(out["n_cooc"]) == [v for _, v in ranked]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        tx.cooccurrence(ds, 5, window=0)
+
+
 def test_inverted_index_doc_split_across_blocks_is_still_exact(ray_session):
     """The per-block DISTINCT contract: a document's row lives in exactly
     one block, so dedup is global. Verify with many blocks (more blocks
