@@ -229,3 +229,54 @@ def test_inverted_index_doc_split_across_blocks_is_still_exact(ray_session):
     row = out[out["term"] == "x"].iloc[0]
     assert row["df"] == 8
     assert row["postings"] == ",".join(str(i) for i in range(8))
+
+
+def test_cooccurrence_window1_full_relation_matches_bigrams(ray_session):
+    """window=1 with k >= all pairs must reproduce the exact bigram
+    count relation (not just a top-k prefix)."""
+    from openmrs_module_epts_etl_ray.stages import text as tx
+
+    rng = np.random.default_rng(21)
+    vocab = ["q", "r", "s"]
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(1, 8))))
+             for _ in range(40)]
+    ds = rd.from_pandas(pd.DataFrame({"text": texts}),
+                        override_num_blocks=5)
+    out = (tx.cooccurrence(ds, 10_000, window=1).to_pandas()
+           .sort_values(["left_term", "right_term"])
+           .reset_index(drop=True))
+
+    counts = {}
+    for t in texts:
+        w = t.split(" ")
+        for a, b in zip(w, w[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    exp = sorted(counts.items())
+    assert list(zip(out["left_term"], out["right_term"])) \
+        == [k for k, _ in exp]
+    assert list(out["n_cooc"]) == [v for _, v in exp]
+
+
+def test_extract_links_positions_are_contiguous(ray_session):
+    """Per-document link positions are exactly 1..m for m matches,
+    regardless of decoys interleaved between them."""
+    from openmrs_module_epts_etl_ray.stages import text as tx
+
+    rng = np.random.default_rng(33)
+    rows = []
+    expect = {}
+    for did in range(30):
+        m = int(rng.integers(0, 8))
+        parts = []
+        for j in range(m):
+            if rng.random() < 0.5:
+                parts.append(f'<a name="d{j}">decoy</a>')
+            parts.append(f'<a href="u{did}/{j}">t{j}</a>')
+        rows.append({"doc_id": did, "html": "".join(parts)})
+        expect[did] = m
+    out = tx.extract_links(
+        rd.from_pandas(pd.DataFrame(rows), override_num_blocks=3)
+    ).to_pandas()
+    for did, grp in out.groupby("doc_id"):
+        assert sorted(grp["link_pos"]) == list(range(1, expect[did] + 1))
+    assert set(out["doc_id"]) == {d for d, m in expect.items() if m > 0}
