@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "inverted_index",
     "anchor_texts",
     "cooccurrence_topk",
+    "oov_rate",
 ]
 
 

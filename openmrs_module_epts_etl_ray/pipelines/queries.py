@@ -5660,3 +5660,35 @@ SELECT left_term, right_term, CAST(COUNT(*) AS BIGINT) AS n_cooc
 FROM pr GROUP BY 1, 2
 ORDER BY n_cooc DESC, left_term, right_term LIMIT 100
 """
+
+
+def q_oov_rate(sf_dir: str):
+    """Tokenizer-coverage eval (stages/text.py::oov_rate): per-document
+    OOV fraction against the corpus top-100 vocabulary. The float column
+    is one int64/int64 IEEE division, bitwise-stable across engines (the
+    readability precedent), so it survives the driver's value hash."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                    override_num_blocks=16)
+    return text_stages.oov_rate(ds, 100).sort("doc_id")
+
+
+QUERIES["oov_rate"] = q_oov_rate
+
+ORACLE_SQL["oov_rate"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+  FROM documents),
+uni AS (
+  SELECT term, COUNT(*) AS n
+  FROM (SELECT unnest(w) AS term FROM toks) GROUP BY 1),
+vocab AS (SELECT term FROM uni ORDER BY n DESC, term LIMIT 100),
+ex AS (SELECT doc_id, unnest(w) AS term FROM toks),
+sc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN term IN (SELECT term FROM vocab)
+                       THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+  FROM ex GROUP BY doc_id)
+SELECT doc_id, n_tokens, n_oov,
+       CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
+FROM sc ORDER BY doc_id
+"""

@@ -1371,3 +1371,56 @@ def cooccurrence(
               .sort(["n_cooc", "left_term", "right_term"],
                     descending=[True, False, False])
               .limit(k))
+
+
+def oov_rate(
+    ds: rd.Dataset,
+    vocab_k: int = 100,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Vocabulary-coverage statistics — the tokenizer-coverage eval step:
+    with vocab = the corpus's ``vocab_k`` most frequent terms (the
+    ``top_terms`` relation, ties by term ascending), emit per document
+    the token count, out-of-vocabulary token count, and
+    ``oov_rate = n_oov / n_tokens`` (one IEEE double division of two
+    int64s — bitwise engine-stable, the `readability` precedent).
+
+    Scale shape: pass 1 is ``top_terms`` (block-reduced partials, one
+    vocabulary-sized exchange, k winners to the driver); pass 2
+    broadcasts the k-term set once via ``ray.put`` and scores each block
+    statelessly (explode + ``isin`` + ``add.reduceat`` over per-doc
+    segment offsets) — no second exchange, nothing pinned."""
+    import numpy as np
+    import ray
+
+    winners = top_terms(ds, vocab_k, text_col=text_col).to_pandas()
+    vocab_ref = ray.put(frozenset(winners["term"]))
+
+    def score(t: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+        df = t.to_pandas()
+        vocab = ray.get(vocab_ref)
+        toks = df[text_col].fillna("").str.split(" ")
+        n = toks.str.len().to_numpy().astype("int64")
+        if not len(df):
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             "n_tokens": pa.array([], type=pa.int64()),
+                             "n_oov": pa.array([], type=pa.int64()),
+                             "oov_rate": pa.array([], type=pa.float64())})
+        flat = pd.Series(np.concatenate(
+            [np.asarray(w, dtype=object) for w in toks]))
+        oov = (~flat.isin(vocab)).to_numpy().astype("int64")
+        # every doc has >= 1 token (split of '' is ['']), so the segment
+        # offsets are strictly increasing and reduceat is well-defined
+        offsets = np.r_[0, np.cumsum(n)[:-1]]
+        n_oov = np.add.reduceat(oov, offsets)
+        return pa.table({
+            id_col: df[id_col].to_numpy().astype("int64"),
+            "n_tokens": n,
+            "n_oov": n_oov.astype("int64"),
+            "oov_rate": n_oov.astype("float64") / n.astype("float64"),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

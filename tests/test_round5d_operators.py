@@ -280,3 +280,35 @@ def test_extract_links_positions_are_contiguous(ray_session):
     for did, grp in out.groupby("doc_id"):
         assert sorted(grp["link_pos"]) == list(range(1, expect[did] + 1))
     assert set(out["doc_id"]) == {d for d, m in expect.items() if m > 0}
+
+
+def test_oov_rate_vs_bruteforce(ray_session):
+    from openmrs_module_epts_etl_ray.stages import text as tx
+
+    rng = np.random.default_rng(17)
+    common = ["the", "of", "and"]
+    rare = [f"w{i}" for i in range(30)]
+    texts = []
+    for _ in range(40):
+        n = int(rng.integers(1, 15))
+        toks = [common[int(rng.integers(0, 3))] if rng.random() < 0.6
+                else rare[int(rng.integers(0, 30))] for _ in range(n)]
+        texts.append(" ".join(toks))
+    texts += ["", None]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ds = rd.from_pandas(df, override_num_blocks=4)
+    out = (tx.oov_rate(ds, vocab_k=3).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    uni = {}
+    for t in texts:
+        for tok in (t or "").split(" "):
+            uni[tok] = uni.get(tok, 0) + 1
+    vocab = {k for k, _ in sorted(uni.items(),
+                                  key=lambda kv: (-kv[1], kv[0]))[:3]}
+    for _, r in out.iterrows():
+        w = (texts[int(r["doc_id"])] or "").split(" ")
+        n_oov = sum(1 for tok in w if tok not in vocab)
+        assert r["n_tokens"] == len(w)
+        assert r["n_oov"] == n_oov
+        assert r["oov_rate"] == n_oov / len(w)
