@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "anchor_texts",
     "cooccurrence_topk",
     "oov_rate",
+    "vocab_coverage",
 ]
 
 

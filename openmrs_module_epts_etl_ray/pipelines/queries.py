@@ -5692,3 +5692,31 @@ SELECT doc_id, n_tokens, n_oov,
        CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
 FROM sc ORDER BY doc_id
 """
+
+
+def q_vocab_coverage(sf_dir: str):
+    """Zipf coverage curve (stages/text.py::vocab_coverage): running
+    token share per vocabulary term in frequency order — the counts
+    exchange feeds the distributed prefix scan (running_sum over -n);
+    cum_share is one int64/int64 IEEE division, bitwise-stable (the
+    readability/oov_rate precedent)."""
+    ds = read_table(sf_dir, "documents", columns=["text"],
+                    override_num_blocks=16)
+    return text_stages.vocab_coverage(ds)
+
+
+QUERIES["vocab_coverage"] = q_vocab_coverage
+
+ORACLE_SQL["vocab_coverage"] = """
+WITH uni AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS term
+        FROM documents)
+  GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM uni)
+SELECT term, n,
+       CAST(SUM(n) OVER (ORDER BY n DESC, term) AS BIGINT) AS cum_tokens,
+       CAST(SUM(n) OVER (ORDER BY n DESC, term) AS DOUBLE)
+         / (SELECT total FROM tot) AS cum_share
+FROM uni ORDER BY n DESC, term
+"""

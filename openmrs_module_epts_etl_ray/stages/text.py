@@ -1424,3 +1424,66 @@ def oov_rate(
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def vocab_coverage(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Zipf vocabulary-coverage curve — the tokenizer-design statistic
+    "how many terms cover X% of corpus tokens": per term its count ``n``,
+    the inclusive running token total ``cum_tokens`` in (count desc,
+    term asc) order, and ``cum_share = cum_tokens / total`` (one IEEE
+    double division of exact int64s per row).
+
+    Scale shape: one corpus pass of block-reduced unigram partials into
+    a vocabulary-sized exchange; the counts relation is then PINNED
+    (vocab-sized, sublinear in corpus bytes — the documented exception
+    to the no-pin rule) because the distributed prefix scan's
+    determinism contract re-executes its input lineage per pass. The
+    scan rides ``running_sum`` with ``-n`` as the integer range axis
+    and term as the tie-break."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .scan import running_sum
+
+    def partial(t: "pa.Table") -> "pa.Table":
+        terms, counts = _unigram_counts_block(t.to_pandas()[text_col])
+        return pa.table({"term": terms, "n": counts})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("term").aggregate(Sum("n", alias_name="n"))
+                .materialize())
+    total = counts.sum("n")
+    if not total:
+        return rd.from_pandas(pd.DataFrame({
+            "term": pd.Series([], dtype="string"),
+            "n": pd.Series([], dtype="int64"),
+            "cum_tokens": pd.Series([], dtype="int64"),
+            "cum_share": pd.Series([], dtype="float64"),
+        }))
+    total_f = pa.scalar(float(int(total)), pa.float64())
+
+    def add_neg(t: "pa.Table") -> "pa.Table":
+        return t.append_column("neg", pc.negate(t["n"]))
+
+    keyed = counts.map_batches(add_neg, batch_format="pyarrow")
+    scanned = running_sum(keyed, ["neg", "term"], "n",
+                          out_col="cum_tokens", num_buckets=num_buckets)
+
+    def finish(t: "pa.Table") -> "pa.Table":
+        return pa.table({
+            "term": t["term"],
+            "n": t["n"],
+            "cum_tokens": t["cum_tokens"],
+            "cum_share": pc.divide(
+                pc.cast(t["cum_tokens"], pa.float64()), total_f),
+        })
+
+    return (scanned.map_batches(finish, batch_format="pyarrow")
+                   .sort(["n", "term"], descending=[True, False]))

@@ -312,3 +312,41 @@ def test_oov_rate_vs_bruteforce(ray_session):
         assert r["n_tokens"] == len(w)
         assert r["n_oov"] == n_oov
         assert r["oov_rate"] == n_oov / len(w)
+
+
+def test_vocab_coverage_vs_bruteforce(ray_session):
+    from openmrs_module_epts_etl_ray.stages import text as tx
+
+    rng = np.random.default_rng(5)
+    vocab = [f"t{i}" for i in range(12)]
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(1, 20)),
+                                 p=np.arange(12, 0, -1) / 78))
+             for _ in range(50)] + ["", None]
+    ds = rd.from_pandas(pd.DataFrame({"text": texts}),
+                        override_num_blocks=4)
+    out = tx.vocab_coverage(ds).to_pandas().reset_index(drop=True)
+
+    uni = {}
+    for t in texts:
+        for tok in (t or "").split(" "):
+            uni[tok] = uni.get(tok, 0) + 1
+    ranked = sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(uni.values())
+    cum = 0
+    for i, (term, n) in enumerate(ranked):
+        cum += n
+        assert out.loc[i, "term"] == term
+        assert out.loc[i, "n"] == n
+        assert out.loc[i, "cum_tokens"] == cum
+        assert out.loc[i, "cum_share"] == cum / float(total)
+    assert out.loc[len(ranked) - 1, "cum_share"] == 1.0
+
+
+def test_vocab_coverage_empty_corpus(ray_session):
+    from openmrs_module_epts_etl_ray.stages import text as tx
+
+    # a corpus of only empty/null text has ONE term: '' (total > 0), so
+    # force the truly-empty path with zero rows instead
+    ds = rd.from_pandas(pd.DataFrame({"text": pd.Series([], dtype="string")}))
+    out = tx.vocab_coverage(ds).to_pandas()
+    assert len(out) == 0
