@@ -1168,6 +1168,39 @@ def domain_degrees(
                  .sort("host"))
 
 
+def _pair_counts_block(texts: pd.Series, window: int, count_col: str):
+    """Block-local ordered-pair counts at token distances 1..``window``
+    — THE pair-counting kernel shared by ``collocations`` (window=1)
+    and ``cooccurrence``; tokenization is the ``top_terms`` contract.
+    Returns an Arrow table (left_term, right_term, ``count_col``)."""
+    import numpy as np
+    import pyarrow as pa
+    toks = texts.fillna("").str.split(" ")
+    lefts, rights = [], []
+    for w in toks:
+        n = len(w)
+        arr = None
+        for d in range(1, min(window, n - 1) + 1):
+            if arr is None:
+                arr = np.asarray(w, dtype=object)
+            lefts.append(arr[:-d])
+            rights.append(arr[d:])
+    if not lefts:
+        return pa.table({"left_term": pa.array([], type=pa.string()),
+                         "right_term": pa.array([], type=pa.string()),
+                         count_col: pa.array([], type=pa.int64())})
+    out = (pd.DataFrame({"left_term": np.concatenate(lefts),
+                         "right_term": np.concatenate(rights)})
+           .groupby(["left_term", "right_term"], sort=False)
+           .size())
+    idx = out.index
+    return pa.table({
+        "left_term": idx.get_level_values(0).to_numpy(),
+        "right_term": idx.get_level_values(1).to_numpy(),
+        count_col: out.to_numpy().astype(np.int64),
+    })
+
+
 def collocations(
     ds: rd.Dataset,
     k: int = 100,
@@ -1188,33 +1221,12 @@ def collocations(
     ``ray.put``), so its exchange moves at most 2k rows per block; the
     final attach is a driver-side merge over k rows. No vocabulary-sized
     relation is ever pinned, broadcast, or shuffled."""
-    import numpy as np
     import ray
     from ray.data.aggregate import Sum
 
     def pair_partial(t: "pa.Table") -> "pa.Table":
         # declared pyarrow — see top_terms.partial
-        import pyarrow as pa
-        df = t.to_pandas()
-        toks = df[text_col].fillna("").str.split(" ")
-        lefts = [np.asarray(w[:-1], dtype=object) for w in toks
-                 if len(w) > 1]
-        rights = [np.asarray(w[1:], dtype=object) for w in toks
-                  if len(w) > 1]
-        if not lefts:
-            return pa.table({"left_term": pa.array([], type=pa.string()),
-                             "right_term": pa.array([], type=pa.string()),
-                             "n_pair": pa.array([], type=pa.int64())})
-        out = (pd.DataFrame({"left_term": np.concatenate(lefts),
-                             "right_term": np.concatenate(rights)})
-               .groupby(["left_term", "right_term"], sort=False)
-               .size())
-        idx = out.index
-        return pa.table({
-            "left_term": idx.get_level_values(0).to_numpy(),
-            "right_term": idx.get_level_values(1).to_numpy(),
-            "n_pair": out.to_numpy().astype(np.int64),
-        })
+        return _pair_counts_block(t.to_pandas()[text_col], 1, "n_pair")
 
     winners = (ds.map_batches(pair_partial, batch_format="pyarrow")
                  .groupby(["left_term", "right_term"])
@@ -1330,7 +1342,6 @@ def cooccurrence(
     pairings, not a token loop), so the single exchange moves
     pair-vocabulary-sized partials; sort+limit runs on the aggregated
     relation only."""
-    import numpy as np
     from ray.data.aggregate import Sum
 
     if window < 1:
@@ -1338,32 +1349,8 @@ def cooccurrence(
 
     def partial(t: "pa.Table") -> "pa.Table":
         # declared pyarrow — see top_terms.partial
-        import pyarrow as pa
-        df = t.to_pandas()
-        toks = df[text_col].fillna("").str.split(" ")
-        lefts, rights = [], []
-        for w in toks:
-            n = len(w)
-            arr = None
-            for d in range(1, min(window, n - 1) + 1):
-                if arr is None:
-                    arr = np.asarray(w, dtype=object)
-                lefts.append(arr[:-d])
-                rights.append(arr[d:])
-        if not lefts:
-            return pa.table({"left_term": pa.array([], type=pa.string()),
-                             "right_term": pa.array([], type=pa.string()),
-                             "n_cooc": pa.array([], type=pa.int64())})
-        out = (pd.DataFrame({"left_term": np.concatenate(lefts),
-                             "right_term": np.concatenate(rights)})
-               .groupby(["left_term", "right_term"], sort=False)
-               .size())
-        idx = out.index
-        return pa.table({
-            "left_term": idx.get_level_values(0).to_numpy(),
-            "right_term": idx.get_level_values(1).to_numpy(),
-            "n_cooc": out.to_numpy().astype(np.int64),
-        })
+        return _pair_counts_block(t.to_pandas()[text_col], window,
+                                  "n_cooc")
 
     return (ds.map_batches(partial, batch_format="pyarrow")
               .groupby(["left_term", "right_term"])
@@ -1405,7 +1392,9 @@ def oov_rate(
         toks = df[text_col].fillna("").str.split(" ")
         n = toks.str.len().to_numpy().astype("int64")
         if not len(df):
-            return pa.table({id_col: pa.array([], type=pa.int64()),
+            # id passes through with its NATIVE type (string/uuid ids are
+            # fine); only the derived stats pin their own types
+            return pa.table({id_col: t[id_col],
                              "n_tokens": pa.array([], type=pa.int64()),
                              "n_oov": pa.array([], type=pa.int64()),
                              "oov_rate": pa.array([], type=pa.float64())})
@@ -1417,7 +1406,7 @@ def oov_rate(
         offsets = np.r_[0, np.cumsum(n)[:-1]]
         n_oov = np.add.reduceat(oov, offsets)
         return pa.table({
-            id_col: df[id_col].to_numpy().astype("int64"),
+            id_col: t[id_col],  # one row per input row, original dtype
             "n_tokens": n,
             "n_oov": n_oov.astype("int64"),
             "oov_rate": n_oov.astype("float64") / n.astype("float64"),
@@ -1473,8 +1462,13 @@ def vocab_coverage(
         return t.append_column("neg", pc.negate(t["n"]))
 
     keyed = counts.map_batches(add_neg, batch_format="pyarrow")
+    # balance='quantile': the -count axis is Zipfian by construction (a
+    # few huge counts, a long tail of small ones), so the default affine
+    # range split would funnel nearly the whole vocabulary into one
+    # bucket and serialize pass B; sampled boundaries keep buckets even
     scanned = running_sum(keyed, ["neg", "term"], "n",
-                          out_col="cum_tokens", num_buckets=num_buckets)
+                          out_col="cum_tokens", num_buckets=num_buckets,
+                          balance="quantile")
 
     def finish(t: "pa.Table") -> "pa.Table":
         return pa.table({

@@ -350,3 +350,16 @@ def test_vocab_coverage_empty_corpus(ray_session):
     ds = rd.from_pandas(pd.DataFrame({"text": pd.Series([], dtype="string")}))
     out = tx.vocab_coverage(ds).to_pandas()
     assert len(out) == 0
+
+
+def test_oov_rate_preserves_string_ids(ray_session):
+    from openmrs_module_epts_etl_ray.stages import text as tx
+
+    df = pd.DataFrame({"doc_id": ["u-1", "u-2", "u-3"],
+                       "text": ["a b a", "c", None]})
+    out = (tx.oov_rate(rd.from_pandas(df), vocab_k=1)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(out["doc_id"]) == ["u-1", "u-2", "u-3"]
+    # vocab = {'a'} (count 2); doc u-1: 1 OOV of 3; u-2: 1/1; null: 1/1
+    assert list(out["n_tokens"]) == [3, 1, 1]
+    assert list(out["n_oov"]) == [1, 1, 1]
